@@ -1,0 +1,254 @@
+"""Configuration tree for iv_slam_tpu.
+
+One dataclass tree replaces the reference's three-tier config (gflags +
+cv::FileStorage YAML + yacs; see SURVEY.md §2f). The YAML loader accepts the
+reference's exact key names (``Camera.fx``, ``ORBextractor.nFeatures``, ...,
+parsed by the reference at Tracking.cc:100-259) so existing settings files
+(e.g. Examples/Stereo/KITTI00-02.yaml) work unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+
+@dataclass
+class CameraConfig:
+    """Pinhole camera + stereo parameters (YAML ``Camera.*``)."""
+
+    fx: float = 718.856
+    fy: float = 718.856
+    cx: float = 607.1928
+    cy: float = 185.2157
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
+    bf: float = 386.1448  # baseline * fx  (YAML Camera.bf)
+    fps: float = 10.0
+    rgb: bool = True
+    width: int = 1241
+    height: int = 376
+    th_depth: float = 35.0  # YAML ThDepth: close/far stereo point threshold
+
+    @property
+    def baseline(self) -> float:
+        return self.bf / self.fx
+
+    def K(self) -> np.ndarray:
+        return np.array(
+            [[self.fx, 0.0, self.cx], [0.0, self.fy, self.cy], [0.0, 0.0, 1.0]],
+            dtype=np.float32,
+        )
+
+
+@dataclass
+class ORBConfig:
+    """ORB extraction parameters (YAML ``ORBextractor.*``).
+
+    Reference defaults: jackal_visual_odom_stereo_inference.yaml; semantics at
+    ORBextractor.cc:411-478 (scale pyramid + per-level feature budgets).
+    """
+
+    n_features: int = 2000
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    ini_th_fast: int = 12  # reference KITTI yaml uses 20; jackal uses 12
+    min_th_fast: int = 7
+    enable_introspection: bool = False
+    # Static keypoint capacity per image for padded device arrays. Must be
+    # >= n_features; data-dependent counts are handled by masking.
+    max_keypoints: int = 2048
+
+    def scale_factors(self) -> np.ndarray:
+        """Per-level scale factors [1, s, s^2, ...] (ORBextractor.cc:417-426)."""
+        return self.scale_factor ** np.arange(self.n_levels, dtype=np.float32)
+
+    def level_sigma2(self) -> np.ndarray:
+        return self.scale_factors() ** 2
+
+    def features_per_level(self) -> np.ndarray:
+        """Geometric split of the feature budget (ORBextractor.cc:438-452)."""
+        factor = 1.0 / self.scale_factor
+        ndesired = (
+            self.n_features
+            * (1.0 - factor)
+            / (1.0 - factor ** self.n_levels)
+        )
+        per_level = np.zeros(self.n_levels, dtype=np.int32)
+        total = 0
+        for lvl in range(self.n_levels - 1):
+            per_level[lvl] = int(round(ndesired))
+            total += per_level[lvl]
+            ndesired *= factor
+        per_level[self.n_levels - 1] = max(self.n_features - total, 0)
+        return per_level
+
+
+@dataclass
+class MatcherConfig:
+    """ORB matcher thresholds (ORBmatcher.cc:37-39 + YAML ``ORBMatcher.*``)."""
+
+    th_high: int = 100
+    th_low: int = 50
+    histo_length: int = 30
+    nn_ratio_multiplier: float = 0.95  # YAML ORBMatcher.NNRatioMultiplier
+    search_window_multiplier: float = 1.2  # YAML ORBMatcher.SearchWindowMultiplier
+
+
+@dataclass
+class IVConfig:
+    """Introspection settings (gflags + YAML ``IVSLAM.*``; SURVEY.md §2f)."""
+
+    enabled: bool = False
+    inference_mode: bool = False
+    unsupervised_learning: bool = False
+    create_dataset: bool = False
+    # gflag defaults (Tracking.cc:44-64, Frame.cc:29-33, MapPoint.cc:26,
+    # Optimizer.cc:40-49)
+    tracking_ba_rate: int = 1
+    ref_pose_ang_var_inv: float = 2.0e3
+    ref_pose_trans_var_inv: float = 2.0e2
+    keypt_qual_chi2_prob_thresh: float = 0.99
+    propagate_keyptqual: bool = False
+    optimizer_run_extra_iter: bool = True
+    optimizer_pose_opt_iter_count: int = 4
+
+
+@dataclass
+class GPConfig:
+    """Gaussian-process heatmap parameters (feature_evaluator.h:390-393,
+    feature_evaluator.cpp:1919-1976)."""
+
+    sigma_f: float = 80.0
+    length_scale: float = 100.0
+    sigma_n: float = 20.0
+    bin_stride: int = 20
+    bin_size: int = 40
+    max_train_points: int = 512  # static cap for the N^3 Cholesky solve
+
+
+@dataclass
+class ViewerConfig:
+    enabled: bool = False
+    headless: bool = True
+    save_frames_to_file: bool = False
+    save_map_drawings_to_file: bool = False
+
+
+@dataclass
+class SystemConfig:
+    """Top-level runtime switches (stereo_kitti.cc:54-126 flag set)."""
+
+    sensor: str = "stereo"  # stereo | mono | rgbd
+    single_threaded: bool = True
+    use_bow: bool = False
+    enable_loop_closing: bool = False
+    gt_pose_available: bool = False
+    silent: bool = False
+
+
+@dataclass
+class Config:
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    orb: ORBConfig = field(default_factory=ORBConfig)
+    matcher: MatcherConfig = field(default_factory=MatcherConfig)
+    iv: IVConfig = field(default_factory=IVConfig)
+    gp: GPConfig = field(default_factory=GPConfig)
+    viewer: ViewerConfig = field(default_factory=ViewerConfig)
+    system: SystemConfig = field(default_factory=SystemConfig)
+
+
+# --- Reference-YAML loader -------------------------------------------------
+
+_YAML_CAMERA_KEYS = {
+    "Camera.fx": "fx",
+    "Camera.fy": "fy",
+    "Camera.cx": "cx",
+    "Camera.cy": "cy",
+    "Camera.k1": "k1",
+    "Camera.k2": "k2",
+    "Camera.k3": "k3",
+    "Camera.p1": "p1",
+    "Camera.p2": "p2",
+    "Camera.bf": "bf",
+    "Camera.fps": "fps",
+    "Camera.width": "width",
+    "Camera.height": "height",
+    "ThDepth": "th_depth",
+}
+
+_YAML_ORB_KEYS = {
+    "ORBextractor.nFeatures": "n_features",
+    "ORBextractor.scaleFactor": "scale_factor",
+    "ORBextractor.nLevels": "n_levels",
+    "ORBextractor.iniThFAST": "ini_th_fast",
+    "ORBextractor.minThFAST": "min_th_fast",
+    "ORBextractor.enableIntrospection": "enable_introspection",
+}
+
+_YAML_MATCHER_KEYS = {
+    "ORBMatcher.NNRatioMultiplier": "nn_ratio_multiplier",
+    "ORBMatcher.SearchWindowMultiplier": "search_window_multiplier",
+}
+
+
+def _parse_opencv_yaml(path: str) -> dict:
+    """Parse an OpenCV FileStorage YAML into a flat {key: scalar} dict.
+
+    cv::FileStorage YAML ("%YAML:1.0") is not valid PyYAML; strip the
+    directive and any !!opencv-matrix tags, then flatten one level.
+    """
+    import yaml
+
+    with open(path) as f:
+        text = f.read()
+    lines = []
+    for ln in text.splitlines():
+        if ln.startswith("%YAML"):
+            continue
+        ln = ln.replace("!!opencv-matrix", "")
+        lines.append(ln)
+    doc = yaml.safe_load("\n".join(lines)) or {}
+    return doc
+
+
+def load_reference_yaml(path: str, cfg: Optional[Config] = None) -> Config:
+    """Load a reference settings YAML (Tracking.cc:100-259 key set)."""
+    cfg = cfg or Config()
+    doc = _parse_opencv_yaml(path)
+
+    def apply(mapping, target):
+        for yk, attr in mapping.items():
+            if yk in doc and doc[yk] is not None:
+                cur = getattr(target, attr)
+                val = doc[yk]
+                if isinstance(cur, bool):
+                    val = bool(int(val))
+                elif isinstance(cur, int):
+                    val = int(val)
+                elif isinstance(cur, float):
+                    val = float(val)
+                setattr(target, attr, val)
+
+    apply(_YAML_CAMERA_KEYS, cfg.camera)
+    apply(_YAML_ORB_KEYS, cfg.orb)
+    apply(_YAML_MATCHER_KEYS, cfg.matcher)
+    if "Camera.RGB" in doc:
+        cfg.camera.rgb = bool(int(doc["Camera.RGB"]))
+    if "IVSLAM.unsupervisedLearning" in doc:
+        cfg.iv.unsupervised_learning = bool(int(doc["IVSLAM.unsupervisedLearning"]))
+    if "Viewer.HeadlessMode" in doc:
+        cfg.viewer.headless = bool(int(doc["Viewer.HeadlessMode"]))
+    cfg.orb.max_keypoints = max(cfg.orb.max_keypoints, _next_pow2(cfg.orb.n_features))
+    return cfg
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, math.ceil(math.log2(max(n, 1))))

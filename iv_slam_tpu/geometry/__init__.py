@@ -1,0 +1,1 @@
+from . import se3, camera  # noqa: F401
