@@ -1,0 +1,79 @@
+"""Benchmark: stereo SLAM frontend throughput on KITTI-sized frames.
+
+North star (BASELINE.md): KITTI-00 stereo frames/sec per chip. The
+reference paces frames at dataset rate (~10 Hz, stereo_kitti.cc:577-585) on
+a multi-core CPU; vs_baseline is measured fps / 10.
+
+The benchmark runs the per-frame device work of the tracking loop on one
+chip: ORB extraction on both images (pyramid + FAST + orientation + BRIEF,
+2000 features, 8 levels) + stereo matching — the hot path that dominates
+per-frame cost in the reference (SURVEY.md §3.1).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from iv_slam_tpu.config import Config, CameraConfig, ORBConfig
+    from iv_slam_tpu.slam.frame import StereoFrontend
+
+    H, W = 376, 1241  # KITTI-00 image geometry
+    cfg = Config()
+    cfg.camera = CameraConfig(width=W, height=H)
+    cfg.orb = ORBConfig(n_features=2000, n_levels=8, ini_th_fast=20,
+                        min_th_fast=7)
+
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0, 255, size=(H, W + 64)).astype(np.float32)
+    try:
+        import cv2
+
+        base = cv2.GaussianBlur(base, (5, 5), 1.2)
+        for _ in range(300):
+            y, x = rng.integers(10, H - 16), rng.integers(10, W + 40)
+            base[y:y + 8, x:x + 8] = rng.uniform(0, 255)
+    except ImportError:
+        pass
+    left = np.clip(base[:, 32:32 + W], 0, 255).astype(np.uint8)
+    right = np.clip(base[:, 12:12 + W], 0, 255).astype(np.uint8)
+
+    fe = StereoFrontend(cfg, H, W)
+
+    def run_once():
+        f = fe.process(left, right, 0.0)
+        jax.block_until_ready(f.kp.desc)
+        return f
+
+    # warmup/compile
+    run_once()
+    run_once()
+
+    n_iter = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        run_once()
+    dt = time.perf_counter() - t0
+    fps = n_iter / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "kitti_stereo_frontend_fps",
+                "value": round(fps, 2),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / 10.0, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

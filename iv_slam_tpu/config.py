@@ -41,6 +41,12 @@ class CameraConfig:
     def baseline(self) -> float:
         return self.bf / self.fx
 
+    @property
+    def depth_threshold(self) -> float:
+        """Close/far stereo threshold in meters: mThDepth = mbf * ThDepth / fx
+        (Tracking.cc YAML parse) — the YAML value is in units of baseline."""
+        return self.baseline * self.th_depth
+
     def K(self) -> np.ndarray:
         return np.array(
             [[self.fx, 0.0, self.cx], [0.0, self.fy, self.cy], [0.0, 0.0, 1.0]],

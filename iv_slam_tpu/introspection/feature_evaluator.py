@@ -1,0 +1,167 @@
+"""Supervised feature scoring: uncertainty-normalized epipolar error.
+
+The heart of IV-SLAM's training-data generation
+(src/feature_evaluator.cpp:1341-1512, 2754-2830): each matched keypoint
+pair (reference-keyframe observation, current-frame observation) is scored
+by the current keypoint's pixel distance to its epipolar line — computed
+from ground-truth relative pose — normalized by a first-order propagation
+of pose + keypoint-scale uncertainty through the epipolar geometry.
+
+The reference iterates keypoints one at a time with Eigen; here the whole
+frame's pairs are one batched jit computation (N x small-matrix algebra —
+VPU work that fuses into a handful of kernels).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+MIN_BASELINE = 0.03                  # kMinBaseLine (meters)
+MIN_SENSITIVITY = 1.0                # kMinEpipolarErrSensitivity_
+NO_COV_NORMALIZATION = 4.0           # kNormalizationFactor (no-cov case)
+SCALE95 = 2.4477  # sqrt(5.991)
+BAD_ERR_THRESH = 1.0                 # kBadFeatureErrThresh_Epipolar_
+MIN_BAD_PERCENT = 5.0                # kMinBadMatchPercent_
+MAX_BAD_PERCENT = 60.0               # kMaxBadMatchPercent_
+MIN_MATCHES = 10                     # kMinMatchesInFrame_
+
+
+class EpipolarScores(NamedTuple):
+    norm_err: jnp.ndarray   # (N,) normalized epipolar error; -1 = invalid
+    raw_err: jnp.ndarray    # (N,) pixel distance to the epipolar line
+    variance: jnp.ndarray   # (N,) propagated error variance
+
+
+def _hat(v):
+    zeros = jnp.zeros_like(v[..., 0])
+    return jnp.stack(
+        [
+            jnp.stack([zeros, -v[..., 2], v[..., 1]], axis=-1),
+            jnp.stack([v[..., 2], zeros, -v[..., 0]], axis=-1),
+            jnp.stack([-v[..., 1], v[..., 0], zeros], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=())
+def epipolar_scores(
+    kp_ref: jnp.ndarray,      # (N, 2) keypoints in the reference frame
+    kp_cur: jnp.ndarray,      # (N, 2) matched keypoints in the current frame
+    level_sigma2: jnp.ndarray,  # (N,) keypoint scale variance (curr octave)
+    valid: jnp.ndarray,       # (N,) bool
+    T_rel: jnp.ndarray,       # (4, 4) ref-cam -> curr-cam GT transform
+    Kmat: jnp.ndarray,        # (3, 3) intrinsics
+    sigma_w: jnp.ndarray,     # (3, 3) rotational covariance of T_rel
+    sigma_t: jnp.ndarray,     # (3, 3) translational covariance of T_rel
+    has_cov: jnp.ndarray,     # () bool — scalar flag
+) -> EpipolarScores:
+    R = T_rel[:3, :3]
+    t = T_rel[:3, 3]
+    fx, fy = Kmat[0, 0], Kmat[1, 1]
+    cx, cy = Kmat[0, 2], Kmat[1, 2]
+    Kinv = jnp.linalg.inv(Kmat)
+
+    baseline_ok = jnp.linalg.norm(t) >= MIN_BASELINE
+
+    # --- raw epipolar error (CalculateEpipolarErrorVec, fe.cpp:2754-2830) --
+    # normalized ref points: K^-1 [u, v, 1]
+    ones = jnp.ones(kp_ref.shape[0])
+    xr = jnp.stack(
+        [(kp_ref[:, 0] - cx) / fx, (kp_ref[:, 1] - cy) / fy, ones], axis=-1
+    )
+    # epipole: projection of ref camera center into current frame
+    def proj(p3):
+        return jnp.stack(
+            [fx * p3[..., 0] / p3[..., 2] + cx, fy * p3[..., 1] / p3[..., 2] + cy],
+            axis=-1,
+        )
+
+    epipole = proj(t)
+    p_in2 = xr @ R.T + t
+    p2d = proj(p_in2)
+    u_hat = p2d - epipole
+    u_hat = u_hat / jnp.maximum(jnp.linalg.norm(u_hat, axis=-1, keepdims=True), 1e-12)
+    d = kp_cur - epipole
+    proj_pt = epipole + jnp.sum(d * u_hat, axis=-1, keepdims=True) * u_hat
+    raw_err = jnp.linalg.norm(kp_cur - proj_pt, axis=-1)
+
+    # --- analytic variance propagation (GetEpipolarErrorJacobians) --------
+    # epipolar line l = F x_ref with F = [K t]_x (K R K^-1)
+    B = (Kmat @ R @ Kinv) @ xr[..., None]            # (N, 3, 1)
+    KT = Kmat @ t
+    F = _hat(KT) @ (Kmat @ R @ Kinv)
+    l = (F @ xr[..., None])[..., 0]                  # (N, 3)
+    Ln = jnp.maximum(jnp.linalg.norm(l[:, :2], axis=-1), 1e-12)
+    L3 = Ln ** 3
+
+    # Jl_t: column i = K[:, i] x B  (GetEpipolarLineJacobians)
+    Jl_t = jnp.stack(
+        [jnp.cross(Kmat[:, i][None, :], B[..., 0]) for i in range(3)], axis=-1
+    )  # (N, 3, 3)
+    C = (R @ Kinv) @ xr[..., None]
+    Jl_w = -(_hat(KT)[None] @ (Kmat[None] @ _hat(C[..., 0])))  # (N, 3, 3)
+
+    xn = jnp.concatenate([kp_cur, jnp.ones((kp_cur.shape[0], 1))], axis=-1)
+    xl = jnp.sum(xn * l, axis=-1)                    # x^T l
+
+    def err_jac(Jl):
+        term1 = jnp.einsum("ni,nij->nj", xn, Jl) / Ln[:, None]
+        term2 = (
+            xl[:, None]
+            * (l[:, 0:1] * Jl[:, 0, :] + l[:, 1:2] * Jl[:, 1, :])
+            / L3[:, None]
+        )
+        return term1 - term2  # (N, 3)
+
+    J_t = err_jac(Jl_t)
+    J_w = err_jac(Jl_w)
+    var_w = jnp.einsum("ni,ij,nj->n", J_w, sigma_w, J_w)
+    var_t = jnp.einsum("ni,ij,nj->n", J_t, sigma_t, J_t)
+    var = var_w + var_t + level_sigma2
+
+    norm = SCALE95 * jnp.sqrt(jnp.maximum(var, 0.0))
+    norm = jnp.where(has_cov, norm, norm * NO_COV_NORMALIZATION)
+    norm = jnp.maximum(norm, MIN_SENSITIVITY)
+
+    ok = valid & baseline_ok
+    norm_err = jnp.where(ok, raw_err / norm, -1.0)
+    return EpipolarScores(
+        norm_err=norm_err,
+        raw_err=jnp.where(ok, raw_err, -1.0),
+        variance=jnp.where(ok, var, -1.0),
+    )
+
+
+def relative_transform(Twc_cur: jnp.ndarray, Twc_ref: jnp.ndarray) -> jnp.ndarray:
+    """ref-camera -> current-camera transform from GT camera-to-world poses
+    (CalculateRelativeTransform, fe.cpp:3214-3217)."""
+    R = Twc_cur[:3, :3]
+    t = Twc_cur[:3, 3]
+    Tcw = jnp.zeros((4, 4), Twc_cur.dtype)
+    Tcw = Tcw.at[:3, :3].set(R.T)
+    Tcw = Tcw.at[:3, 3].set(-R.T @ t)
+    Tcw = Tcw.at[3, 3].set(1.0)
+    return Tcw @ Twc_ref
+
+
+def bad_match_stats(norm_err: jnp.ndarray):
+    """Fraction of scored matches above kBadFeatureErrThresh (fe.cpp:82-248)
+    -> (bad_percent, n_scored)."""
+    scored = norm_err >= 0
+    n = jnp.sum(scored.astype(jnp.int32))
+    bad = jnp.sum((scored & (norm_err > BAD_ERR_THRESH)).astype(jnp.int32))
+    pct = 100.0 * bad / jnp.maximum(n, 1)
+    return pct, n
+
+
+def frame_good_for_training(bad_percent: float, n_scored: int) -> bool:
+    """IsFrameGoodForTraining (fe.cpp:1978-1994), Unknown-reliability path."""
+    return (
+        MIN_BAD_PERCENT < bad_percent < MAX_BAD_PERCENT
+        and n_scored > MIN_MATCHES
+    )

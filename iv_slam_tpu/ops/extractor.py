@@ -1,0 +1,325 @@
+"""ORB feature extraction pipeline (TPU-native ComputeKeyPointsOld).
+
+Reproduces the semantics of the reference's active extraction path
+(ORBextractor.cc:880-1296 + operator() 1224-1296):
+
+  pyramid -> per-level FAST per grid cell (iniTh, fall back to minTh when a
+  cell yields <= 3 corners) -> introspection-weighted per-cell budgets ->
+  one budget-redistribution pass -> per-cell retain-best -> per-level global
+  retain-best -> IC orientation -> 7x7/sigma2 Gaussian blur -> rBRIEF ->
+  coordinates scaled to level 0.
+
+TPU design: the per-cell scalar loops become dense whole-level score maps
+tiled into a (nCells, cellH, cellW) view. Because the reference's cell
+windows overlap by exactly twice the 3-px FAST border, per-cell detection
+equals whole-image detection restricted to disjoint tiles; per-cell NMS is
+tile-local NMS (corners at tile edges are not suppressed by neighbors in
+other cells — faithfully reproduced). Everything is static-shaped: each
+level emits exactly `features_per_level[l]` slots with a validity mask.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ORBConfig
+from . import brief, fast, image, orient, pyramid
+
+EDGE_THRESHOLD = 19
+
+
+class Keypoints(NamedTuple):
+    """Padded per-image keypoint bundle (total capacity = sum of per-level
+    budgets = cfg.n_features). Invalid slots have valid=False."""
+
+    xy: jnp.ndarray        # (N, 2) float32, level-0 pixel coords (x, y)
+    response: jnp.ndarray  # (N,) float32 (quality-scaled when introspection on)
+    octave: jnp.ndarray    # (N,) int32 pyramid level
+    angle: jnp.ndarray     # (N,) float32 degrees
+    desc: jnp.ndarray      # (N, 32) uint8 rBRIEF
+    valid: jnp.ndarray     # (N,) bool
+    yx_level: jnp.ndarray  # (N, 2) int32 integer coords at native level (row, col)
+
+    @property
+    def n(self) -> jnp.ndarray:
+        return jnp.sum(self.valid)
+
+
+@dataclass(frozen=True)
+class LevelLayout:
+    """Static per-level extraction geometry (ORBextractor.cc:884-927)."""
+
+    h: int
+    w: int
+    n_desired: int
+    level_cols: int
+    level_rows: int
+    cell_w: int
+    cell_h: int
+
+    @property
+    def n_cells(self) -> int:
+        return self.level_rows * self.level_cols
+
+    @property
+    def max_border_x(self) -> int:
+        return self.w - EDGE_THRESHOLD
+
+    @property
+    def max_border_y(self) -> int:
+        return self.h - EDGE_THRESHOLD
+
+    @property
+    def top_k(self) -> int:
+        return min(self.cell_w * self.cell_h, max(self.n_desired, 1))
+
+    @property
+    def active(self) -> bool:
+        return (
+            self.n_desired > 0
+            and self.level_cols >= 1
+            and self.level_rows >= 1
+            and self.max_border_x - EDGE_THRESHOLD >= 7
+            and self.max_border_y - EDGE_THRESHOLD >= 7
+        )
+
+
+def make_layouts(cfg: ORBConfig, height: int, width: int) -> List[LevelLayout]:
+    shapes = pyramid.pyramid_shapes(height, width, cfg.scale_factor, cfg.n_levels)
+    budgets = cfg.features_per_level()
+    ratio = float(width) / float(height)
+    layouts = []
+    for (h, w), nd in zip(shapes, budgets):
+        nd = int(nd)
+        level_cols = int(math.sqrt(nd / (5.0 * ratio))) if nd > 0 else 0
+        level_rows = int(ratio * level_cols)
+        W = (w - EDGE_THRESHOLD) - EDGE_THRESHOLD
+        H = (h - EDGE_THRESHOLD) - EDGE_THRESHOLD
+        cell_w = math.ceil(W / level_cols) if level_cols >= 1 else 0
+        cell_h = math.ceil(H / level_rows) if level_rows >= 1 else 0
+        layouts.append(
+            LevelLayout(h, w, nd, level_cols, level_rows, cell_w, cell_h)
+        )
+    return layouts
+
+
+def _tile_view(score: jnp.ndarray, lay: LevelLayout) -> jnp.ndarray:
+    """Slice the detection band into disjoint (nCells, cellH, cellW) tiles."""
+    can_h = lay.level_rows * lay.cell_h
+    can_w = lay.level_cols * lay.cell_w
+    pad_h = max(0, EDGE_THRESHOLD + can_h - lay.h)
+    pad_w = max(0, EDGE_THRESHOLD + can_w - lay.w)
+    s = jnp.pad(score, ((0, pad_h), (0, pad_w)))
+    s = s[EDGE_THRESHOLD:EDGE_THRESHOLD + can_h, EDGE_THRESHOLD:EDGE_THRESHOLD + can_w]
+    # zero outside the [minBorder, maxBorder) detection band
+    yy = jnp.arange(can_h)[:, None]
+    xx = jnp.arange(can_w)[None, :]
+    band = (yy < lay.max_border_y - EDGE_THRESHOLD) & (
+        xx < lay.max_border_x - EDGE_THRESHOLD
+    )
+    s = jnp.where(band, s, 0)
+    tiles = s.reshape(lay.level_rows, lay.cell_h, lay.level_cols, lay.cell_w)
+    return tiles.transpose(0, 2, 1, 3).reshape(lay.n_cells, lay.cell_h, lay.cell_w)
+
+
+def _tile_nms(tiles: jnp.ndarray) -> jnp.ndarray:
+    """3x3 NMS inside each tile (zero boundary — matches per-cell cv::FAST)."""
+    p = jnp.pad(tiles, ((0, 0), (1, 1), (1, 1)))
+    h, w = tiles.shape[1], tiles.shape[2]
+    nmax = None
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            if dy == 1 and dx == 1:
+                continue
+            n = p[:, dy:dy + h, dx:dx + w]
+            nmax = n if nmax is None else jnp.maximum(nmax, n)
+    return jnp.where(tiles > nmax, tiles, 0)
+
+
+def _cell_windows(lay: LevelLayout) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Static FAST cell windows (iniY, iniX, hY, hX) per cell, row-major
+    (ORBextractor.cc:986-1020): origin minBorder-3, size cell+6, last
+    row/col clipped to maxBorder+3."""
+    iniY = EDGE_THRESHOLD + np.arange(lay.level_rows) * lay.cell_h - 3
+    iniX = EDGE_THRESHOLD + np.arange(lay.level_cols) * lay.cell_w - 3
+    hY = np.full(lay.level_rows, lay.cell_h + 6)
+    hX = np.full(lay.level_cols, lay.cell_w + 6)
+    hY[-1] = lay.max_border_y + 3 - iniY[-1]
+    hX[-1] = lay.max_border_x + 3 - iniX[-1]
+    yy, xx = np.meshgrid(np.arange(lay.level_rows), np.arange(lay.level_cols),
+                         indexing="ij")
+    return (iniY[yy.ravel()], iniX[xx.ravel()], hY[yy.ravel()], hX[xx.ravel()])
+
+
+def _cell_quality_weights(qual: jnp.ndarray, lay: LevelLayout) -> jnp.ndarray:
+    """Mean cost per FAST window -> normalized quality in [0, 1]
+    (ORBextractor.cc:946-985): qual = 2/(1 + mean_cost/255) - 1."""
+    iy, ix, hy, hx = _cell_windows(lay)
+    # integral image for arbitrary clipped windows
+    q = qual.astype(jnp.float32)
+    sat = jnp.pad(jnp.cumsum(jnp.cumsum(q, axis=0), axis=1), ((1, 0), (1, 0)))
+    y0 = jnp.asarray(iy)
+    x0 = jnp.asarray(ix)
+    y1 = jnp.asarray(iy + hy)
+    x1 = jnp.asarray(ix + hx)
+    sums = sat[y1, x1] - sat[y0, x1] - sat[y1, x0] + sat[y0, x0]
+    mean_cost = sums / jnp.asarray((hy * hx).astype(np.float32))
+    return 2.0 * (1.0 / (1.0 + mean_cost / 255.0)) - 1.0
+
+
+def _redistribute(
+    n_total: jnp.ndarray, budgets: jnp.ndarray, n_cells: int
+) -> jnp.ndarray:
+    """The reference's single budget-redistribution pass
+    (ORBextractor.cc:1090-1132): row-major sequential scan where cells that
+    cannot absorb their share push the deficit onto later cells."""
+    over = n_total > budgets
+    retain0 = jnp.where(over, budgets, n_total)
+    d0 = jnp.sum(jnp.where(over, 0, budgets - n_total))
+    no_more0 = ~over
+    n_no_more0 = jnp.sum(no_more0.astype(jnp.int32))
+    run = (d0 > 0) & (n_no_more0 < n_cells)
+
+    def body(carry, x):
+        d, n_no_more = carry
+        tot, budget, no_more, ret0 = x
+        share = jnp.ceil(d.astype(jnp.float32) / jnp.maximum(n_cells - n_no_more, 1))
+        new_budget = budget + share.astype(jnp.int32)
+        can = tot > new_budget
+        ret = jnp.where(no_more, ret0, jnp.where(can, new_budget, tot))
+        d_next = jnp.where(no_more | can, d, d + new_budget - tot)
+        n_no_more_next = n_no_more + jnp.where(no_more | can, 0, 1)
+        return (d_next, n_no_more_next), ret
+
+    (_, _), retain1 = jax.lax.scan(
+        body, (d0, n_no_more0), (n_total, budgets, no_more0, retain0)
+    )
+    return jnp.where(run, retain1, retain0)
+
+
+def _extract_level(
+    img_l: jnp.ndarray,
+    qual_l: Optional[jnp.ndarray],
+    lay: LevelLayout,
+    ini_th: int,
+    min_th: int,
+):
+    """One pyramid level -> (n_desired,) slots of (y, x, response, valid)."""
+    score_ini = fast.fast_score(img_l, ini_th)
+    score_min = fast.fast_score(img_l, min_th)
+    tiles_ini = _tile_nms(_tile_view(score_ini, lay))
+    tiles_min = _tile_nms(_tile_view(score_min, lay))
+    cnt_ini = jnp.sum((tiles_ini > 0).astype(jnp.int32), axis=(1, 2))
+    use_min = cnt_ini <= 3  # ORBextractor.cc:1054-1059
+    tiles = jnp.where(use_min[:, None, None], tiles_min, tiles_ini)
+    resp = tiles.astype(jnp.float32)
+
+    if qual_l is not None:
+        # scale responses by per-pixel quality (ORBextractor.cc:1058-1080)
+        qnorm = 2.0 * (1.0 / (1.0 + qual_l.astype(jnp.float32) / 255.0)) - 1.0
+        resp = resp * _tile_view(qnorm, lay)
+        cell_w_norm = _cell_quality_weights(qual_l, lay)
+        budgets = jnp.maximum(
+            1.0,
+            jnp.ceil(lay.n_desired * cell_w_norm / jnp.sum(cell_w_norm)),
+        ).astype(jnp.int32)
+    else:
+        budgets = jnp.full(
+            (lay.n_cells,), math.ceil(lay.n_desired / lay.n_cells), jnp.int32
+        )
+
+    detected = tiles > 0
+    n_total = jnp.sum(detected.astype(jnp.int32), axis=(1, 2))
+    n_retain = _redistribute(n_total, budgets, lay.n_cells)
+
+    # per-cell retain-best (KeyPointsFilter::retainBest by response)
+    flat = jnp.where(detected, resp, -jnp.inf).reshape(lay.n_cells, -1)
+    k = lay.top_k
+    vals, idxs = jax.lax.top_k(flat, k)
+    keep = jnp.arange(k)[None, :] < jnp.minimum(n_retain, k)[:, None]
+    keep &= jnp.isfinite(vals)
+
+    # per-level global retain-best to n_desired (ORBextractor.cc:1160-1164)
+    gvals = jnp.where(keep, vals, -jnp.inf).reshape(-1)
+    top_vals, top_slots = jax.lax.top_k(gvals, lay.n_desired)
+    valid = jnp.isfinite(top_vals)
+    cell = top_slots // k
+    within = idxs[cell, top_slots % k]
+    ty = within // lay.cell_w
+    tx = within % lay.cell_w
+    y = EDGE_THRESHOLD + (cell // lay.level_cols) * lay.cell_h + ty
+    x = EDGE_THRESHOLD + (cell % lay.level_cols) * lay.cell_w + tx
+    y = jnp.where(valid, y, EDGE_THRESHOLD)
+    x = jnp.where(valid, x, EDGE_THRESHOLD)
+    return y.astype(jnp.int32), x.astype(jnp.int32), top_vals, valid
+
+
+class OrbExtractor:
+    """Extraction pipeline for a fixed image geometry + ORB config.
+
+    Build once per (height, width, config); __call__ is jit-compiled.
+    `quality` (uint8 cost map, 255 = worst) enables the introspection
+    weighting exactly as ORBextractor::operator() does when a non-empty
+    mask is passed (ORBextractor.cc:1224-1248).
+    """
+
+    def __init__(self, cfg: ORBConfig, height: int, width: int):
+        self.cfg = cfg
+        self.height = height
+        self.width = width
+        self.layouts = make_layouts(cfg, height, width)
+        self.shapes = [(l.h, l.w) for l in self.layouts]
+        self.scale_factors = cfg.scale_factors()
+        self.capacity = int(sum(l.n_desired for l in self.layouts))
+        self._jit_plain = jax.jit(functools.partial(self._extract, with_quality=False))
+        self._jit_qual = jax.jit(functools.partial(self._extract, with_quality=True))
+
+    def __call__(
+        self, img: jnp.ndarray, quality: Optional[jnp.ndarray] = None
+    ) -> Keypoints:
+        if quality is None:
+            return self._jit_plain(img)
+        return self._jit_qual(img, quality)
+
+    def _extract(self, img, quality=None, *, with_quality: bool):
+        levels = pyramid.build_pyramid(img, self.shapes)
+        qlevels = (
+            pyramid.build_pyramid(quality, self.shapes) if with_quality else None
+        )
+        outs = []
+        for lvl, lay in enumerate(self.layouts):
+            if not lay.active:
+                continue
+            img_l = levels[lvl]
+            y, x, resp, valid = _extract_level(
+                img_l,
+                qlevels[lvl] if with_quality else None,
+                lay,
+                self.cfg.ini_th_fast,
+                self.cfg.min_th_fast,
+            )
+            yx = jnp.stack([y, x], axis=1)
+            ang = orient.ic_angles(img_l, yx)
+            blurred = image.gaussian_blur(img_l, 7, 2.0)
+            desc = brief.descriptors(blurred, yx, ang)
+            scale = jnp.float32(self.scale_factors[lvl])
+            xy0 = jnp.stack([x, y], axis=1).astype(jnp.float32) * scale
+            outs.append(
+                Keypoints(
+                    xy=xy0,
+                    response=resp,
+                    octave=jnp.full(y.shape, lvl, jnp.int32),
+                    angle=ang,
+                    desc=desc,
+                    valid=valid,
+                    yx_level=yx,
+                )
+            )
+        return Keypoints(*[jnp.concatenate(parts, axis=0) for parts in zip(*outs)])

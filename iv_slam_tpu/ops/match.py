@@ -1,0 +1,273 @@
+"""Projection-window descriptor matching (ORBmatcher.cc SearchByProjection).
+
+The reference walks a 64x48 acceleration grid per query point
+(Frame::GetFeaturesInArea). On TPU the whole matcher is a masked dense
+problem: an (nQuery, nKeypoint) Hamming matrix from the MXU (hamming.py)
+with window / octave / stereo-consistency masks applied before an argmin.
+At ORB scale (2k x 2k) the dense matrix is microseconds — cheaper than any
+sparse gather structure, and it vmaps over frames.
+
+Variants implemented:
+  * search_by_projection_last_frame — frame-to-frame motion-model tracking
+    (ORBmatcher.cc:1372-1520), with forward/backward octave gating and the
+    30-bin rotation-consistency histogram
+  * search_by_projection_local_map — local-map tracking
+    (ORBmatcher.cc:178-270 semantics): frustum-filtered map points, viewing-
+    cos radius, best/second-best ratio test within predicted scale band
+
+Deviation: the reference resolves duplicate claims on one keypoint
+first-come-first-served in last-frame index order; we keep the lowest
+Hamming distance (order-independent, at least as accurate).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+from .hamming import hamming_matrix
+
+TH_HIGH = 100
+TH_LOW = 50
+HISTO_LENGTH = 30
+
+
+def rotation_consistency_mask(
+    angle_query: jnp.ndarray, angle_matched: jnp.ndarray, matched: jnp.ndarray
+) -> jnp.ndarray:
+    """Keep only matches whose angle difference falls in the 3 dominant
+    30-bin histogram bins (ORBmatcher::ComputeThreeMaxima)."""
+    rot = angle_query - angle_matched
+    rot = jnp.where(rot < 0.0, rot + 360.0, rot)
+    bin_idx = jnp.round(rot * (HISTO_LENGTH / 360.0)).astype(jnp.int32)
+    bin_idx = jnp.where(bin_idx == HISTO_LENGTH, 0, bin_idx)
+    counts = jnp.zeros(HISTO_LENGTH, jnp.int32).at[bin_idx].add(
+        matched.astype(jnp.int32)
+    )
+    top3 = jax.lax.top_k(counts, 3)
+    c1, c2, c3 = top3[0][0], top3[0][1], top3[0][2]
+    i1, i2, i3 = top3[1][0], top3[1][1], top3[1][2]
+    keep2 = c2.astype(jnp.float32) >= 0.1 * c1.astype(jnp.float32)
+    keep3 = c3.astype(jnp.float32) >= 0.1 * c1.astype(jnp.float32)
+    ok = (
+        (bin_idx == i1)
+        | ((bin_idx == i2) & keep2)
+        | ((bin_idx == i3) & keep3)
+    )
+    return matched & ok
+
+
+@functools.partial(jax.jit, static_argnames=("check_orientation",))
+def search_by_projection_last_frame(
+    # current frame keypoints
+    cur_xy: jnp.ndarray,       # (M, 2)
+    cur_octave: jnp.ndarray,   # (M,)
+    cur_angle: jnp.ndarray,    # (M,)
+    cur_desc: jnp.ndarray,     # (M, 32)
+    cur_ur: jnp.ndarray,       # (M,) u_right (-1 mono)
+    cur_valid: jnp.ndarray,    # (M,)
+    # last-frame tracked map points
+    pt_world: jnp.ndarray,     # (N, 3)
+    pt_desc: jnp.ndarray,      # (N, 32) map-point distinctive descriptors
+    pt_octave: jnp.ndarray,    # (N,) octave of the last-frame observation
+    pt_angle: jnp.ndarray,     # (N,) angle of the last-frame keypoint
+    pt_valid: jnp.ndarray,     # (N,)
+    # geometry
+    T_cw: jnp.ndarray,         # (4, 4) current pose
+    T_lw: jnp.ndarray,         # (4, 4) last pose
+    fx, fy, cx, cy, bf, b,     # scalars
+    img_w, img_h,
+    scale_factors: jnp.ndarray,
+    th: jnp.ndarray,           # search window base (scalar)
+    check_orientation: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (assign, n_matches): assign[j] = index into pt arrays for
+    current keypoint j, or -1."""
+    pc = se3.transform_points(T_cw, pt_world)  # (N, 3)
+    z = pc[:, 2]
+    invz = 1.0 / jnp.where(z != 0, z, 1.0)
+    u = fx * pc[:, 0] * invz + cx
+    v = fy * pc[:, 1] * invz + cy
+    in_img = (z > 0) & (u >= 0) & (u < img_w) & (v >= 0) & (v < img_h)
+    proj_ok = pt_valid & in_img
+
+    # forward/backward translation along optical axis (ORBmatcher.cc:1387-1393)
+    twc = se3.inverse(T_cw)[:3, 3]
+    tlc = T_lw[:3, :3] @ twc + T_lw[:3, 3]
+    forward = tlc[2] > b
+    backward = -tlc[2] > b
+
+    radius = th * scale_factors[pt_octave]  # (N,)
+    du = jnp.abs(cur_xy[:, 0][None, :] - u[:, None])  # (N, M)
+    dv = jnp.abs(cur_xy[:, 1][None, :] - v[:, None])
+    in_window = (du < radius[:, None]) & (dv < radius[:, None])
+
+    co = cur_octave[None, :]
+    po = pt_octave[:, None]
+    oct_fwd = co >= po
+    oct_bwd = co <= po
+    oct_near = jnp.abs(co - po) <= 1
+    oct_ok = jnp.where(forward, oct_fwd, jnp.where(backward, oct_bwd, oct_near))
+
+    # stereo right-coordinate consistency
+    ur_pred = u[:, None] - bf * invz[:, None]
+    stereo_ok = jnp.where(
+        cur_ur[None, :] > 0,
+        jnp.abs(ur_pred - cur_ur[None, :]) <= radius[:, None],
+        True,
+    )
+
+    mask = (
+        proj_ok[:, None] & cur_valid[None, :] & in_window & oct_ok & stereo_ok
+    )
+    dist = hamming_matrix(pt_desc, cur_desc)  # (N, M)
+    big = jnp.int32(1 << 20)
+    masked = jnp.where(mask, dist, big)
+    best_j = jnp.argmin(masked, axis=1)              # per map point
+    best_d = jnp.take_along_axis(masked, best_j[:, None], axis=1)[:, 0]
+    point_matched = best_d <= TH_HIGH
+
+    # resolve conflicts: keep lowest distance per current keypoint
+    m = cur_xy.shape[0]
+    d_claim = jnp.where(point_matched, best_d, big)
+    best_for_kp = (
+        jnp.full(m, big, jnp.int32).at[best_j].min(d_claim)
+    )
+    wins = point_matched & (d_claim == best_for_kp[best_j])
+    # among equal-distance claimants keep the lowest point index
+    first_claim = (
+        jnp.full(m, 1 << 30, jnp.int32)
+        .at[best_j]
+        .min(jnp.where(wins, jnp.arange(best_j.shape[0]), 1 << 30))
+    )
+    wins &= first_claim[best_j] == jnp.arange(best_j.shape[0])
+
+    assign = jnp.full(m, -1, jnp.int32).at[best_j].max(
+        jnp.where(wins, jnp.arange(best_j.shape[0]), -1)
+    )
+    matched_kp = assign >= 0
+
+    if check_orientation:
+        safe_assign = jnp.maximum(assign, 0)
+        matched_kp = rotation_consistency_mask(
+            pt_angle[safe_assign], cur_angle, matched_kp
+        )
+        assign = jnp.where(matched_kp, assign, -1)
+    return assign, jnp.sum(matched_kp.astype(jnp.int32))
+
+
+def _radius_by_viewing_cos(cos_v: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(cos_v > 0.998, 2.5, 4.0)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def search_by_projection_local_map(
+    cur_xy: jnp.ndarray,
+    cur_octave: jnp.ndarray,
+    cur_desc: jnp.ndarray,
+    cur_ur: jnp.ndarray,
+    cur_valid: jnp.ndarray,
+    cur_has_point: jnp.ndarray,   # (M,) bool: keypoint already matched
+    # candidate local map points (pre-filtered by frustum on host or device)
+    pt_world: jnp.ndarray,        # (N, 3)
+    pt_desc: jnp.ndarray,
+    pt_normal: jnp.ndarray,       # (N, 3) mean viewing direction
+    pt_min_dist: jnp.ndarray,     # (N,) scale-invariance range
+    pt_max_dist: jnp.ndarray,
+    pt_valid: jnp.ndarray,
+    T_cw: jnp.ndarray,
+    fx, fy, cx, cy, bf,
+    img_w, img_h,
+    scale_factors: jnp.ndarray,   # (L,)
+    log_scale: jnp.ndarray,       # scalar log(scaleFactor)
+    th: jnp.ndarray,
+    nn_ratio: jnp.ndarray,        # mfNNratio (0.8 in TrackLocalMap)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """SearchLocalPoints core: frustum check + windowed best/second-best
+    matching (Frame::isInFrustum + ORBmatcher::SearchByProjection(Frame&,
+    vector<MapPoint*>&, th)). Returns (assign, n_matches)."""
+    n_levels = scale_factors.shape[0]
+    pc = se3.transform_points(T_cw, pt_world)
+    z = pc[:, 2]
+    invz = 1.0 / jnp.where(z != 0, z, 1.0)
+    u = fx * pc[:, 0] * invz + cx
+    v = fy * pc[:, 1] * invz + cy
+    in_img = (z > 0) & (u >= 0) & (u < img_w) & (v >= 0) & (v < img_h)
+
+    # distance within scale pyramid range + viewing angle < 60 deg
+    # Frame::isInFrustum: dist in [0.8 * minDist, 1.2 * maxDist], viewing
+    # angle < 60 deg
+    cam_center = se3.inverse(T_cw)[:3, 3]
+    po_vec = pt_world - cam_center[None, :]
+    dist = jnp.linalg.norm(po_vec, axis=-1)
+    dist_ok = (dist >= 0.8 * pt_min_dist) & (dist <= 1.2 * pt_max_dist)
+    view_cos = jnp.sum(po_vec * pt_normal, axis=-1) / jnp.maximum(dist, 1e-9)
+    view_ok = view_cos >= 0.5
+    in_frustum = pt_valid & in_img & dist_ok & view_ok
+
+    # MapPoint::PredictScale: ceil(log(maxDist / dist) / log(scaleFactor))
+    pred = jnp.ceil(
+        jnp.log(jnp.maximum(pt_max_dist / jnp.maximum(dist, 1e-9), 1e-9))
+        / log_scale
+    )
+    pred = jnp.clip(pred, 0, n_levels - 1).astype(jnp.int32)
+
+    r = _radius_by_viewing_cos(view_cos) * th * scale_factors[pred]
+    du = jnp.abs(cur_xy[:, 0][None, :] - u[:, None])
+    dv = jnp.abs(cur_xy[:, 1][None, :] - v[:, None])
+    in_window = (du < r[:, None]) & (dv < r[:, None])
+
+    co = cur_octave[None, :]
+    oct_ok = (co >= pred[:, None] - 1) & (co <= pred[:, None] + 1)
+
+    ur_pred = u[:, None] - bf * invz[:, None]
+    stereo_ok = jnp.where(
+        cur_ur[None, :] > 0,
+        jnp.abs(ur_pred - cur_ur[None, :]) <= r[:, None],
+        True,
+    )
+
+    mask = (
+        in_frustum[:, None]
+        & cur_valid[None, :]
+        & (~cur_has_point)[None, :]
+        & in_window
+        & oct_ok
+        & stereo_ok
+    )
+    dist_m = hamming_matrix(pt_desc, cur_desc)
+    big = jnp.int32(1 << 20)
+    masked = jnp.where(mask, dist_m, big)
+
+    # best + second best (at a different octave — reference rejects only when
+    # bestLevel == bestLevel2 and ratio fails)
+    neg = -masked
+    top2_v, top2_i = jax.lax.top_k(neg, 2)
+    best_d = -top2_v[:, 0]
+    best_j = top2_i[:, 0]
+    second_d = -top2_v[:, 1]
+    second_j = top2_i[:, 1]
+    same_level = cur_octave[best_j] == cur_octave[second_j]
+    ratio_fail = same_level & (
+        best_d.astype(jnp.float32) > nn_ratio * second_d.astype(jnp.float32)
+    )
+    point_matched = (best_d <= TH_HIGH) & ~ratio_fail
+
+    m = cur_xy.shape[0]
+    d_claim = jnp.where(point_matched, best_d, big)
+    best_for_kp = jnp.full(m, big, jnp.int32).at[best_j].min(d_claim)
+    wins = point_matched & (d_claim == best_for_kp[best_j])
+    first_claim = (
+        jnp.full(m, 1 << 30, jnp.int32)
+        .at[best_j]
+        .min(jnp.where(wins, jnp.arange(best_j.shape[0]), 1 << 30))
+    )
+    wins &= first_claim[best_j] == jnp.arange(best_j.shape[0])
+    assign = jnp.full(m, -1, jnp.int32).at[best_j].max(
+        jnp.where(wins, jnp.arange(best_j.shape[0]), -1)
+    )
+    return assign, jnp.sum((assign >= 0).astype(jnp.int32))

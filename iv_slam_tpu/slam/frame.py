@@ -1,0 +1,157 @@
+"""Per-frame data bundle + the stereo frontend that fills it.
+
+Replaces the reference's Frame class (Frame.cc:89-230 stereo ctor): ORB
+extraction on both images, stereo matching, quality-score seeding. The
+reference runs left/right extraction on two CPU threads (Frame.cc:116-124);
+here both images go through the extractor back-to-back as device calls (the
+kernels themselves parallelize across the chip; an explicit batch axis can
+be added once profiling justifies the extra compile variant).
+
+Host-side state (pose, map-point associations, outlier flags) lives in
+NumPy; the padded device arrays from extraction stay as jax arrays for the
+downstream matchers/optimizers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..ops import pyramid as pyr
+from ..ops import stereo
+from ..ops.extractor import Keypoints, OrbExtractor
+
+
+@dataclasses.dataclass
+class Frame:
+    frame_id: int
+    timestamp: float
+    kp: Keypoints                    # device arrays, capacity N
+    u_right: np.ndarray              # (N,) float32, -1 = no stereo match
+    depth: np.ndarray                # (N,) float32, -1 = none
+    qual_score: np.ndarray           # (N,) float32 introspection quality
+    pose: Optional[np.ndarray] = None      # (4, 4) Tcw
+    map_pt: Optional[np.ndarray] = None    # (N,) int32 map-point id or -1
+    outlier: Optional[np.ndarray] = None   # (N,) bool
+    ref_kf: int = -1
+    gt_pose: Optional[np.ndarray] = None   # (4, 4) Twc ground truth
+    gt_cov: Optional[np.ndarray] = None    # (6, 6)
+    img_name: str = ""
+    # cached numpy views of the keypoint arrays (host bookkeeping)
+    xy: np.ndarray = None
+    octave: np.ndarray = None
+    angle: np.ndarray = None
+    desc: np.ndarray = None
+    valid: np.ndarray = None
+
+    def __post_init__(self):
+        n = self.u_right.shape[0]
+        if self.map_pt is None:
+            self.map_pt = np.full(n, -1, np.int32)
+        if self.outlier is None:
+            self.outlier = np.zeros(n, bool)
+        self.xy = np.asarray(self.kp.xy)
+        self.octave = np.asarray(self.kp.octave)
+        self.angle = np.asarray(self.kp.angle)
+        self.desc = np.asarray(self.kp.desc)
+        self.valid = np.asarray(self.kp.valid)
+
+    @property
+    def n_valid(self) -> int:
+        return int(self.valid.sum())
+
+    def set_pose(self, T: np.ndarray):
+        self.pose = np.asarray(T, np.float32).copy()
+
+    def camera_center(self) -> np.ndarray:
+        R = self.pose[:3, :3]
+        return -R.T @ self.pose[:3, 3]
+
+    def unproject_stereo(self, i: int, fx, fy, cx, cy) -> Optional[np.ndarray]:
+        """Backproject keypoint i via its stereo depth into world coords
+        (Frame::UnprojectStereo, Frame.cc:958-977)."""
+        z = float(self.depth[i])
+        if z <= 0:
+            return None
+        u, v = self.xy[i]
+        x = (u - cx) * z / fx
+        y = (v - cy) * z / fy
+        pc = np.array([x, y, z, 1.0], np.float32)
+        Twc = np.linalg.inv(self.pose)
+        return (Twc @ pc)[:3]
+
+
+class StereoFrontend:
+    """Builds Frames from stereo pairs: extraction + stereo matching +
+    quality seeding, all jitted device calls with static shapes."""
+
+    def __init__(self, cfg: Config, height: int, width: int):
+        self.cfg = cfg
+        self.extractor = OrbExtractor(cfg.orb, height, width)
+        self.shapes = self.extractor.shapes
+        self.scale_factors = jnp.asarray(cfg.orb.scale_factors())
+        self.level_widths = jnp.asarray(
+            np.array([s[1] for s in self.shapes], np.int32)
+        )
+        offs = np.cumsum([0] + [s[0] for s in self.shapes[:-1]]).astype(np.int32)
+        self.level_offsets = jnp.asarray(offs)
+        self._frame_count = 0
+
+    def process(
+        self,
+        img_left: np.ndarray,
+        img_right: np.ndarray,
+        timestamp: float,
+        cost_map: Optional[np.ndarray] = None,
+        gt_pose: Optional[np.ndarray] = None,
+        gt_cov: Optional[np.ndarray] = None,
+        img_name: str = "",
+    ) -> Frame:
+        il = jnp.asarray(img_left)
+        ir = jnp.asarray(img_right)
+        q = jnp.asarray(cost_map) if cost_map is not None else None
+        kl = self.extractor(il, q)
+        kr = self.extractor(ir)
+
+        pl = pyr.build_pyramid(il, self.shapes)
+        prr = pyr.build_pyramid(ir, self.shapes)
+        canvas_l, _ = stereo.flatten_pyramid(pl)
+        canvas_r, _ = stereo.flatten_pyramid(prr)
+        cam = self.cfg.camera
+        u_right, depth = stereo.match_stereo(
+            kl.xy, kl.octave, kl.desc, kl.valid,
+            kr.xy, kr.octave, kr.desc, kr.valid,
+            canvas_l, canvas_r, self.level_offsets, self.level_widths,
+            self.scale_factors, jnp.float32(cam.bf), jnp.float32(cam.baseline),
+        )
+
+        n = int(kl.xy.shape[0])
+        if cost_map is not None:
+            # seed per-keypoint quality from the cost map at the keypoint
+            # pixel: qual = 2/(1 + cost/256) - 1 (Frame.cc:130-143; note the
+            # reference uses /256 here vs /255 in the extractor weighting)
+            xy = np.asarray(kl.xy)
+            xs = np.clip(np.rint(xy[:, 0]).astype(int), 0, cost_map.shape[1] - 1)
+            ys = np.clip(np.rint(xy[:, 1]).astype(int), 0, cost_map.shape[0] - 1)
+            cost = cost_map[ys, xs].astype(np.float32)
+            qual = 2.0 * (1.0 / (1.0 + cost / 256.0)) - 1.0
+        else:
+            qual = np.ones(n, np.float32)
+
+        fid = self._frame_count
+        self._frame_count += 1
+        return Frame(
+            frame_id=fid,
+            timestamp=timestamp,
+            kp=kl,
+            u_right=np.asarray(u_right),
+            depth=np.asarray(depth),
+            qual_score=qual,
+            gt_pose=gt_pose,
+            gt_cov=gt_cov,
+            img_name=img_name,
+        )

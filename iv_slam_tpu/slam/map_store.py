@@ -1,0 +1,228 @@
+"""Fixed-capacity structure-of-arrays map store.
+
+TPU-native replacement for the reference's pointer-graph map
+(Map/MapPoint/KeyFrame, src/Map.cc, src/MapPoint.cc, src/KeyFrame.cc):
+landmarks and keyframes live in preallocated NumPy arrays indexed by id, so
+any subset view (local BA window, projection search set) is a zero-copy
+slice that ships straight to the device. The mutex web of the reference
+(SURVEY.md §2e row 4) disappears: the host owns the store single-threaded,
+and device kernels only ever see immutable snapshots.
+
+Observation lists (point <-> keyframe-feature) are per-point dicts — small,
+host-only bookkeeping; dense per-op arrays are built on demand.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def _hamming_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Hamming distance between (..., 32) uint8 descriptor arrays."""
+    x = np.bitwise_xor(a, b)
+    return np.unpackbits(x, axis=-1).sum(axis=-1)
+
+
+class MapStore:
+    def __init__(
+        self,
+        max_points: int = 200_000,
+        max_keyframes: int = 2_000,
+        n_levels: int = 8,
+        scale_factor: float = 1.2,
+    ):
+        self.max_points = max_points
+        self.max_keyframes = max_keyframes
+        self.scale_factors = scale_factor ** np.arange(n_levels, dtype=np.float32)
+        self.n_levels = n_levels
+
+        # --- map points -----------------------------------------------------
+        self.pt_pos = np.zeros((max_points, 3), np.float32)
+        self.pt_desc = np.zeros((max_points, 32), np.uint8)
+        self.pt_normal = np.zeros((max_points, 3), np.float32)
+        self.pt_min_dist = np.zeros(max_points, np.float32)
+        self.pt_max_dist = np.zeros(max_points, np.float32)
+        self.pt_alive = np.zeros(max_points, bool)
+        self.pt_quality = np.ones(max_points, np.float32)
+        self.pt_visible = np.zeros(max_points, np.int32)
+        self.pt_found = np.zeros(max_points, np.int32)
+        self.pt_first_kf = np.full(max_points, -1, np.int32)
+        self.pt_ref_kf = np.full(max_points, -1, np.int32)
+        self.pt_obs: List[Dict[int, int]] = [dict() for _ in range(max_points)]
+        self.n_points = 0
+
+        # --- keyframes ------------------------------------------------------
+        self.kf_pose = np.zeros((max_keyframes, 4, 4), np.float32)  # Tcw
+        self.kf_alive = np.zeros(max_keyframes, bool)
+        self.kf_frame_id = np.full(max_keyframes, -1, np.int64)
+        self.kf_timestamp = np.zeros(max_keyframes, np.float64)
+        self.kf_frames: List[Optional[object]] = [None] * max_keyframes
+        self.kf_gt_pose: List[Optional[np.ndarray]] = [None] * max_keyframes
+        self.kf_img_name: List[str] = [""] * max_keyframes
+        self.n_keyframes = 0
+        self.origin_kf: int = -1
+
+    # --- point lifecycle ----------------------------------------------------
+
+    def add_point(
+        self, pos: np.ndarray, ref_kf: int, quality: float = 1.0
+    ) -> int:
+        pid = self.n_points
+        assert pid < self.max_points, "map point capacity exhausted"
+        self.n_points += 1
+        self.pt_pos[pid] = pos
+        self.pt_alive[pid] = True
+        self.pt_quality[pid] = quality
+        self.pt_first_kf[pid] = ref_kf
+        self.pt_ref_kf[pid] = ref_kf
+        self.pt_visible[pid] = 1
+        self.pt_found[pid] = 1
+        return pid
+
+    def add_observation(self, pid: int, kf_id: int, feat_idx: int):
+        self.pt_obs[pid][kf_id] = feat_idx
+
+    def erase_observation(self, pid: int, kf_id: int):
+        self.pt_obs[pid].pop(kf_id, None)
+        if self.pt_ref_kf[pid] == kf_id and self.pt_obs[pid]:
+            self.pt_ref_kf[pid] = next(iter(self.pt_obs[pid]))
+        # MapPoint::EraseObservation: dead when nObs <= 2 (stereo counts 2)
+        if self.n_observations(pid) <= 2:
+            self.kill_point(pid)
+
+    def kill_point(self, pid: int):
+        if not self.pt_alive[pid]:
+            return
+        self.pt_alive[pid] = False
+        for kf_id, feat_idx in list(self.pt_obs[pid].items()):
+            frame = self.kf_frames[kf_id]
+            if frame is not None and frame.map_pt[feat_idx] == pid:
+                frame.map_pt[feat_idx] = -1
+        self.pt_obs[pid].clear()
+
+    def n_observations(self, pid: int) -> int:
+        """Observation count with stereo observations counted twice
+        (MapPoint::AddObservation: nObs += 2 for stereo)."""
+        n = 0
+        for kf_id, feat_idx in self.pt_obs[pid].items():
+            frame = self.kf_frames[kf_id]
+            n += 2 if (frame is not None and frame.u_right[feat_idx] >= 0) else 1
+        return n
+
+    def compute_distinctive_descriptor(self, pid: int):
+        """Min-median-Hamming descriptor among observations
+        (MapPoint::ComputeDistinctiveDescriptors)."""
+        descs = []
+        for kf_id, feat_idx in self.pt_obs[pid].items():
+            frame = self.kf_frames[kf_id]
+            if frame is not None:
+                descs.append(frame.desc[feat_idx])
+        if not descs:
+            return
+        D = np.stack(descs)
+        dist = _hamming_np(D[:, None, :], D[None, :, :])
+        medians = np.median(np.sort(dist, axis=1), axis=1)
+        self.pt_desc[pid] = D[int(np.argmin(medians))]
+
+    def update_normal_and_depth(self, pid: int):
+        """Mean viewing direction + scale-invariance distance range
+        (MapPoint::UpdateNormalAndDepth)."""
+        if not self.pt_obs[pid]:
+            return
+        pos = self.pt_pos[pid]
+        normals = []
+        for kf_id in self.pt_obs[pid]:
+            center = self.kf_camera_center(kf_id)
+            v = pos - center
+            n = np.linalg.norm(v)
+            if n > 1e-9:
+                normals.append(v / n)
+        if normals:
+            mean_n = np.mean(normals, axis=0)
+            self.pt_normal[pid] = mean_n
+        ref_kf = int(self.pt_ref_kf[pid])
+        frame = self.kf_frames[ref_kf]
+        if frame is None:
+            return
+        feat_idx = self.pt_obs[pid].get(ref_kf)
+        if feat_idx is None:
+            return
+        dist = np.linalg.norm(pos - self.kf_camera_center(ref_kf))
+        level = int(frame.octave[feat_idx])
+        self.pt_max_dist[pid] = dist * self.scale_factors[level]
+        self.pt_min_dist[pid] = (
+            self.pt_max_dist[pid] / self.scale_factors[self.n_levels - 1]
+        )
+
+    def increase_visible(self, pids):
+        self.pt_visible[pids] += 1
+
+    def increase_found(self, pids):
+        self.pt_found[pids] += 1
+
+    def found_ratio(self, pid: int) -> float:
+        return self.pt_found[pid] / max(self.pt_visible[pid], 1)
+
+    # --- keyframes ----------------------------------------------------------
+
+    def add_keyframe(self, frame) -> int:
+        kf_id = self.n_keyframes
+        assert kf_id < self.max_keyframes, "keyframe capacity exhausted"
+        self.n_keyframes += 1
+        self.kf_pose[kf_id] = frame.pose
+        self.kf_alive[kf_id] = True
+        self.kf_frame_id[kf_id] = frame.frame_id
+        self.kf_timestamp[kf_id] = frame.timestamp
+        self.kf_frames[kf_id] = frame
+        self.kf_gt_pose[kf_id] = frame.gt_pose
+        self.kf_img_name[kf_id] = frame.img_name
+        if self.origin_kf < 0:
+            self.origin_kf = kf_id
+        return kf_id
+
+    def kf_camera_center(self, kf_id: int) -> np.ndarray:
+        T = self.kf_pose[kf_id]
+        return -T[:3, :3].T @ T[:3, 3]
+
+    def set_kf_pose(self, kf_id: int, T: np.ndarray):
+        self.kf_pose[kf_id] = T
+        frame = self.kf_frames[kf_id]
+        if frame is not None:
+            frame.pose = np.asarray(T, np.float32).copy()
+
+    def covisible_keyframes(self, kf_id: int, min_weight: int = 15):
+        """Keyframes sharing >= min_weight points with kf_id, sorted by
+        weight desc (KeyFrame::UpdateConnections semantics)."""
+        counter: Dict[int, int] = {}
+        frame = self.kf_frames[kf_id]
+        if frame is None:
+            return []
+        for pid in frame.map_pt:
+            if pid < 0 or not self.pt_alive[pid]:
+                continue
+            for other in self.pt_obs[pid]:
+                if other != kf_id:
+                    counter[other] = counter.get(other, 0) + 1
+        pairs = [(w, k) for k, w in counter.items() if w >= min_weight]
+        if not pairs and counter:
+            # reference: if no neighbor passes the threshold, connect the
+            # single best one anyway
+            best = max(counter.items(), key=lambda kv: kv[1])
+            pairs = [(best[1], best[0])]
+        pairs.sort(reverse=True)
+        return [(k, w) for w, k in pairs]
+
+    def live_point_arrays(self):
+        """Dense views over the allocated point range (for device ops)."""
+        n = self.n_points
+        return dict(
+            pos=self.pt_pos[:n],
+            desc=self.pt_desc[:n],
+            normal=self.pt_normal[:n],
+            min_dist=self.pt_min_dist[:n],
+            max_dist=self.pt_max_dist[:n],
+            alive=self.pt_alive[:n],
+            quality=self.pt_quality[:n],
+        )

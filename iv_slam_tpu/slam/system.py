@@ -1,0 +1,83 @@
+"""System facade (src/System.cc re-designed for the single-process,
+host-orchestrated TPU runtime).
+
+Public surface mirrors the reference API (System.h:76-183): TrackStereo,
+Reset, Shutdown, SaveTrajectoryKITTI/TUM, GetTrackingState — minus the
+thread spawning: the reference's LocalMapping/LoopClosing/Viewer threads
+(System.cc:172-197) are inline stages of the sequential pipeline, which is
+the semantics of its own single-threaded mode (System.cc:177-189).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..config import Config
+from ..io import trajectory
+from .tracking import State, Tracking
+
+
+class System:
+    def __init__(self, cfg: Config, height: int, width: int):
+        self.cfg = cfg
+        self.tracking = Tracking(cfg, height, width)
+        self._shutdown = False
+
+    # --- tracking entry points (System.h:76-118) ---------------------------
+
+    def track_stereo(
+        self,
+        img_left: np.ndarray,
+        img_right: np.ndarray,
+        timestamp: float,
+        gt_pose: Optional[np.ndarray] = None,
+        gt_cov: Optional[np.ndarray] = None,
+        img_name: str = "",
+        cost_map: Optional[np.ndarray] = None,
+    ) -> Optional[np.ndarray]:
+        """Returns the camera pose Tcw, or None while not initialized."""
+        return self.tracking.track_stereo(
+            img_left, img_right, timestamp,
+            cost_map=cost_map, gt_pose=gt_pose, gt_cov=gt_cov,
+            img_name=img_name,
+        )
+
+    # --- state -------------------------------------------------------------
+
+    @property
+    def state(self) -> State:
+        return self.tracking.state
+
+    @property
+    def failure_count(self) -> int:
+        return self.tracking.failure_count
+
+    def reset(self):
+        self.tracking._reset()
+
+    def shutdown(self):
+        self._shutdown = True
+
+    # --- output (System.h:148-163) ------------------------------------------
+
+    def trajectory_twc(self):
+        return self.tracking.trajectory_poses()
+
+    def save_trajectory_kitti(self, path: str):
+        trajectory.save_kitti(path, self.trajectory_twc())
+        trajectory.save_times(
+            os.path.splitext(path)[0] + "_times.txt", self.tracking.frame_times
+        )
+
+    def save_trajectory_tum(self, path: str):
+        trajectory.save_tum(
+            path, self.tracking.frame_times, self.trajectory_twc()
+        )
+
+    def save_failure_log(self, path: str):
+        with open(path, "w") as f:
+            for t in self.tracking.failure_timestamps:
+                f.write(f"{t:.6f}\n")

@@ -1,0 +1,523 @@
+"""The per-frame tracking state machine (src/Tracking.cc re-designed).
+
+Control flow mirrors Tracking::Track (Tracking.cc:513-880) in its
+single-threaded stereo configuration (the reference's bSingleThreaded path,
+System.cc:177-189):
+
+  NOT_INITIALIZED -> StereoInitialization (Tracking.cc:882)
+  OK   -> TrackWithMotionModel (1303) | TrackReferenceKeyFrame (1154)
+       -> TrackLocalMap (1509) -> NeedNewKeyFrame (1694)/CreateNewKeyFrame
+       -> LocalMapping.LoopOnce
+  LOST -> failure accounting + reset (829-854) and re-initialization
+
+The dense inner loops — extraction, stereo matching, projection search,
+pose LM — are jitted device programs (ops/, solvers/); this module is the
+sequential host orchestrator that owns the map store.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..geometry import camera
+from ..ops import match as match_ops
+from ..solvers import pose_opt
+from .frame import Frame, StereoFrontend
+from .local_mapping import LocalMapping
+from .map_store import MapStore
+
+
+class State(enum.Enum):
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    LOST = 3
+
+
+class Tracking:
+    def __init__(self, cfg: Config, height: int, width: int):
+        self.cfg = cfg
+        self.height = height
+        self.width = width
+        self.frontend = StereoFrontend(cfg, height, width)
+        self.map = MapStore(
+            n_levels=cfg.orb.n_levels, scale_factor=cfg.orb.scale_factor
+        )
+        self.local_mapping = LocalMapping(cfg, self.map)
+        self.K = camera.Intrinsics.from_config(cfg.camera)
+        self.state = State.NO_IMAGES_YET
+        self.last_frame: Optional[Frame] = None
+        self.current: Optional[Frame] = None
+        self.velocity: Optional[np.ndarray] = None  # Tcl: cur <- last
+        self.ref_kf: int = -1
+        self.last_kf_frame_id: int = -1
+        self.local_kfs: List[int] = []
+        self.local_pts: np.ndarray = np.zeros(0, np.int64)
+        self.n_inliers = 0
+        self.min_frames = 0
+        self.max_frames = int(cfg.camera.fps)
+
+        sf = cfg.orb.scale_factors()
+        self.inv_level_sigma2 = (1.0 / (sf * sf)).astype(np.float32)
+        self.scale_factors_j = jnp.asarray(sf)
+        self.log_scale = float(np.log(cfg.orb.scale_factor))
+
+        # trajectory bookkeeping (Tracking.h:180-183)
+        self.rel_poses: List[np.ndarray] = []   # Tcr per frame
+        self.rel_refs: List[int] = []           # reference kf per frame
+        self.frame_times: List[float] = []
+        self.lost_flags: List[bool] = []
+        self.failure_timestamps: List[float] = []
+        self.failure_count = 0
+        self._finalized_twc: List[np.ndarray] = []  # frames of closed sub-sessions
+        self._session_start = 0
+
+    # ------------------------------------------------------------------ API
+
+    def track_stereo(
+        self,
+        img_left: np.ndarray,
+        img_right: np.ndarray,
+        timestamp: float,
+        cost_map: Optional[np.ndarray] = None,
+        gt_pose: Optional[np.ndarray] = None,
+        gt_cov: Optional[np.ndarray] = None,
+        img_name: str = "",
+    ) -> Optional[np.ndarray]:
+        frame = self.frontend.process(
+            img_left, img_right, timestamp, cost_map, gt_pose, gt_cov, img_name
+        )
+        self.current = frame
+        self._track()
+        return frame.pose
+
+    # ----------------------------------------------------------- state flow
+
+    def _track(self):
+        frame = self.current
+        if self.state in (State.NO_IMAGES_YET, State.NOT_INITIALIZED):
+            self.state = State.NOT_INITIALIZED
+            self._stereo_initialization()
+            if self.state != State.OK:
+                self._record_trajectory(lost=True)
+            else:
+                self._record_trajectory(lost=False)
+            self.last_frame = frame
+            return
+
+        ok = False
+        if self.state == State.OK:
+            if self.velocity is not None:
+                ok = self._track_with_motion_model()
+            if not ok:
+                ok = self._track_reference_keyframe()
+        if ok:
+            ok = self._track_local_map()
+
+        if ok:
+            self.state = State.OK
+            # update motion model
+            if self.last_frame is not None and self.last_frame.pose is not None:
+                self.velocity = frame.pose @ np.linalg.inv(self.last_frame.pose)
+            # clean outlier associations (Tracking.cc:789-800)
+            out = frame.outlier & (frame.map_pt >= 0)
+            frame.map_pt[out] = -1
+            frame.outlier[:] = False
+            if self._need_new_keyframe():
+                self._create_new_keyframe()
+            self._record_trajectory(lost=False)
+        else:
+            self.state = State.LOST
+            self._record_trajectory(lost=True)
+            self._handle_lost(frame.timestamp)
+        self.last_frame = frame
+
+    # ------------------------------------------------------- initialization
+
+    def _stereo_initialization(self):
+        frame = self.current
+        if frame.n_valid <= 500:
+            return
+        frame.set_pose(np.eye(4, dtype=np.float32))
+        kf_id = self.map.add_keyframe(frame)
+        n_created = 0
+        for i in np.nonzero(frame.valid & (frame.depth > 0))[0]:
+            pos = frame.unproject_stereo(
+                i, self.cfg.camera.fx, self.cfg.camera.fy,
+                self.cfg.camera.cx, self.cfg.camera.cy,
+            )
+            qual = (
+                frame.qual_score[i]
+                if self.cfg.iv.propagate_keyptqual
+                else 1.0
+            )
+            pid = self.map.add_point(pos, kf_id, qual)
+            self.map.add_observation(pid, kf_id, int(i))
+            frame.map_pt[i] = pid
+            self.map.compute_distinctive_descriptor(pid)
+            self.map.update_normal_and_depth(pid)
+            n_created += 1
+        if n_created == 0:
+            return
+        self.local_mapping.insert_keyframe(kf_id)
+        self.local_mapping.loop_once(run_ba=False)
+        self.ref_kf = kf_id
+        frame.ref_kf = kf_id
+        self.last_kf_frame_id = frame.frame_id
+        self.local_kfs = [kf_id]
+        self.local_pts = np.nonzero(self.map.pt_alive[: self.map.n_points])[0]
+        self.state = State.OK
+
+    # ------------------------------------------------------------- tracking
+
+    def _pose_optimize(self, frame: Frame) -> int:
+        """Run the batched LM pose solver over the frame's associations and
+        write back pose/outliers/chi2 (Optimizer::PoseOptimization)."""
+        has_pt = frame.map_pt >= 0
+        if has_pt.sum() < 3:
+            return 0
+        idx = np.arange(frame.map_pt.shape[0])
+        pids = np.where(has_pt, frame.map_pt, 0)
+        Xw = self.map.pt_pos[pids]
+        obs = np.stack(
+            [frame.xy[:, 0], frame.xy[:, 1], frame.u_right], axis=1
+        ).astype(np.float32)
+        inv_s2 = self.inv_level_sigma2[frame.octave]
+        if self.cfg.iv.propagate_keyptqual:
+            qual = self.map.pt_quality[pids].astype(np.float32)
+        else:
+            qual = frame.qual_score
+        res = pose_opt.pose_optimization(
+            jnp.asarray(frame.pose),
+            jnp.asarray(Xw),
+            jnp.asarray(obs),
+            jnp.asarray(inv_s2),
+            jnp.asarray(qual),
+            jnp.asarray(has_pt),
+            self.K,
+            n_rounds=self.cfg.iv.optimizer_pose_opt_iter_count,
+        )
+        frame.set_pose(np.asarray(res.T))
+        inlier = np.asarray(res.inlier)
+        frame.outlier = has_pt & ~inlier
+        return int(inlier.sum())
+
+    def _track_with_motion_model(self) -> bool:
+        frame = self.current
+        last = self.last_frame
+        # update last frame pose from its reference KF (UpdateLastFrame)
+        if last.ref_kf >= 0 and self.rel_poses:
+            last.set_pose(self.rel_poses[-1] @ self.map.kf_pose[last.ref_kf])
+        frame.set_pose(self.velocity @ last.pose)
+        frame.map_pt[:] = -1
+
+        th = 7.0  # stereo (Tracking.cc:1323-1327)
+        swm = self.cfg.matcher.search_window_multiplier
+        n = self._search_last_frame(th * swm)
+        if n < 20:
+            frame.map_pt[:] = -1
+            n = self._search_last_frame(2 * th * swm)
+        if n < 20:
+            return False
+        n_in = self._pose_optimize(frame)
+        # discard outlier associations, count map matches (Tracking.cc:1466+)
+        nmatches_map = self._discard_outliers(frame)
+        return nmatches_map >= 10
+
+    def _search_last_frame(self, th: float) -> int:
+        frame = self.current
+        last = self.last_frame
+        has_pt = (last.map_pt >= 0) & ~last.outlier
+        pids = np.where(has_pt, last.map_pt, 0)
+        alive = self.map.pt_alive[pids] & has_pt
+        cam = self.cfg.camera
+        assign, n = match_ops.search_by_projection_last_frame(
+            frame.kp.xy, frame.kp.octave, frame.kp.angle, frame.kp.desc,
+            jnp.asarray(frame.u_right), frame.kp.valid,
+            jnp.asarray(self.map.pt_pos[pids]),
+            jnp.asarray(self.map.pt_desc[pids]),
+            last.kp.octave, last.kp.angle, jnp.asarray(alive),
+            jnp.asarray(frame.pose), jnp.asarray(last.pose),
+            jnp.float32(cam.fx), jnp.float32(cam.fy),
+            jnp.float32(cam.cx), jnp.float32(cam.cy),
+            jnp.float32(cam.bf), jnp.float32(cam.baseline),
+            jnp.float32(self.width), jnp.float32(self.height),
+            self.scale_factors_j, jnp.float32(th),
+        )
+        assign = np.asarray(assign)
+        matched = assign >= 0
+        frame.map_pt[:] = np.where(matched, pids[np.maximum(assign, 0)], -1)
+        return int(n)
+
+    def _track_reference_keyframe(self) -> bool:
+        """use_BoW=false variant (Tracking.cc:1177-1206): project local map
+        points with a th=5 window from the last pose."""
+        frame = self.current
+        frame.set_pose(self.last_frame.pose)
+        frame.map_pt[:] = -1
+        swm = self.cfg.matcher.search_window_multiplier
+        n = self._search_local_points(
+            th=5.0 * swm, nn_ratio=0.7 * self.cfg.matcher.nn_ratio_multiplier
+        )
+        if n < 15:
+            return False
+        self._pose_optimize(frame)
+        nmatches_map = self._discard_outliers(frame)
+        return nmatches_map >= 10
+
+    def _discard_outliers(self, frame: Frame) -> int:
+        out = frame.outlier & (frame.map_pt >= 0)
+        frame.map_pt[out] = -1
+        frame.outlier[out] = False
+        good = frame.map_pt >= 0
+        # matches to points with observations (in the map)
+        n_map = 0
+        for pid in frame.map_pt[good]:
+            if self.map.pt_obs[pid]:
+                n_map += 1
+        return n_map
+
+    def _track_local_map(self) -> bool:
+        frame = self.current
+        self._update_local_map()
+        self._search_local_map_points()
+        n_in = self._pose_optimize(frame)
+        # statistics + strip stereo outliers (Tracking.cc:1655-1684)
+        good = (frame.map_pt >= 0) & ~frame.outlier
+        self.map.increase_found(frame.map_pt[good])
+        self.n_inliers = int(
+            sum(1 for pid in frame.map_pt[good] if self.map.pt_obs[pid])
+        )
+        bad = (frame.map_pt >= 0) & frame.outlier
+        frame.map_pt[bad] = -1  # stereo sensor path
+        frame.outlier[bad] = False
+        return self.n_inliers >= 30
+
+    def _update_local_map(self):
+        """UpdateLocalKeyFrames + UpdateLocalPoints (Tracking.cc:2134-2270)."""
+        frame = self.current
+        counter = {}
+        for pid in frame.map_pt[frame.map_pt >= 0]:
+            if not self.map.pt_alive[pid]:
+                continue
+            for kf_id in self.map.pt_obs[pid]:
+                counter[kf_id] = counter.get(kf_id, 0) + 1
+        if not counter:
+            return
+        local = sorted(counter, key=counter.get, reverse=True)
+        seen = set(local)
+        for kf_id in list(local):
+            if len(local) > 80:
+                break
+            for nb, _w in self.map.covisible_keyframes(kf_id)[:10]:
+                if nb not in seen:
+                    local.append(nb)
+                    seen.add(nb)
+                    break
+        self.local_kfs = local
+        best_kf = max(counter, key=counter.get)
+        self.ref_kf = best_kf
+        frame.ref_kf = best_kf
+        pts = set()
+        for kf_id in local:
+            kf_frame = self.map.kf_frames[kf_id]
+            if kf_frame is None:
+                continue
+            for pid in kf_frame.map_pt[kf_frame.map_pt >= 0]:
+                if self.map.pt_alive[pid]:
+                    pts.add(int(pid))
+        self.local_pts = np.fromiter(pts, np.int64, len(pts))
+
+    def _search_local_map_points(self):
+        """SearchLocalPoints (Tracking.cc:2088-2132)."""
+        frame = self.current
+        cur_pids = frame.map_pt[frame.map_pt >= 0]
+        self.map.increase_visible(cur_pids)
+        th = 1.0
+        if frame.frame_id < 2:
+            th = 5.0
+        self._search_local_points(
+            th=th * self.cfg.matcher.search_window_multiplier,
+            nn_ratio=0.8 * self.cfg.matcher.nn_ratio_multiplier,
+            exclude_current=True,
+        )
+
+    def _search_local_points(
+        self, th: float, nn_ratio: float, exclude_current: bool = False
+    ) -> int:
+        frame = self.current
+        pts = self.local_pts
+        if pts.size == 0:
+            return 0
+        cam = self.cfg.camera
+        cur_in_frame = set(frame.map_pt[frame.map_pt >= 0].tolist())
+        pt_valid = self.map.pt_alive[pts].copy()
+        if exclude_current and cur_in_frame:
+            in_cur = np.isin(pts, list(cur_in_frame))
+            # visible bump for frustum points happens inside the matcher path;
+            # the reference also skips points already matched this frame
+            pt_valid &= ~in_cur
+        assign, n = match_ops.search_by_projection_local_map(
+            frame.kp.xy, frame.kp.octave, frame.kp.desc,
+            jnp.asarray(frame.u_right), frame.kp.valid,
+            jnp.asarray(frame.map_pt >= 0),
+            jnp.asarray(self.map.pt_pos[pts]),
+            jnp.asarray(self.map.pt_desc[pts]),
+            jnp.asarray(self.map.pt_normal[pts]),
+            jnp.asarray(self.map.pt_min_dist[pts]),
+            jnp.asarray(self.map.pt_max_dist[pts]),
+            jnp.asarray(pt_valid),
+            jnp.asarray(frame.pose),
+            jnp.float32(cam.fx), jnp.float32(cam.fy),
+            jnp.float32(cam.cx), jnp.float32(cam.cy), jnp.float32(cam.bf),
+            jnp.float32(self.width), jnp.float32(self.height),
+            self.scale_factors_j, jnp.float32(self.log_scale),
+            jnp.float32(th), jnp.float32(nn_ratio),
+        )
+        assign = np.asarray(assign)
+        newly = (assign >= 0) & (frame.map_pt < 0)
+        frame.map_pt[newly] = pts[assign[newly]]
+        return int((frame.map_pt >= 0).sum())
+
+    # ------------------------------------------------------------ keyframes
+
+    def _need_new_keyframe(self) -> bool:
+        """Tracking.cc:1694-1772, single-threaded (mapper always idle)."""
+        frame = self.current
+        n_kfs = self.map.n_keyframes
+        n_min_obs = 3 if n_kfs > 2 else 2
+        ref_frame = self.map.kf_frames[self.ref_kf]
+        n_ref_matches = 0
+        if ref_frame is not None:
+            for pid in ref_frame.map_pt[ref_frame.map_pt >= 0]:
+                if (
+                    self.map.pt_alive[pid]
+                    and self.map.n_observations(pid) >= n_min_obs
+                ):
+                    n_ref_matches += 1
+        close = (frame.depth > 0) & (frame.depth < self.cfg.camera.depth_threshold)
+        tracked = (frame.map_pt >= 0) & ~frame.outlier
+        n_tracked_close = int((close & tracked).sum())
+        n_nontracked_close = int((close & ~tracked).sum())
+        need_close = (n_tracked_close < 100) and (n_nontracked_close > 70)
+        th_ref = 0.75 if n_kfs >= 2 else 0.4
+        c1a = frame.frame_id >= self.last_kf_frame_id + self.max_frames
+        c1b = frame.frame_id >= self.last_kf_frame_id + self.min_frames
+        c1c = (self.n_inliers < n_ref_matches * 0.25) or need_close
+        c2 = (
+            (self.n_inliers < n_ref_matches * th_ref) or need_close
+        ) and self.n_inliers > 15
+        return (c1a or c1b or c1c) and c2
+
+    def _create_new_keyframe(self):
+        """Tracking.cc:1774-1860: promote frame to KF, create close stereo
+        map points, run local mapping inline."""
+        frame = self.current
+        kf_id = self.map.add_keyframe(frame)
+        self.ref_kf = kf_id
+        frame.ref_kf = kf_id
+        cam = self.cfg.camera
+        depth_order = np.argsort(np.where(frame.depth > 0, frame.depth, np.inf))
+        n_points = 0
+        touched = []
+        for i in depth_order:
+            z = frame.depth[i]
+            if z <= 0:
+                break
+            pid = frame.map_pt[i]
+            create = pid < 0 or not self.map.pt_obs[pid]
+            if create:
+                pos = frame.unproject_stereo(i, cam.fx, cam.fy, cam.cx, cam.cy)
+                qual = (
+                    frame.qual_score[i]
+                    if self.cfg.iv.propagate_keyptqual
+                    else 1.0
+                )
+                new_pid = self.map.add_point(pos, kf_id, qual)
+                self.map.add_observation(new_pid, kf_id, int(i))
+                frame.map_pt[i] = new_pid
+                touched.append(new_pid)
+            n_points += 1
+            if z > cam.depth_threshold and n_points > 100:
+                break
+        # register observations of existing tracked points
+        for i in np.nonzero(frame.map_pt >= 0)[0]:
+            pid = int(frame.map_pt[i])
+            if self.map.pt_alive[pid] and kf_id not in self.map.pt_obs[pid]:
+                self.map.add_observation(pid, kf_id, int(i))
+                touched.append(pid)
+        for pid in touched:
+            self.map.compute_distinctive_descriptor(pid)
+            self.map.update_normal_and_depth(pid)
+        self.last_kf_frame_id = frame.frame_id
+        self.local_mapping.insert_keyframe(kf_id)
+        run_ba = (
+            frame.frame_id % max(self.cfg.iv.tracking_ba_rate, 1) == 0
+        )
+        self.local_mapping.loop_once(run_ba=run_ba)
+
+    # -------------------------------------------------------------- failure
+
+    def _handle_lost(self, timestamp: float):
+        """Tracking.cc:829-854: reset; count failures once initialized maps
+        had > 3 keyframes."""
+        if self.map.n_keyframes > 3:
+            self.failure_count += 1
+            self.failure_timestamps.append(timestamp)
+        self._reset()
+
+    def _reset(self):
+        # bake out this sub-session's absolute poses before dropping the map
+        # (the reference saves per-sub-session trajectories on each failure,
+        # Tracking.cc:2433-2504)
+        self._finalized_twc.extend(self._compose_session())
+        self._session_start = len(self.rel_poses)
+        self.map = MapStore(
+            n_levels=self.cfg.orb.n_levels,
+            scale_factor=self.cfg.orb.scale_factor,
+        )
+        self.local_mapping = LocalMapping(self.cfg, self.map)
+        self.state = State.NOT_INITIALIZED
+        self.velocity = None
+        self.ref_kf = -1
+        self.local_kfs = []
+        self.local_pts = np.zeros(0, np.int64)
+
+    # ----------------------------------------------------------- trajectory
+
+    def _record_trajectory(self, lost: bool):
+        frame = self.current
+        self.frame_times.append(frame.timestamp)
+        self.lost_flags.append(lost)
+        if lost or frame.pose is None or self.ref_kf < 0:
+            self.rel_poses.append(
+                self.rel_poses[-1] if self.rel_poses else np.eye(4, dtype=np.float32)
+            )
+            self.rel_refs.append(self.rel_refs[-1] if self.rel_refs else -1)
+        else:
+            Tcr = frame.pose @ np.linalg.inv(self.map.kf_pose[self.ref_kf])
+            self.rel_poses.append(Tcr.astype(np.float32))
+            self.rel_refs.append(self.ref_kf)
+
+    def _compose_session(self) -> List[np.ndarray]:
+        out = []
+        for Tcr, ref in zip(
+            self.rel_poses[self._session_start:],
+            self.rel_refs[self._session_start:],
+        ):
+            if ref < 0:
+                out.append(np.eye(4, dtype=np.float32))
+            else:
+                Tcw = Tcr @ self.map.kf_pose[ref]
+                out.append(np.linalg.inv(Tcw).astype(np.float32))
+        return out
+
+    def trajectory_poses(self) -> List[np.ndarray]:
+        """Absolute Twc per frame, composed like SaveTrajectoryKITTI
+        (System.cc:709-772): Tcw = Tcr * Trw with the *current* KF poses."""
+        return self._finalized_twc + self._compose_session()

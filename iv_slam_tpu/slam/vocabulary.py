@@ -1,0 +1,218 @@
+"""ORB visual vocabulary: training, transform, scoring.
+
+TPU-native replacement for DBoW2's TemplatedVocabulary<FORB>
+(Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h, FORB.cpp):
+
+  * k-medians hierarchical clustering over 256-bit descriptors (the
+    binary-descriptor k-means of DBoW2: cluster centers are bitwise
+    majority votes, FORB::meanValue); TF-IDF leaf weights;
+  * transform: vocabulary-tree descent. On device this is a batched
+    per-level (N, k) Hamming argmin via the MXU Hamming matrix; on host the
+    C++ extension walks the tree (iv_slam_tpu/native);
+  * L1 scoring of normalized BoW vectors (DBoW2 L1Scoring), used by loop
+    detection and relocalization candidate search.
+
+The reference ships a pretrained 1M-leaf vocabulary as a release blob;
+`train` builds one from a descriptor corpus (any scale), and
+`load_dbow2_text` reads the reference's text format when present.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from .. import native
+
+
+def _majority_descriptor(descs: np.ndarray) -> np.ndarray:
+    """Bitwise majority vote (FORB::meanValue)."""
+    bits = np.unpackbits(descs, axis=1)  # (N, 256)
+    maj = (bits.sum(axis=0) * 2 >= descs.shape[0]).astype(np.uint8)
+    return np.packbits(maj)
+
+
+class Vocabulary:
+    def __init__(self, children, node_desc, weights, is_leaf, k, L):
+        self.children = children        # (nodes, k) int32, -1 = none
+        self.node_desc = node_desc      # (nodes, 32) uint8
+        self.weights = weights          # (nodes,) float32 (leaf weights)
+        self.is_leaf = is_leaf          # (nodes,) bool
+        self.k = k
+        self.L = L
+        leaf_ids = np.nonzero(is_leaf)[0]
+        self.word_of_node = np.full(len(is_leaf), -1, np.int32)
+        self.word_of_node[leaf_ids] = np.arange(len(leaf_ids), dtype=np.int32)
+        self.n_words = len(leaf_ids)
+        self.node_of_word = leaf_ids.astype(np.int32)
+
+    # ------------------------------------------------------------ training
+
+    @staticmethod
+    def train(
+        descriptors: np.ndarray, k: int = 10, L: int = 3,
+        seed: int = 0, kmeans_iters: int = 8,
+    ) -> "Vocabulary":
+        rng = np.random.default_rng(seed)
+        children: List[List[int]] = [[-1] * k]
+        node_desc = [np.zeros(32, np.uint8)]
+        is_leaf = [False]
+        # (node_id, descriptor subset, depth)
+        stack = [(0, descriptors, 0)]
+        while stack:
+            node, descs, depth = stack.pop()
+            if depth >= L or len(descs) <= k:
+                is_leaf[node] = True
+                children[node] = [-1] * k
+                continue
+            # k-medians: init with random distinct descriptors
+            idx = rng.choice(len(descs), size=k, replace=False)
+            centers = descs[idx].copy()
+            for _ in range(kmeans_iters):
+                d = native.hamming_matrix(descs, centers)
+                assign = d.argmin(axis=1)
+                new_centers = []
+                for c in range(k):
+                    members = descs[assign == c]
+                    if len(members) == 0:
+                        new_centers.append(centers[c])
+                    else:
+                        new_centers.append(_majority_descriptor(members))
+                new = np.stack(new_centers)
+                if (new == centers).all():
+                    centers = new
+                    break
+                centers = new
+            d = native.hamming_matrix(descs, centers)
+            assign = d.argmin(axis=1)
+            kids = []
+            for c in range(k):
+                members = descs[assign == c]
+                child = len(node_desc)
+                node_desc.append(centers[c])
+                children.append([-1] * k)
+                is_leaf.append(False)
+                kids.append(child)
+                if len(members) > 0:
+                    stack.append((child, members, depth + 1))
+                else:
+                    is_leaf[child] = True
+            children[node] = kids
+        voc = Vocabulary(
+            np.array(children, np.int32),
+            np.stack(node_desc),
+            np.zeros(len(node_desc), np.float32),
+            np.array(is_leaf, bool),
+            k, L,
+        )
+        # TF-IDF weights from the training corpus
+        words = voc.transform_words(descriptors)
+        counts = np.bincount(
+            voc.word_of_node[words], minlength=voc.n_words
+        ).astype(np.float64)
+        n_docs = max(len(descriptors), 1)
+        idf = np.where(counts > 0, np.log(n_docs / np.maximum(counts, 1)), 0.0)
+        voc.weights = np.zeros(len(voc.node_desc), np.float32)
+        voc.weights[voc.node_of_word] = idf.astype(np.float32)
+        return voc
+
+    @staticmethod
+    def load_dbow2_text(path: str) -> "Vocabulary":
+        k, L, _scoring, _weighting, parents, descs, weights, leaves = (
+            native.parse_vocab_text(path)
+        )
+        n = len(parents)
+        children = np.full((n, k), -1, np.int32)
+        fill = np.zeros(n, np.int32)
+        for i in range(1, n):
+            p = parents[i]
+            children[p, fill[p]] = i
+            fill[p] += 1
+        return Vocabulary(children, descs, weights, leaves.astype(bool), k, L)
+
+    # ----------------------------------------------------------- transform
+
+    def transform_words(self, descriptors: np.ndarray) -> np.ndarray:
+        """(N, 32) u8 -> (N,) leaf node ids (host tree descent)."""
+        return native.vocab_transform(self.children, self.node_desc, descriptors)
+
+    def bow_vector(
+        self, descriptors: np.ndarray, valid: np.ndarray = None
+    ) -> Dict[int, float]:
+        """L1-normalized TF-IDF bag of words {word_id: weight}
+        (TemplatedVocabulary::transform with TF_IDF + L1 norm)."""
+        if valid is not None:
+            descriptors = descriptors[valid]
+        if len(descriptors) == 0:
+            return {}
+        nodes = self.transform_words(descriptors)
+        words = self.word_of_node[nodes]
+        bow: Dict[int, float] = {}
+        for w, node in zip(words, nodes):
+            if w >= 0:
+                wgt = float(self.weights[node])
+                if wgt > 0:
+                    bow[int(w)] = bow.get(int(w), 0.0) + wgt
+        norm = sum(abs(v) for v in bow.values())
+        if norm > 0:
+            bow = {w: v / norm for w, v in bow.items()}
+        return bow
+
+    def feature_vector(
+        self, descriptors: np.ndarray, valid: np.ndarray = None,
+        levels_up: int = 4,
+    ) -> Dict[int, List[int]]:
+        """Node-at-level -> feature indices (DBoW2 FeatureVector, used by
+        SearchByBoW to restrict candidate pairs)."""
+        idx = (
+            np.nonzero(valid)[0] if valid is not None
+            else np.arange(len(descriptors))
+        )
+        if len(idx) == 0:
+            return {}
+        nodes = self.transform_words(descriptors[idx])
+        # walk ancestors up to depth L - levels_up
+        target_depth = max(self.L - levels_up, 0)
+        parent = self._parents()
+        depth = self._depths()
+        fv: Dict[int, List[int]] = {}
+        for i, node in zip(idx, nodes):
+            nd = int(node)
+            while depth[nd] > target_depth:
+                nd = parent[nd]
+            fv.setdefault(nd, []).append(int(i))
+        return fv
+
+    def _parents(self):
+        if not hasattr(self, "_parent_arr"):
+            n = len(self.node_desc)
+            p = np.full(n, -1, np.int32)
+            for node in range(n):
+                for c in self.children[node]:
+                    if c >= 0:
+                        p[c] = node
+            self._parent_arr = p
+        return self._parent_arr
+
+    def _depths(self):
+        if not hasattr(self, "_depth_arr"):
+            p = self._parents()
+            d = np.zeros(len(p), np.int32)
+            for node in range(1, len(p)):
+                d[node] = d[p[node]] + 1
+            self._depth_arr = d
+        return self._depth_arr
+
+
+def l1_score(bow1: Dict[int, float], bow2: Dict[int, float]) -> float:
+    """DBoW2 L1Scoring on L1-normalized vectors:
+    s = 0.5 * sum_{common} (|v| + |w| - |v - w|)."""
+    if len(bow2) < len(bow1):
+        bow1, bow2 = bow2, bow1
+    s = 0.0
+    for w, v in bow1.items():
+        u = bow2.get(w)
+        if u is not None:
+            s += abs(v) + abs(u) - abs(v - u)
+    return 0.5 * s

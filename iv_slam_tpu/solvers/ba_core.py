@@ -1,0 +1,254 @@
+"""Batched bundle-adjustment core: LM with a Schur-complement reduction.
+
+Replaces g2o's BlockSolver_6_3 + OptimizationAlgorithmLevenberg as used by
+Optimizer::LocalBundleAdjustment (Optimizer.cc:505-871). The TPU shape:
+
+  * all observations are one padded edge array (E,) with per-edge kf-slot /
+    point-slot indices — no sparse graph structure;
+  * per-iteration assembly is segment-sums (H_pp, g_p per point; H_cc, g_c
+    per camera) plus one scatter of (6, 3) coupling blocks into a dense
+    (P, 6K, 3) tensor U;
+  * the Schur reduction  S = H_cc - U^T Hpp^-1 U  collapses to two MXU
+    matmuls over the point axis, and the reduced (6K, 6K) system is a dense
+    Cholesky solve (K <= ~80 local keyframes);
+  * back-substitution for the points is a batched 3x3 solve.
+
+Levenberg semantics follow g2o (additive lambda on every diagonal,
+tau = 1e-5 * max diag, accept on rho > 0 with the 1/3..2/3 scaling, reject
+with lambda *= ni). Huber deltas are quality-scaled per edge exactly as the
+reference's introspection hook does (Optimizer.cc:669-739).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import camera, se3
+from .pose_opt import DELTA_MONO_SQ, DELTA_STEREO_SQ, _huber_rho0, _huber_w
+
+MAX_TRIALS = 10
+
+
+class BAProblem(NamedTuple):
+    kf_pose: jnp.ndarray    # (K, 4, 4) Tcw
+    kf_fixed: jnp.ndarray   # (K,) bool
+    pt_pos: jnp.ndarray     # (P, 3)
+    pt_valid: jnp.ndarray   # (P,) bool
+    e_kf: jnp.ndarray       # (E,) int32 slot into kf arrays
+    e_pt: jnp.ndarray       # (E,) int32 slot into pt arrays
+    e_obs: jnp.ndarray      # (E, 3) [u, v, ur]; ur < 0 => mono
+    e_inv_s2: jnp.ndarray   # (E,)
+    e_qual: jnp.ndarray     # (E,) quality score scaling the Huber delta
+    e_valid: jnp.ndarray    # (E,) bool
+
+
+class BAResult(NamedTuple):
+    kf_pose: jnp.ndarray
+    pt_pos: jnp.ndarray
+    e_chi2: jnp.ndarray     # final unrobust chi2 per edge
+    e_depth_pos: jnp.ndarray  # final positive-depth flag per edge
+    e_inlier: jnp.ndarray
+
+
+def _edge_terms(kf_pose, pt_pos, prob: BAProblem, K: camera.Intrinsics):
+    T = kf_pose[prob.e_kf]                      # (E, 4, 4)
+    X = pt_pos[prob.e_pt]                       # (E, 3)
+    pc = jnp.einsum("eij,ej->ei", T[:, :3, :3], X) + T[:, :3, 3]
+    pred = camera.project_stereo(K, pc)
+    is_stereo = prob.e_obs[:, 2] >= 0
+    e = prob.e_obs - pred
+    e = e.at[:, 2].set(jnp.where(is_stereo, e[:, 2], 0.0))
+    return e, pc, T, is_stereo
+
+
+def _chi2(e, inv_s2):
+    return inv_s2 * jnp.sum(e * e, axis=-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_iters1", "n_iters2", "n_kf_slots")
+)
+def ba_solve(
+    prob: BAProblem,
+    K: camera.Intrinsics,
+    n_iters1: int = 5,
+    n_iters2: int = 10,
+    n_kf_slots: int = 0,
+) -> BAResult:
+    n_kf = prob.kf_pose.shape[0] if n_kf_slots == 0 else n_kf_slots
+    n_pt = prob.pt_pos.shape[0]
+    is_stereo = prob.e_obs[:, 2] >= 0
+    delta_base_sq = jnp.where(is_stereo, DELTA_STEREO_SQ, DELTA_MONO_SQ)
+    delta_sq = delta_base_sq * prob.e_qual * prob.e_qual
+    chi2_th = delta_base_sq
+
+    def total_cost(kf_pose, pt_pos, mask, kernel_on):
+        e, _, _, _ = _edge_terms(kf_pose, pt_pos, prob, K)
+        c2 = _chi2(e, prob.e_inv_s2)
+        rob = _huber_rho0(c2, delta_sq, kernel_on)
+        return jnp.sum(jnp.where(mask, rob, 0.0))
+
+    def build_and_solve(kf_pose, pt_pos, mask, lam, kernel_on):
+        e, pc, T, _ = _edge_terms(kf_pose, pt_pos, prob, K)
+        c2 = _chi2(e, prob.e_inv_s2)
+        w = _huber_w(c2, delta_sq, kernel_on) * prob.e_inv_s2
+        w = jnp.where(mask, w, 0.0)
+
+        Jp = camera.proj_jacobian_stereo(K, pc)          # (E, 3, 3)
+        Jp = Jp.at[:, 2, :].set(
+            jnp.where(is_stereo[:, None], Jp[:, 2, :], 0.0)
+        )
+        # pose block: d e / d xi = Jproj @ [hat(pc) | -I]
+        Jc = jnp.concatenate(
+            [jnp.einsum("eij,ejk->eik", Jp, se3.hat(pc)), -Jp], axis=-1
+        )  # (E, 3, 6)
+        fixed_e = prob.kf_fixed[prob.e_kf]
+        Jc = jnp.where(fixed_e[:, None, None], 0.0, Jc)
+        # point block: d e / d X = -Jproj @ Rcw
+        Jx = -jnp.einsum("eij,ejk->eik", Jp, T[:, :3, :3])  # (E, 3, 3)
+
+        # per-camera and per-point normal blocks
+        Hcc = jax.ops.segment_sum(
+            jnp.einsum("eri,e,erj->eij", Jc, w, Jc), prob.e_kf, n_kf
+        )  # (K, 6, 6)
+        gc = jax.ops.segment_sum(
+            -jnp.einsum("eri,e,er->ei", Jc, w, e), prob.e_kf, n_kf
+        )  # (K, 6)
+        Hpp = jax.ops.segment_sum(
+            jnp.einsum("eri,e,erj->eij", Jx, w, Jx), prob.e_pt, n_pt
+        )  # (P, 3, 3)
+        gp = jax.ops.segment_sum(
+            -jnp.einsum("eri,e,er->ei", Jx, w, e), prob.e_pt, n_pt
+        )  # (P, 3)
+
+        max_diag = jnp.maximum(
+            jnp.max(jnp.abs(jnp.diagonal(Hcc, axis1=1, axis2=2))),
+            jnp.max(jnp.abs(jnp.diagonal(Hpp, axis1=1, axis2=2))),
+        )
+
+        def solve(lam_c):
+            eye3 = jnp.eye(3)
+            Hpp_d = Hpp + lam_c * eye3
+            # guard dead point slots (all-zero blocks) against singularity
+            dead = jnp.abs(jnp.diagonal(Hpp_d, axis1=1, axis2=2)).sum(-1) < 1e-12
+            Hpp_d = jnp.where(dead[:, None, None], eye3, Hpp_d)
+            Hpp_inv = jnp.linalg.inv(Hpp_d)
+
+            # coupling blocks scattered into U: (P, K*6, 3)
+            B = jnp.einsum("eri,e,erj->eij", Jc, w, Jx)  # (E, 6, 3)
+            U = jnp.zeros((n_pt, n_kf, 6, 3)).at[prob.e_pt, prob.e_kf].add(B)
+            U2 = U.reshape(n_pt, n_kf * 6, 3)
+
+            TU = jnp.einsum("pia,pab->pib", U2, Hpp_inv)      # (P, 6K, 3)
+            S_red = jnp.einsum("pia,pja->ij", TU, U2)         # (6K, 6K)
+            Hcc_d = Hcc + lam_c * jnp.eye(6)
+            # assemble block-diagonal Hcc into dense (6K, 6K)
+            S = jnp.zeros((n_kf * 6, n_kf * 6))
+            idx = jnp.arange(n_kf)
+            S = S.at[
+                (idx[:, None, None] * 6 + jnp.arange(6)[None, :, None]),
+                (idx[:, None, None] * 6 + jnp.arange(6)[None, None, :]),
+            ].add(Hcc_d)
+            S = S - S_red
+            rhs = gc.reshape(-1) - jnp.einsum("pia,pa->i", TU, gp)
+
+            # fixed cameras: identity rows/cols, zero rhs
+            fixed6 = jnp.repeat(prob.kf_fixed, 6)
+            S = jnp.where(fixed6[:, None] | fixed6[None, :], 0.0, S)
+            S = S + jnp.diag(jnp.where(fixed6, 1.0, 1e-9))
+            rhs = jnp.where(fixed6, 0.0, rhs)
+
+            dc = jnp.linalg.solve(S, rhs).reshape(n_kf, 6)
+            # back-substitute points: dp = Hpp^-1 (gp - U^T dc)
+            Ut_dc = jnp.einsum("pia,i->pa", U2, dc.reshape(-1))
+            dp = jnp.einsum("pab,pb->pa", Hpp_inv, gp - Ut_dc)
+            dp = jnp.where(prob.pt_valid[:, None], dp, 0.0)
+            scale = (
+                jnp.sum(dc.reshape(-1) * (lam_c * dc.reshape(-1) + rhs))
+                + jnp.sum(dp * (lam_c * dp + (gp - Ut_dc)))
+            )
+            return dc, dp, scale
+
+        return solve, max_diag
+
+    def lm_phase(kf_pose0, pt_pos0, mask, kernel_on, n_iters):
+        chi0 = total_cost(kf_pose0, pt_pos0, mask, kernel_on)
+
+        def iteration(it, carry):
+            kf_pose, pt_pos, lam, ni, chi = carry
+            solve, max_diag = build_and_solve(kf_pose, pt_pos, mask, lam,
+                                              kernel_on)
+            lam0 = jnp.where(it == 0, 1e-5 * max_diag, lam)
+            ni0 = jnp.where(it == 0, 2.0, ni)
+
+            def trial_cond(tc):
+                *_, rho, trials, done = tc
+                return (~done) & (rho < 0) & (trials < MAX_TRIALS)
+
+            def trial(tc):
+                kp_c, pp_c, lam_c, ni_c, chi_c, _, trials, _ = tc
+                dc, dp, scale = solve(lam_c)
+                kp_new = jnp.einsum(
+                    "kij,kjl->kil", se3.se3_exp(dc), kp_c
+                )
+                kp_new = jnp.where(
+                    prob.kf_fixed[:, None, None], kp_c, kp_new
+                )
+                pp_new = pp_c + dp
+                chi_new = total_cost(kp_new, pp_new, mask, kernel_on)
+                rho = (chi_c - chi_new) / (scale + 1e-3)
+                good = (rho > 0) & jnp.isfinite(chi_new)
+                alpha = 1.0 - (2.0 * rho - 1.0) ** 3
+                lam_good = lam_c * jnp.clip(alpha, 1.0 / 3.0, 2.0 / 3.0)
+                return (
+                    jnp.where(good, kp_new, kp_c),
+                    jnp.where(good, pp_new, pp_c),
+                    jnp.where(good, lam_good, lam_c * ni_c),
+                    jnp.where(good, 2.0, ni_c * 2.0),
+                    jnp.where(good, chi_new, chi_c),
+                    rho,
+                    trials + 1,
+                    good,
+                )
+
+            kp2, pp2, lam2, ni2, chi2_, *_ = jax.lax.while_loop(
+                trial_cond, trial,
+                (kf_pose, pt_pos, lam0, ni0, chi, -1.0, 0, False),
+            )
+            return (kp2, pp2, lam2, ni2, chi2_)
+
+        kf_pose, pt_pos, *_ = jax.lax.fori_loop(
+            0, n_iters, iteration, (kf_pose0, pt_pos0, 0.0, 2.0, chi0)
+        )
+        return kf_pose, pt_pos
+
+    # phase 1: 5 iterations on all valid edges, robust kernel on
+    mask1 = prob.e_valid
+    kf_pose, pt_pos = lm_phase(
+        prob.kf_pose, prob.pt_pos, mask1, True, n_iters1
+    )
+
+    # outlier gate between phases (Optimizer.cc:786-817)
+    e, pc, _, _ = _edge_terms(kf_pose, pt_pos, prob, K)
+    c2 = _chi2(e, prob.e_inv_s2)
+    inlier = prob.e_valid & (c2 <= chi2_th) & (pc[:, 2] > 0)
+
+    # phase 2: 10 more iterations on inliers, still robust
+    kf_pose, pt_pos = lm_phase(kf_pose, pt_pos, inlier, True, n_iters2)
+
+    # final classification (Optimizer.cc:820-850)
+    e, pc, _, _ = _edge_terms(kf_pose, pt_pos, prob, K)
+    c2 = _chi2(e, prob.e_inv_s2)
+    depth_pos = pc[:, 2] > 0
+    final_inlier = prob.e_valid & (c2 <= chi2_th) & depth_pos
+    return BAResult(
+        kf_pose=kf_pose,
+        pt_pos=pt_pos,
+        e_chi2=c2,
+        e_depth_pos=depth_pos,
+        e_inlier=final_inlier,
+    )

@@ -1,0 +1,135 @@
+"""Local bundle adjustment window assembly (Optimizer.cc:505-871).
+
+Host side: gathers the covisibility window (local KFs + their points +
+fixed anchor KFs), packs padded edge arrays (bucketed sizes to bound the
+number of XLA compilations), runs the Schur LM core, and writes results
+back into the map store — including erasing observations that end as
+outliers, exactly as the reference's joint erase pass (Optimizer.cc:820-850).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..geometry import camera
+from .ba_core import BAProblem, ba_solve
+
+
+def _bucket(n: int, quantum: int = 256) -> int:
+    return max(quantum, ((n + quantum - 1) // quantum) * quantum)
+
+
+def _bucket_kf(n: int) -> int:
+    return max(8, ((n + 7) // 8) * 8)
+
+
+def local_bundle_adjustment(cfg, m, kf_id: int):
+    # --- window selection (Optimizer.cc:507-566) --------------------------
+    local_kfs = [kf_id] + [k for k, _ in m.covisible_keyframes(kf_id)]
+    local_kfs = [k for k in local_kfs if m.kf_alive[k]]
+    local_set = set(local_kfs)
+
+    pts = set()
+    for k in local_kfs:
+        frame = m.kf_frames[k]
+        for pid in frame.map_pt[frame.map_pt >= 0]:
+            if m.pt_alive[pid]:
+                pts.add(int(pid))
+    pts = sorted(pts)
+    if not pts or len(local_kfs) < 2:
+        return
+
+    fixed_kfs = []
+    for pid in pts:
+        for k in m.pt_obs[pid]:
+            if k not in local_set and m.kf_alive[k] and k not in fixed_kfs:
+                fixed_kfs.append(k)
+    all_kfs = local_kfs + fixed_kfs
+    kf_slot = {k: i for i, k in enumerate(all_kfs)}
+    pt_slot = {p: i for i, p in enumerate(pts)}
+
+    # --- edges ------------------------------------------------------------
+    e_kf, e_pt, e_obs, e_inv, e_qual, e_feat = [], [], [], [], [], []
+    inv_sigma2 = 1.0 / (m.scale_factors ** 2)
+    for pid in pts:
+        for k, feat in m.pt_obs[pid].items():
+            if k not in kf_slot:
+                continue
+            frame = m.kf_frames[k]
+            u, v = frame.xy[feat]
+            ur = frame.u_right[feat]
+            e_kf.append(kf_slot[k])
+            e_pt.append(pt_slot[pid])
+            e_obs.append((u, v, ur))
+            e_inv.append(inv_sigma2[frame.octave[feat]])
+            if cfg.iv.propagate_keyptqual:
+                e_qual.append(m.pt_quality[pid])
+            else:
+                e_qual.append(frame.qual_score[feat])
+            e_feat.append((pid, k, feat))
+    if len(e_kf) < 10:
+        return
+
+    n_kf = _bucket_kf(len(all_kfs))
+    n_pt = _bucket(len(pts))
+    n_e = _bucket(len(e_kf))
+
+    kf_pose = np.zeros((n_kf, 4, 4), np.float32)
+    kf_pose[:, range(4), range(4)] = 1.0
+    kf_pose[: len(all_kfs)] = m.kf_pose[all_kfs]
+    kf_fixed = np.ones(n_kf, bool)
+    for i, k in enumerate(all_kfs):
+        # the origin keyframe stays fixed even when local (Optimizer.cc:545)
+        kf_fixed[i] = (i >= len(local_kfs)) or (k == m.origin_kf)
+
+    pt_pos = np.zeros((n_pt, 3), np.float32)
+    pt_pos[: len(pts)] = m.pt_pos[pts]
+    pt_valid = np.zeros(n_pt, bool)
+    pt_valid[: len(pts)] = True
+
+    E = len(e_kf)
+    prob = BAProblem(
+        kf_pose=jnp.asarray(kf_pose),
+        kf_fixed=jnp.asarray(kf_fixed),
+        pt_pos=jnp.asarray(pt_pos),
+        pt_valid=jnp.asarray(pt_valid),
+        e_kf=jnp.asarray(np.pad(np.array(e_kf, np.int32), (0, n_e - E))),
+        e_pt=jnp.asarray(np.pad(np.array(e_pt, np.int32), (0, n_e - E))),
+        e_obs=jnp.asarray(
+            np.pad(
+                np.array(e_obs, np.float32),
+                ((0, n_e - E), (0, 0)),
+                constant_values=-1.0,
+            )
+        ),
+        e_inv_s2=jnp.asarray(np.pad(np.array(e_inv, np.float32), (0, n_e - E))),
+        e_qual=jnp.asarray(
+            np.pad(np.array(e_qual, np.float32), (0, n_e - E), constant_values=1.0)
+        ),
+        e_valid=jnp.asarray(
+            np.pad(np.ones(E, bool), (0, n_e - E), constant_values=False)
+        ),
+    )
+    K = camera.Intrinsics.from_config(cfg.camera)
+    res = ba_solve(prob, K)
+
+    # --- write back -------------------------------------------------------
+    new_poses = np.asarray(res.kf_pose)
+    for i, k in enumerate(local_kfs):
+        if not kf_fixed[i]:
+            m.set_kf_pose(k, new_poses[i])
+    new_pts = np.asarray(res.pt_pos)
+    m.pt_pos[pts] = new_pts[: len(pts)]
+
+    # erase outlier observations (Optimizer.cc:820-850)
+    inlier = np.asarray(res.e_inlier)[:E]
+    for idx in np.nonzero(~inlier)[0]:
+        pid, k, feat = e_feat[idx]
+        if m.pt_alive[pid] and m.pt_obs[pid].get(k) == feat:
+            frame = m.kf_frames[k]
+            frame.map_pt[feat] = -1
+            m.erase_observation(pid, k)
+    for pid in pts:
+        if m.pt_alive[pid]:
+            m.update_normal_and_depth(pid)

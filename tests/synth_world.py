@@ -1,0 +1,79 @@
+"""Synthetic stereo sequence renderer for end-to-end SLAM tests.
+
+A textured plane (world z = 0) viewed by a downward-looking stereo rig.
+Rendering is an exact homography warp, so ground-truth poses are exact and
+stereo geometry is consistent with the pinhole model.
+"""
+
+import cv2
+import numpy as np
+
+
+class PlaneWorld:
+    def __init__(self, rng, tex_size=4096, res=80.0, fx=400.0, fy=400.0,
+                 cx=160.0, cy=120.0, w=320, h=240, baseline=0.5):
+        tex = rng.uniform(0, 255, size=(tex_size, tex_size)).astype(np.float32)
+        tex = cv2.GaussianBlur(tex, (5, 5), 1.0)
+        for _ in range(4000):
+            y, x = rng.integers(10, tex_size - 16, 2)
+            tex[y:y + 8, x:x + 8] = rng.uniform(0, 255)
+        self.tex = np.clip(tex, 0, 255).astype(np.uint8)
+        self.res = res  # texture pixels per world meter
+        self.K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+        self.Kinv = np.linalg.inv(self.K)
+        self.w, self.h = w, h
+        self.baseline = baseline
+        self.bf = baseline * fx
+
+    def render(self, Twc: np.ndarray) -> np.ndarray:
+        """Render the camera view for camera-to-world pose Twc."""
+        R = Twc[:3, :3]
+        C = Twc[:3, 3]
+        uu, vv = np.meshgrid(np.arange(self.w), np.arange(self.h))
+        rays = np.stack([uu, vv, np.ones_like(uu)], axis=-1).astype(np.float32)
+        rays = rays @ self.Kinv.T @ R.T  # world-frame ray directions
+        lam = -C[2] / rays[..., 2]
+        X = C[None, None, :] + lam[..., None] * rays
+        tx = (X[..., 0] * self.res + self.tex.shape[1] / 2).astype(np.float32)
+        ty = (X[..., 1] * self.res + self.tex.shape[0] / 2).astype(np.float32)
+        return cv2.remap(self.tex, tx, ty, cv2.INTER_LINEAR,
+                         borderMode=cv2.BORDER_WRAP)
+
+    def render_stereo(self, Twc: np.ndarray):
+        left = self.render(Twc)
+        Twc_r = Twc.copy()
+        # right camera displaced along the camera x-axis
+        Twc_r[:3, 3] = Twc[:3, 3] + Twc[:3, :3] @ np.array(
+            [self.baseline, 0, 0], np.float32
+        )
+        right = self.render(Twc_r)
+        return left, right
+
+
+def camera_pose(t_xyz, height=10.0, yaw=0.0):
+    """Camera at t_xyz + altitude, optical axis looking down at the plane
+    (camera z toward -world z), x aligned with world x."""
+    Twc = np.eye(4, dtype=np.float32)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    # camera axes in world coords: x right, y forward(-ish), z down to plane
+    Rwc = np.array(
+        [[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, -1.0]], np.float32
+    )
+    # flip y to keep det(R) = +1 (right-handed)
+    Rwc[:, 1] *= -1
+    Twc[:3, :3] = Rwc
+    Twc[:3, 3] = [t_xyz[0], t_xyz[1], height]
+    return Twc
+
+
+def make_sequence(rng, n_frames=20, step=0.08):
+    world = PlaneWorld(rng)
+    frames = []
+    gt = []
+    for i in range(n_frames):
+        t = np.array([i * step, 0.02 * np.sin(i * 0.4), 0.0], np.float32)
+        Twc = camera_pose(t, height=10.0, yaw=0.02 * np.sin(i * 0.3))
+        left, right = world.render_stereo(Twc)
+        frames.append((left, right))
+        gt.append(Twc)
+    return world, frames, gt
