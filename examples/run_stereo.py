@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Stereo SLAM driver — the Examples/Stereo/stereo_kitti.cc equivalent.
+
+Flag surface mirrors the reference binary (stereo_kitti.cc:54-126):
+data/GT paths, introspection toggles, dataset creation, start/end frames,
+output paths. One driver covers KITTI / EuRoC / Jackal via --dataset.
+
+Usage (KITTI-00, vanilla ORB-SLAM2 configuration):
+  python examples/run_stereo.py --dataset kitti \
+      --data_path /data/kitti/00 --settings_path settings/KITTI00-02.yaml \
+      --ground_truth_path /data/kitti/poses/00.txt \
+      --out_visualization_path /tmp/out
+
+Introspection inference (Jackal):
+  python examples/run_stereo.py --dataset jackal --data_path <session> \
+      --settings_path settings/jackal.yaml --introspection_func_enabled \
+      --introspection_model_path ckpt/best --inference_mode
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", choices=["kitti", "euroc", "jackal"],
+                   default="kitti")
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--settings_path", default="")
+    p.add_argument("--ground_truth_path", default="")
+    p.add_argument("--img_qual_path", default="",
+                   help="precomputed cost-map PNGs (load_img_qual_heatmaps)")
+    p.add_argument("--introspection_model_path", default="")
+    p.add_argument("--out_visualization_path", default="out")
+    p.add_argument("--out_dataset_path", default="")
+    p.add_argument("--start_frame", type=int, default=0)
+    p.add_argument("--end_frame", type=int, default=-1)
+    p.add_argument("--run_single_threaded", action="store_true", default=True)
+    p.add_argument("--create_ivslam_dataset", action="store_true")
+    p.add_argument("--ivslam_enabled", action="store_true")
+    p.add_argument("--inference_mode", action="store_true")
+    p.add_argument("--introspection_func_enabled", action="store_true")
+    p.add_argument("--enable_viewer", action="store_true")
+    p.add_argument("--gt_pose_available", action="store_true")
+    p.add_argument("--timestamps_file", default="",
+                   help="EuRoC timestamp list")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from iv_slam_tpu.config import Config, load_reference_yaml
+    from iv_slam_tpu.io import datasets, trajectory
+    from iv_slam_tpu.slam.system import System
+
+    cfg = Config()
+    if args.settings_path:
+        cfg = load_reference_yaml(args.settings_path, cfg)
+    cfg.iv.enabled = args.ivslam_enabled
+    cfg.iv.inference_mode = args.inference_mode
+    cfg.iv.create_dataset = args.create_ivslam_dataset
+
+    if args.dataset == "kitti":
+        seq = datasets.load_kitti_stereo(
+            args.data_path, args.ground_truth_path or None,
+            args.start_frame, args.end_frame,
+        )
+    elif args.dataset == "euroc":
+        seq = datasets.load_euroc_stereo(
+            args.data_path, args.timestamps_file
+        )
+    else:
+        seq = datasets.load_jackal_session(args.data_path)
+
+    left0 = datasets.load_gray(seq.left_paths[0])
+    h, w = left0.shape
+    cfg.camera.height, cfg.camera.width = h, w
+    sys_ = System(cfg, h, w)
+
+    # introspection sources
+    cost_fn = None
+    if args.introspection_func_enabled and args.introspection_model_path:
+        import jax
+        from iv_slam_tpu.models.introspection import (
+            IntrospectionNet, inference_cost_map,
+        )
+        from iv_slam_tpu.train.trainer import Trainer, TrainConfig
+
+        tr = Trainer(TrainConfig())
+        tr.restore(args.introspection_model_path)
+        net = tr.net
+        variables = tr.variables()
+
+        def cost_fn(img):
+            rgb = np.stack([img] * 3, axis=-1)
+            return np.asarray(
+                inference_cost_map(net, variables, rgb, (h, w))
+            )
+    elif args.img_qual_path:
+        def cost_fn(img, _dir=args.img_qual_path, _seq=seq, _i=[0]):
+            name = _seq.names[_i[0]]
+            _i[0] += 1
+            path = os.path.join(_dir, name)
+            return datasets.load_gray(path) if os.path.exists(path) else None
+
+    os.makedirs(args.out_visualization_path, exist_ok=True)
+    t_track = []
+    for i in range(len(seq)):
+        left, right, t, gt, name = seq[i]
+        cost = cost_fn(left) if cost_fn else None
+        t0 = time.perf_counter()
+        sys_.track_stereo(left, right, t, gt_pose=gt, img_name=name,
+                          cost_map=cost)
+        t_track.append(time.perf_counter() - t0)
+        if i % 50 == 0:
+            print(f"frame {i}/{len(seq)} state={sys_.state.name} "
+                  f"median_track={np.median(t_track):.3f}s")
+
+    out = args.out_visualization_path
+    sys_.save_trajectory_kitti(os.path.join(out, "Trajectory_KITTI_000.txt"))
+    sys_.save_trajectory_tum(
+        os.path.join(out, "KeyFrameTrajectory_TUM_000.txt")
+    )
+    sys_.save_failure_log(os.path.join(out, "failure_log.txt"))
+    stats = dict(
+        frames=len(seq),
+        failures=sys_.failure_count,
+        median_track_s=float(np.median(t_track)),
+        mean_track_s=float(np.mean(t_track)),
+        fps=1.0 / float(np.median(t_track)),
+    )
+    if seq.gt_poses is not None:
+        est = sys_.trajectory_twc()
+        stats["ate_rmse"] = trajectory.ate_rmse(est, list(seq.gt_poses))
+    print(json.dumps(stats))
+    with open(os.path.join(out, "stats.json"), "w") as f:
+        json.dump(stats, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_EPS = 1e-8
+_EPS = 1e-24  # only guards exact-zero division; Taylor handles small angles
 
 
 def hat(w: jnp.ndarray) -> jnp.ndarray:
@@ -38,7 +38,7 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     # sin(t)/t and (1-cos(t))/t^2 with small-angle Taylor fallbacks.
-    use_taylor = theta2 < 1e-8
+    use_taylor = theta2 < 1e-4
     A = jnp.where(use_taylor, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     B = jnp.where(use_taylor, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     return eye + A * W + B * W2
@@ -73,7 +73,7 @@ def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     W = hat(w)
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
-    use_taylor = theta2 < 1e-8
+    use_taylor = theta2 < 1e-4
     A = jnp.where(use_taylor, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     B = jnp.where(use_taylor, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     C = jnp.where(use_taylor, 1.0 / 6.0 - theta2 / 120.0, (1.0 - A) / theta2)
@@ -93,7 +93,7 @@ def se3_log(T: jnp.ndarray) -> jnp.ndarray:
     W = hat(w)
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
-    use_taylor = theta2 < 1e-8
+    use_taylor = theta2 < 1e-4
     A = jnp.where(use_taylor, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     B = jnp.where(use_taylor, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     # V^{-1} = I - W/2 + (1/theta^2)(1 - A/(2B)) W^2

@@ -1,0 +1,176 @@
+"""Training-data generation orchestrator (Tracking.cc:687-775 hooks).
+
+After each tracked frame (state OK, counter > 2) in training mode:
+
+  supervised (IVSLAM.unsupervisedLearning = 0):
+    score matched keypoints against their map point's reference-keyframe
+    observation by normalized epipolar error (EvaluateFeatures ->
+    EvaluateAgainstRefKeyFrameEpipolarNormalized, fe.cpp:2512-2752), GP-
+    interpolate into a heatmap, save when IsFrameGoodForTraining;
+
+  unsupervised (= 1):
+    map the pose-LM chi2 logs into quality scores
+    (Frame::ComputeKeyPtQualScores), gate frame reliability by GT relative-
+    pose chi2 + minimum velocity (EvaluateTrackingAccuracy), emit heatmap +
+    variance mask (GenerateUnsupImageQualityHeatmapGP).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import Config
+from ..ops import gp
+from . import feature_evaluator as fe
+from . import unsupervised as unsup
+from .dataset_creator import DatasetCreator
+
+
+class DataGenerator:
+    def __init__(self, cfg: Config, map_store, out_path: Optional[str]):
+        self.cfg = cfg
+        self.map = map_store
+        self.creator = DatasetCreator(out_path) if out_path else None
+        self.n_saved = 0
+        self._cap = cfg.gp.max_train_points
+
+    def set_map(self, map_store):
+        self.map = map_store
+
+    # ------------------------------------------------------- supervised
+
+    def process_frame_supervised(self, frame, img_hw) -> Optional[dict]:
+        """Score + heatmap for one tracked frame with GT pose available."""
+        if frame.gt_pose is None or frame.pose is None:
+            return None
+        m = self.map
+        has_pt = frame.map_pt >= 0
+        idx = np.nonzero(has_pt)[0]
+        if len(idx) == 0:
+            return None
+        kp_cur, kp_ref, lvl_sig2, keep = [], [], [], []
+        sf2 = m.scale_factors ** 2
+        for i in idx:
+            pid = int(frame.map_pt[i])
+            if not m.pt_alive[pid]:
+                continue
+            ref_kf = int(m.pt_ref_kf[pid])
+            feat = m.pt_obs[pid].get(ref_kf)
+            if feat is None or m.kf_gt_pose[ref_kf] is None:
+                continue
+            rf = m.kf_frames[ref_kf]
+            kp_cur.append(frame.xy[i])
+            kp_ref.append(rf.xy[feat])
+            lvl_sig2.append(sf2[frame.octave[i]])
+            keep.append(i)
+        if len(keep) < 4:
+            return None
+        n = len(keep)
+        cap = self._cap
+        pad = max(cap - n, 0)
+        kp_cur_a = np.pad(np.stack(kp_cur)[:cap], ((0, pad), (0, 0)))
+        kp_ref_a = np.pad(np.stack(kp_ref)[:cap], ((0, pad), (0, 0)))
+        sig_a = np.pad(np.array(lvl_sig2, np.float32)[:cap], (0, pad),
+                       constant_values=1.0)
+        valid = np.zeros(cap, bool)
+        valid[: min(n, cap)] = True
+
+        # GT relative transform: ref KF -> current (both Twc)
+        ref_kf0 = int(m.pt_ref_kf[int(frame.map_pt[keep[0]])])
+        # use per-frame GT pose of the current frame and each point's ref
+        # KF; the reference computes this per keypoint — batching by the
+        # dominant ref KF keeps one transform per call
+        T_rel = np.asarray(
+            fe.relative_transform(
+                jnp.asarray(frame.gt_pose),
+                jnp.asarray(m.kf_gt_pose[ref_kf0]),
+            )
+        )
+        K = self.cfg.camera.K()
+        scores = fe.epipolar_scores(
+            jnp.asarray(kp_cur_a.astype(np.float32)),
+            jnp.asarray(kp_ref_a.astype(np.float32)),
+            jnp.asarray(sig_a),
+            jnp.asarray(valid),
+            jnp.asarray(T_rel.astype(np.float32)),
+            jnp.asarray(K),
+            jnp.zeros((3, 3)), jnp.zeros((3, 3)), jnp.asarray(False),
+        )
+        norm_err = np.asarray(scores.norm_err)
+        sel = norm_err >= 0
+        if sel.sum() < 4:
+            return None
+        pct, cnt = fe.bad_match_stats(scores.norm_err)
+        good = fe.frame_good_for_training(float(pct), int(cnt))
+
+        bny, bnx, out_h, out_w = gp.grid_shape(
+            img_hw[0], img_hw[1], self.cfg.gp.bin_size, self.cfg.gp.bin_stride
+        )
+        mean, var = gp.gp_grid_predict(
+            jnp.asarray(np.where(sel[:, None], kp_cur_a, 0.0)),
+            jnp.asarray(np.where(sel, norm_err, 0.0)),
+            jnp.asarray(sel),
+            bny, bnx, self.cfg.gp.bin_size, self.cfg.gp.bin_stride,
+            self.cfg.gp.sigma_f, self.cfg.gp.length_scale, self.cfg.gp.sigma_n,
+        )
+        heatmap = np.asarray(gp.heatmap_from_grid(mean, out_h, out_w))
+        result = dict(
+            heatmap=heatmap, good=good, bad_percent=float(pct),
+            n_scored=int(cnt), norm_err=norm_err, keep=np.array(keep),
+        )
+        if self.creator is not None and good:
+            self.creator.save_bad_region_heatmap(frame.img_name, heatmap)
+            kept = np.array(keep)[: min(n, cap)][sel[: min(n, cap)]]
+            self.creator.append_keypoints(
+                frame.xy[kept],
+                np.zeros(len(kept), np.float32),
+                np.zeros(len(kept), np.float32),
+                norm_err[sel],
+            )
+            self.creator.append_descriptors(
+                frame.desc[kept], frame.desc[kept], frame.img_name
+            )
+            self.n_saved += 1
+        return result
+
+    # ----------------------------------------------------- unsupervised
+
+    def process_frame_unsupervised(
+        self, frame, chi2, chi2_dof, found, reliable, img_hw
+    ) -> Optional[dict]:
+        qual, active = unsup.compute_keypt_qual_scores(chi2, chi2_dof, found)
+        idx = np.nonzero(active)[0]
+        if len(idx) < 4:
+            return None
+        errs = unsup.unsup_error_values(qual[idx])
+        cap = self._cap
+        n = min(len(idx), cap)
+        pts = np.zeros((cap, 2), np.float32)
+        vals = np.zeros(cap, np.float32)
+        valid = np.zeros(cap, bool)
+        pts[:n] = frame.xy[idx[:n]]
+        vals[:n] = errs[:n]
+        valid[:n] = True
+        bny, bnx, out_h, out_w = gp.grid_shape(
+            img_hw[0], img_hw[1], self.cfg.gp.bin_size, self.cfg.gp.bin_stride
+        )
+        mean, var = gp.gp_grid_predict(
+            jnp.asarray(pts), jnp.asarray(vals), jnp.asarray(valid),
+            bny, bnx, self.cfg.gp.bin_size, self.cfg.gp.bin_stride,
+            self.cfg.gp.sigma_f, self.cfg.gp.length_scale, self.cfg.gp.sigma_n,
+        )
+        heatmap = np.asarray(gp.heatmap_from_grid(mean, out_h, out_w, 0.0, 1.0))
+        mask = np.asarray(gp.mask_from_variance(var, out_h, out_w))
+        good = reliable and mask.sum() > 0
+        if self.creator is not None and good:
+            self.creator.save_bad_region_heatmap(frame.img_name, heatmap)
+            self.creator.save_bad_region_heatmap_mask(frame.img_name, mask)
+            self.n_saved += 1
+        return dict(heatmap=heatmap, mask=mask, good=good, qual=qual)
+
+    def finalize(self):
+        if self.creator is not None:
+            self.creator.save_to_file()

@@ -160,6 +160,62 @@ def search_by_projection_last_frame(
     return assign, jnp.sum(matched_kp.astype(jnp.int32))
 
 
+@functools.partial(jax.jit, static_argnames=("check_orientation",))
+def search_for_initialization(
+    xy1: jnp.ndarray,      # (N, 2) frame-1 keypoints
+    oct1: jnp.ndarray,
+    angle1: jnp.ndarray,
+    desc1: jnp.ndarray,
+    valid1: jnp.ndarray,
+    xy2: jnp.ndarray,      # (M, 2) frame-2 keypoints
+    oct2: jnp.ndarray,
+    angle2: jnp.ndarray,
+    desc2: jnp.ndarray,
+    valid2: jnp.ndarray,
+    prev_xy: jnp.ndarray,  # (N, 2) predicted positions in frame 2
+    window: jnp.ndarray,   # search radius (reference: 100)
+    nn_ratio: jnp.ndarray,  # 0.9 in MonocularInitialization
+    check_orientation: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ORBmatcher::SearchForInitialization (ORBmatcher.cc:69 semantics):
+    level-0-only windowed search with best/second ratio and rotation
+    histogram. Returns (assign (N,), n): frame-2 index per frame-1 kp."""
+    du = jnp.abs(xy2[None, :, 0] - prev_xy[:, None, 0])
+    dv = jnp.abs(xy2[None, :, 1] - prev_xy[:, None, 1])
+    mask = (
+        (du < window) & (dv < window)
+        & (oct1[:, None] == 0) & (oct2[None, :] == 0)
+        & valid1[:, None] & valid2[None, :]
+    )
+    dist = hamming_matrix(desc1, desc2)
+    big = jnp.int32(1 << 20)
+    masked = jnp.where(mask, dist, big)
+    top2_v, top2_i = jax.lax.top_k(-masked, 2)
+    best_d = -top2_v[:, 0]
+    best_j = top2_i[:, 0]
+    second_d = -top2_v[:, 1]
+    ok = (best_d <= TH_LOW) & (
+        best_d.astype(jnp.float32) < nn_ratio * second_d.astype(jnp.float32)
+    )
+    # one-to-one resolution by lowest distance
+    m = xy2.shape[0]
+    d_claim = jnp.where(ok, best_d, big)
+    best_for_kp = jnp.full(m, big, jnp.int32).at[best_j].min(d_claim)
+    wins = ok & (d_claim == best_for_kp[best_j])
+    first = (
+        jnp.full(m, 1 << 30, jnp.int32)
+        .at[best_j]
+        .min(jnp.where(wins, jnp.arange(best_j.shape[0]), 1 << 30))
+    )
+    wins &= first[best_j] == jnp.arange(best_j.shape[0])
+    assign = jnp.where(wins, best_j, -1)
+    if check_orientation:
+        safe = jnp.maximum(assign, 0)
+        keep = rotation_consistency_mask(angle1, angle2[safe], assign >= 0)
+        assign = jnp.where(keep, assign, -1)
+    return assign, jnp.sum((assign >= 0).astype(jnp.int32))
+
+
 def _radius_by_viewing_cos(cos_v: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(cos_v > 0.998, 2.5, 4.0)
 

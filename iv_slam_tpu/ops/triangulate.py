@@ -1,0 +1,207 @@
+"""Epipolar matching + two-view triangulation for new map points
+(ORBmatcher::SearchForTriangulation, ORBmatcher.cc:72 + CheckDistEpipolarLine
+146; LocalMapping::CreateNewMapPoints, LocalMapping.cc:273-525).
+
+The reference restricts candidate pairs through DBoW2 feature-vector
+buckets (a CPU pruning device) and loops per feature. On TPU the full
+Hamming matrix is nearly free (MXU), so the bucket pruning is dropped and
+replaced by the same geometric gates applied densely: the epipolar-line
+distance check, the not-already-matched masks, and the descriptor
+threshold. Triangulation checks (parallax, cheirality, reprojection,
+scale consistency) run batched over all accepted pairs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .hamming import hamming_matrix
+
+TH_LOW = 50
+
+
+class TriangulationResult(NamedTuple):
+    assign: jnp.ndarray     # (N1,) index into kf2 features or -1
+    points: jnp.ndarray     # (N1, 3) world points for accepted matches
+    accepted: jnp.ndarray   # (N1,) bool
+
+
+def fundamental_from_poses(T1w, T2w, K1, K2):
+    """F12 such that x2^T F12^T ... reference ComputeF12 (LocalMapping.cc:609):
+    F12 = K1^-T [t12]x R12 K2^-1 with T12 = T1w * T2w^-1."""
+    R1, t1 = T1w[:3, :3], T1w[:3, 3]
+    R2, t2 = T2w[:3, :3], T2w[:3, 3]
+    R12 = R1 @ R2.T
+    t12 = -(R12 @ t2) + t1
+    tx = jnp.array(
+        [
+            [0.0, -t12[2], t12[1]],
+            [t12[2], 0.0, -t12[0]],
+            [-t12[1], t12[0], 0.0],
+        ]
+    )
+    return jnp.linalg.inv(K1).T @ tx @ R12 @ jnp.linalg.inv(K2)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def search_for_triangulation(
+    xy1: jnp.ndarray, desc1: jnp.ndarray, free1: jnp.ndarray,
+    xy2: jnp.ndarray, desc2: jnp.ndarray, free2: jnp.ndarray,
+    F12: jnp.ndarray,
+    sigma2_2: jnp.ndarray,   # (N2,) level variance of kf2 keypoints
+    epipole2: jnp.ndarray,   # (2,) projection of cam1 center in kf2
+    ex_check: jnp.ndarray,   # () bool: enforce min distance to epipole (mono)
+    sigma2_1_for_ex: jnp.ndarray,  # (N2,) scale^2 for the epipole gate
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (assign (N1,), n). Matches unmatched features of kf1 to kf2
+    under the epipolar constraint."""
+    dist = hamming_matrix(desc1, desc2)
+    # epipolar line of x1 in image 2: l2 = x1^T F12 (ORBmatcher.cc:146)
+    ones = jnp.ones((xy1.shape[0], 1))
+    x1h = jnp.concatenate([xy1, ones], axis=1)
+    l2 = x1h @ F12  # (N1, 3)
+    x2h = jnp.concatenate([xy2, jnp.ones((xy2.shape[0], 1))], axis=1)
+    num = (l2 @ x2h.T) ** 2  # (N1, N2)
+    den = l2[:, 0:1] ** 2 + l2[:, 1:2] ** 2
+    dsqr = num / jnp.maximum(den, 1e-12)
+    epi_ok = dsqr < 3.84 * sigma2_2[None, :]
+    # mono epipole proximity gate (ORBmatcher.cc SearchForTriangulation:
+    # skip keypoints too close to the epipole)
+    de2 = jnp.sum((xy2 - epipole2[None]) ** 2, axis=1)
+    ex_ok = jnp.where(ex_check, de2[None, :] >= 100.0 * sigma2_1_for_ex[None, :],
+                      True)
+    mask = free1[:, None] & free2[None, :] & epi_ok & ex_ok
+    big = jnp.int32(1 << 20)
+    masked = jnp.where(mask, dist, big)
+    best_j = jnp.argmin(masked, axis=1)
+    best_d = jnp.take_along_axis(masked, best_j[:, None], axis=1)[:, 0]
+    ok = best_d < TH_LOW
+    # one-to-one
+    m = xy2.shape[0]
+    d_claim = jnp.where(ok, best_d, big)
+    best_for = jnp.full(m, big, jnp.int32).at[best_j].min(d_claim)
+    wins = ok & (d_claim == best_for[best_j])
+    first = (
+        jnp.full(m, 1 << 30, jnp.int32)
+        .at[best_j]
+        .min(jnp.where(wins, jnp.arange(best_j.shape[0]), 1 << 30))
+    )
+    wins &= first[best_j] == jnp.arange(best_j.shape[0])
+    assign = jnp.where(wins, best_j, -1)
+    return assign, jnp.sum(wins.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def triangulate_checked(
+    xy1: jnp.ndarray, xy2: jnp.ndarray,       # (N, 2) matched pixels
+    ur1: jnp.ndarray, depth1: jnp.ndarray,    # stereo data of kf1 features
+    ur2: jnp.ndarray, depth2: jnp.ndarray,
+    sigma2_1: jnp.ndarray, sigma2_2: jnp.ndarray,
+    scale1: jnp.ndarray, scale2: jnp.ndarray,  # scaleFactor^octave per feat
+    valid: jnp.ndarray,
+    T1w: jnp.ndarray, T2w: jnp.ndarray,        # (4, 4) camera poses
+    fx, fy, cx, cy, bf,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """LocalMapping::CreateNewMapPoints triangulation core: DLT when
+    parallax allows, stereo backprojection otherwise; full check battery.
+    Returns (points_w (N, 3), good (N,))."""
+    R1, t1 = T1w[:3, :3], T1w[:3, 3]
+    R2, t2 = T2w[:3, :3], T2w[:3, 3]
+    O1 = -R1.T @ t1
+    O2 = -R2.T @ t2
+
+    xn1 = jnp.stack(
+        [(xy1[:, 0] - cx) / fx, (xy1[:, 1] - cy) / fy, jnp.ones(xy1.shape[0])],
+        axis=1,
+    )
+    xn2 = jnp.stack(
+        [(xy2[:, 0] - cx) / fx, (xy2[:, 1] - cy) / fy, jnp.ones(xy2.shape[0])],
+        axis=1,
+    )
+    ray1 = xn1 @ R1  # world-frame rays (R^T xn)
+    ray2 = xn2 @ R2
+    cos_par = jnp.sum(ray1 * ray2, axis=1) / jnp.maximum(
+        jnp.linalg.norm(ray1, axis=1) * jnp.linalg.norm(ray2, axis=1), 1e-12
+    )
+    # stereo parallax (LocalMapping.cc:373-382)
+    cos_stereo1 = jnp.where(
+        depth1 > 0, jnp.cos(2.0 * jnp.arctan2(bf / fx / 2.0, depth1)), 1e9
+    )
+    cos_stereo2 = jnp.where(
+        depth2 > 0, jnp.cos(2.0 * jnp.arctan2(bf / fx / 2.0, depth2)), 1e9
+    )
+    cos_stereo = jnp.minimum(cos_stereo1, cos_stereo2)
+
+    # DLT triangulation
+    P1 = jnp.concatenate([R1, t1[:, None]], axis=1)
+    P2 = jnp.concatenate([R2, t2[:, None]], axis=1)
+
+    def dlt(a, b):
+        A = jnp.stack(
+            [
+                a[0] * P1[2] - P1[0],
+                a[1] * P1[2] - P1[1],
+                b[0] * P2[2] - P2[0],
+                b[1] * P2[2] - P2[1],
+            ]
+        )
+        _, _, Vt = jnp.linalg.svd(A)
+        X = Vt[-1]
+        return X[:3] / jnp.where(jnp.abs(X[3]) > 1e-12, X[3], 1e-12)
+
+    X_dlt = jax.vmap(dlt)(xn1, xn2)
+
+    # stereo backprojection fallbacks
+    def backproj(T, xy, depth):
+        Twc = jnp.linalg.inv(T)
+        xc = jnp.stack(
+            [(xy[:, 0] - cx) * depth / fx, (xy[:, 1] - cy) * depth / fy, depth],
+            axis=1,
+        )
+        return xc @ Twc[:3, :3].T + Twc[:3, 3]
+
+    X_s1 = backproj(T1w, xy1, depth1)
+    X_s2 = backproj(T2w, xy2, depth2)
+
+    use_dlt = (cos_par < jnp.minimum(cos_stereo, 0.9998)) & (cos_par > 0)
+    use_s1 = ~use_dlt & (depth1 > 0) & (cos_stereo1 <= cos_stereo2)
+    use_s2 = ~use_dlt & ~use_s1 & (depth2 > 0)
+    X = jnp.where(
+        use_dlt[:, None], X_dlt,
+        jnp.where(use_s1[:, None], X_s1, X_s2),
+    )
+    has_source = use_dlt | use_s1 | use_s2
+
+    def checks(T, xy, ur, sig2):
+        pc = X @ T[:3, :3].T + T[:3, 3]
+        z = pc[:, 2]
+        u = fx * pc[:, 0] / jnp.maximum(z, 1e-9) + cx
+        v = fy * pc[:, 1] / jnp.maximum(z, 1e-9) + cy
+        e2 = (u - xy[:, 0]) ** 2 + (v - xy[:, 1]) ** 2
+        ur_pred = u - bf / jnp.maximum(z, 1e-9)
+        e2_st = e2 + jnp.where(ur > 0, (ur_pred - ur) ** 2, 0.0)
+        th = jnp.where(ur > 0, 7.8, 5.991) * sig2
+        return (z > 0) & (e2_st < th), z
+
+    ok1, z1 = checks(T1w, xy1, ur1, sigma2_1)
+    ok2, z2 = checks(T2w, xy2, ur2, sigma2_2)
+
+    # scale-consistency (LocalMapping.cc:489-503)
+    d1 = jnp.linalg.norm(X - O1[None], axis=1)
+    d2 = jnp.linalg.norm(X - O2[None], axis=1)
+    ratio_dist = d2 / jnp.maximum(d1, 1e-12)
+    ratio_oct = scale1 / jnp.maximum(scale2, 1e-12)
+    ratio_factor = 1.5 * 1.2  # 1.5 * scaleFactor
+    scale_ok = (ratio_dist <= ratio_oct * ratio_factor) & (
+        ratio_dist >= ratio_oct / ratio_factor
+    )
+
+    good = (
+        valid & has_source & jnp.all(jnp.isfinite(X), axis=1)
+        & ok1 & ok2 & scale_ok & (d1 > 0) & (d2 > 0)
+    )
+    return X, good

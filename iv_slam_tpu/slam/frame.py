@@ -85,6 +85,48 @@ class Frame:
         return (Twc @ pc)[:3]
 
 
+class MonoFrontend:
+    """Monocular frame builder (Frame.cc:308-413 mono ctor): extraction
+    only; stereo fields stay at -1."""
+
+    def __init__(self, cfg: Config, height: int, width: int):
+        self.cfg = cfg
+        self.extractor = OrbExtractor(cfg.orb, height, width)
+        self._frame_count = 0
+
+    def process(
+        self,
+        img: np.ndarray,
+        timestamp: float,
+        cost_map: Optional[np.ndarray] = None,
+        gt_pose: Optional[np.ndarray] = None,
+        img_name: str = "",
+    ) -> Frame:
+        q = jnp.asarray(cost_map) if cost_map is not None else None
+        kp = self.extractor(jnp.asarray(img), q)
+        n = int(kp.xy.shape[0])
+        if cost_map is not None:
+            xy = np.asarray(kp.xy)
+            xs = np.clip(np.rint(xy[:, 0]).astype(int), 0, cost_map.shape[1] - 1)
+            ys = np.clip(np.rint(xy[:, 1]).astype(int), 0, cost_map.shape[0] - 1)
+            cost = cost_map[ys, xs].astype(np.float32)
+            qual = 2.0 * (1.0 / (1.0 + cost / 256.0)) - 1.0
+        else:
+            qual = np.ones(n, np.float32)
+        fid = self._frame_count
+        self._frame_count += 1
+        return Frame(
+            frame_id=fid,
+            timestamp=timestamp,
+            kp=kp,
+            u_right=np.full(n, -1.0, np.float32),
+            depth=np.full(n, -1.0, np.float32),
+            qual_score=qual,
+            gt_pose=gt_pose,
+            img_name=img_name,
+        )
+
+
 class StereoFrontend:
     """Builds Frames from stereo pairs: extraction + stereo matching +
     quality seeding, all jitted device calls with static shapes."""

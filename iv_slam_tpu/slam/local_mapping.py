@@ -45,9 +45,229 @@ class LocalMapping:
             kf_id = self.queue.pop(0)
             self.current_kf = kf_id
             self._cull_map_points(kf_id)
+            self._create_new_map_points(kf_id)
+            self._search_in_neighbors(kf_id)
             if self.map.n_keyframes > 2 and run_ba:
                 self._run_local_ba(kf_id)
             self._cull_keyframes(kf_id)
+
+    # -------------------------------------------------------- triangulation
+
+    def _create_new_map_points(self, kf_id: int, n_neighbors: int = 10):
+        """LocalMapping::CreateNewMapPoints (273-525): triangulate new
+        points against the best covisible keyframes."""
+        import jax.numpy as jnp
+
+        from ..ops import triangulate as tri
+
+        m = self.map
+        cam = self.cfg.camera
+        cur = m.kf_frames[kf_id]
+        if cur is None:
+            return
+        K = cam.K()
+        sf = m.scale_factors
+        sf2 = sf ** 2
+        T1 = m.kf_pose[kf_id]
+        O1 = m.kf_camera_center(kf_id)
+        neighbors = [k for k, _ in m.covisible_keyframes(kf_id)[:n_neighbors]]
+        for nb in neighbors:
+            T2 = m.kf_pose[nb]
+            O2 = m.kf_camera_center(nb)
+            baseline = float(np.linalg.norm(O2 - O1))
+            # stereo gate: baseline must exceed the stereo baseline
+            if baseline < cam.baseline:
+                continue
+            nf = m.kf_frames[nb]
+            free1 = cur.valid & (cur.map_pt < 0)
+            free2 = nf.valid & (nf.map_pt < 0)
+            if free1.sum() < 5 or free2.sum() < 5:
+                continue
+            F12 = tri.fundamental_from_poses(
+                jnp.asarray(T1), jnp.asarray(T2), jnp.asarray(K), jnp.asarray(K)
+            )
+            # epipole of cam1 in image 2
+            c1_in2 = T2[:3, :3] @ O1 + T2[:3, 3]
+            if abs(c1_in2[2]) < 1e-6:
+                continue
+            epipole2 = np.array(
+                [
+                    cam.fx * c1_in2[0] / c1_in2[2] + cam.cx,
+                    cam.fy * c1_in2[1] / c1_in2[2] + cam.cy,
+                ],
+                np.float32,
+            )
+            assign, n = tri.search_for_triangulation(
+                jnp.asarray(cur.xy), cur.kp.desc, jnp.asarray(free1),
+                jnp.asarray(nf.xy), nf.kp.desc, jnp.asarray(free2),
+                F12,
+                jnp.asarray(sf2[nf.octave]),
+                jnp.asarray(epipole2),
+                jnp.asarray(cur.depth.max() <= 0),  # mono: epipole gate on
+                jnp.asarray(sf2[nf.octave]),
+            )
+            if int(n) == 0:
+                continue
+            assign_np = np.asarray(assign)
+            i1_raw = np.nonzero(assign_np >= 0)[0]
+            i2_raw = assign_np[i1_raw]
+            # pad to a bucketed static size so the kernel compiles once
+            cap = 256
+            while cap < len(i1_raw):
+                cap *= 2
+            nb_valid = len(i1_raw)
+            i1 = np.zeros(cap, np.int64)
+            i2 = np.zeros(cap, np.int64)
+            i1[:nb_valid] = i1_raw
+            i2[:nb_valid] = i2_raw
+            vmask = np.zeros(cap, bool)
+            vmask[:nb_valid] = True
+            pts, good = tri.triangulate_checked(
+                jnp.asarray(cur.xy[i1]), jnp.asarray(nf.xy[i2]),
+                jnp.asarray(cur.u_right[i1]), jnp.asarray(cur.depth[i1]),
+                jnp.asarray(nf.u_right[i2]), jnp.asarray(nf.depth[i2]),
+                jnp.asarray(sf2[cur.octave[i1]]), jnp.asarray(sf2[nf.octave[i2]]),
+                jnp.asarray(sf[cur.octave[i1]]), jnp.asarray(sf[nf.octave[i2]]),
+                jnp.asarray(vmask),
+                jnp.asarray(T1), jnp.asarray(T2),
+                cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+            )
+            pts = np.asarray(pts)
+            good = np.asarray(good) & vmask
+            for k in np.nonzero(good)[0]:
+                f1, f2 = int(i1[k]), int(i2[k])
+                if cur.map_pt[f1] >= 0 or nf.map_pt[f2] >= 0:
+                    continue
+                pid = m.add_point(pts[k], kf_id)
+                m.add_observation(pid, kf_id, f1)
+                m.add_observation(pid, nb, f2)
+                cur.map_pt[f1] = pid
+                nf.map_pt[f2] = pid
+                m.compute_distinctive_descriptor(pid)
+                m.update_normal_and_depth(pid)
+                self.recent_points[pid] = kf_id
+
+    # --------------------------------------------------------------- fuse
+
+    def _search_in_neighbors(self, kf_id: int):
+        """LocalMapping::SearchInNeighbors (527-607): fuse current-KF map
+        points into 2-hop covisible keyframes and vice versa."""
+        m = self.map
+        targets = []
+        for nb, _w in m.covisible_keyframes(kf_id)[:10]:
+            targets.append(nb)
+            for nb2, _w2 in m.covisible_keyframes(nb)[:5]:
+                if nb2 != kf_id and nb2 not in targets:
+                    targets.append(nb2)
+        cur = m.kf_frames[kf_id]
+        cur_pts = [int(p) for p in cur.map_pt[cur.map_pt >= 0]
+                   if m.pt_alive[p]]
+        touched = set()
+        for nb in targets:
+            touched |= self._fuse(nb, cur_pts)
+        # reverse fuse: neighbors' points into the current keyframe
+        fuse_pts = set()
+        for nb in targets:
+            nf = m.kf_frames[nb]
+            for p in nf.map_pt[nf.map_pt >= 0]:
+                if m.pt_alive[p]:
+                    fuse_pts.add(int(p))
+        touched |= self._fuse(kf_id, sorted(fuse_pts))
+        for pid in touched:
+            if m.pt_alive[pid]:
+                m.compute_distinctive_descriptor(pid)
+                m.update_normal_and_depth(pid)
+
+    def _fuse(self, kf_id: int, pids, radius_th: float = 3.0) -> set:
+        """ORBmatcher::Fuse: project points into the keyframe; matched
+        keypoints either gain an observation or resolve duplicates toward
+        the better-observed point."""
+        from .. import native
+
+        m = self.map
+        cam = self.cfg.camera
+        frame = m.kf_frames[kf_id]
+        if frame is None or not pids:
+            return set()
+        T = m.kf_pose[kf_id]
+        O = m.kf_camera_center(kf_id)
+        sf = m.scale_factors
+        sf2 = sf ** 2
+        pids = np.asarray(pids)
+        pos = m.pt_pos[pids]
+        pc = pos @ T[:3, :3].T + T[:3, 3]
+        z = pc[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = cam.fx * pc[:, 0] / z + cam.cx
+            v = cam.fy * pc[:, 1] / z + cam.cy
+        dist = np.linalg.norm(pos - O, axis=1)
+        visible = (
+            (z > 0)
+            & (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+            & (dist >= 0.8 * m.pt_min_dist[pids])
+            & (dist <= 1.2 * m.pt_max_dist[pids])
+        )
+        # viewing angle
+        with np.errstate(invalid="ignore"):
+            vcos = np.einsum(
+                "ij,ij->i", pos - O, m.pt_normal[pids]
+            ) / np.maximum(dist, 1e-9)
+        visible &= vcos >= 0.5
+        touched = set()
+        log_s = np.log(sf[1] / sf[0]) if len(sf) > 1 else 1.0
+        for idx in np.nonzero(visible)[0]:
+            pid = int(pids[idx])
+            if not m.pt_alive[pid] or kf_id in m.pt_obs[pid]:
+                continue
+            pred = int(np.clip(
+                np.ceil(np.log(max(m.pt_max_dist[pid] / max(dist[idx], 1e-9),
+                                   1e-9)) / log_s),
+                0, len(sf) - 1,
+            ))
+            r = radius_th * sf[pred]
+            cand = np.nonzero(
+                frame.valid
+                & (np.abs(frame.xy[:, 0] - u[idx]) < r)
+                & (np.abs(frame.xy[:, 1] - v[idx]) < r)
+                & (np.abs(frame.octave - pred) <= 1)
+            )[0]
+            if len(cand) == 0:
+                continue
+            d = native.hamming_matrix(
+                m.pt_desc[pid:pid + 1], frame.desc[cand]
+            )[0]
+            best = int(np.argmin(d))
+            if d[best] > 50:  # TH_LOW
+                continue
+            feat = int(cand[best])
+            # reprojection gate at the candidate's scale
+            e2 = (frame.xy[feat, 0] - u[idx]) ** 2 + (
+                frame.xy[feat, 1] - v[idx]
+            ) ** 2
+            if e2 > 5.99 * sf2[frame.octave[feat]]:
+                continue
+            existing = int(frame.map_pt[feat])
+            if existing >= 0 and m.pt_alive[existing]:
+                # keep the better-observed point (MapPoint::Replace)
+                if m.n_observations(existing) >= m.n_observations(pid):
+                    keep, drop = existing, pid
+                else:
+                    keep, drop = pid, existing
+                for okf, ofeat in list(m.pt_obs[drop].items()):
+                    of = m.kf_frames[okf]
+                    if okf not in m.pt_obs[keep]:
+                        m.pt_obs[keep][okf] = ofeat
+                        of.map_pt[ofeat] = keep
+                    else:
+                        of.map_pt[ofeat] = -1
+                m.pt_obs[drop].clear()
+                m.pt_alive[drop] = False
+                touched.add(keep)
+            else:
+                m.add_observation(pid, kf_id, feat)
+                frame.map_pt[feat] = pid
+                touched.add(pid)
+        return touched
 
     # ------------------------------------------------------------- culling
 

@@ -76,6 +76,7 @@ class Tracking:
         self.failure_count = 0
         self._finalized_twc: List[np.ndarray] = []  # frames of closed sub-sessions
         self._session_start = 0
+        self.datagen = None  # introspection DataGenerator (training mode)
 
     # ------------------------------------------------------------------ API
 
@@ -96,6 +97,140 @@ class Tracking:
         self._track()
         return frame.pose
 
+    def track_mono(
+        self,
+        img: np.ndarray,
+        timestamp: float,
+        cost_map: Optional[np.ndarray] = None,
+        gt_pose: Optional[np.ndarray] = None,
+        img_name: str = "",
+    ) -> Optional[np.ndarray]:
+        """Monocular tracking (Tracking::GrabImageMonocular). Uses the
+        H/F-RANSAC initializer for the first map; the per-frame loop is
+        shared with stereo (mono frames simply carry no depth)."""
+        from .frame import MonoFrontend
+
+        if not hasattr(self, "mono_frontend"):
+            self.mono_frontend = MonoFrontend(self.cfg, self.height, self.width)
+        frame = self.mono_frontend.process(
+            img, timestamp, cost_map, gt_pose, img_name
+        )
+        self.current = frame
+        self._track_mono_flow()
+        return frame.pose
+
+    def _track_mono_flow(self):
+        frame = self.current
+        if self.state in (State.NO_IMAGES_YET, State.NOT_INITIALIZED):
+            self.state = State.NOT_INITIALIZED
+            self._monocular_initialization()
+            self._record_trajectory(lost=self.state != State.OK)
+            self.last_frame = frame
+            return
+        # after initialization the per-frame flow is sensor-agnostic
+        self._track_after_init()
+
+    def _track_after_init(self):
+        frame = self.current
+        ok = False
+        if self.state == State.OK:
+            if self.velocity is not None:
+                ok = self._track_with_motion_model()
+            if not ok:
+                ok = self._track_reference_keyframe()
+        elif self.state == State.LOST and self.cfg.system.use_bow:
+            ok = self._relocalization()
+        if ok:
+            ok = self._track_local_map()
+        if ok:
+            self.state = State.OK
+            if self.last_frame is not None and self.last_frame.pose is not None:
+                self.velocity = frame.pose @ np.linalg.inv(self.last_frame.pose)
+            out = frame.outlier & (frame.map_pt >= 0)
+            frame.map_pt[out] = -1
+            frame.outlier[:] = False
+            if self._need_new_keyframe():
+                self._create_new_keyframe()
+            self._record_trajectory(lost=False)
+            self._run_datagen(frame)
+        else:
+            self.state = State.LOST
+            self._record_trajectory(lost=True)
+            self._handle_lost(frame.timestamp)
+        self.last_frame = frame
+
+    def _monocular_initialization(self):
+        """Tracking::MonocularInitialization (951-1150): two frames with
+        > 100 features, windowed level-0 matching, H/F model selection,
+        median-depth normalization."""
+        import jax
+
+        from ..ops import match as m_ops
+        from ..solvers import initializer
+
+        frame = self.current
+        prev = self.last_frame
+        if prev is None or prev.n_valid <= 100 or frame.n_valid <= 100:
+            return
+        assign, n = m_ops.search_for_initialization(
+            prev.kp.xy, prev.kp.octave, prev.kp.angle, prev.kp.desc,
+            prev.kp.valid,
+            frame.kp.xy, frame.kp.octave, frame.kp.angle, frame.kp.desc,
+            frame.kp.valid,
+            prev.kp.xy, jnp.float32(100.0),
+            jnp.float32(0.9 * self.cfg.matcher.nn_ratio_multiplier),
+        )
+        if int(n) < 100:
+            return
+        assign_np = np.asarray(assign)
+        matched = assign_np >= 0
+        cap = prev.xy.shape[0]
+        p1 = np.where(matched[:, None], prev.xy, 0.0).astype(np.float32)
+        p2 = np.where(
+            matched[:, None], frame.xy[np.maximum(assign_np, 0)], 0.0
+        ).astype(np.float32)
+        res = initializer.initialize_mono(
+            jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(matched),
+            jnp.asarray(self.cfg.camera.K()), jax.random.PRNGKey(frame.frame_id),
+        )
+        if not bool(res.ok):
+            return
+        good = np.asarray(res.is_good)
+        pts = np.asarray(res.points)
+        # median-depth normalization (Tracking::CreateInitialMapMonocular)
+        depths = pts[good, 2]
+        if len(depths) < 50:
+            return
+        med = float(np.median(depths))
+        if med <= 0:
+            return
+        inv_med = 1.0 / med
+        pts = pts * inv_med
+        T2 = np.eye(4, dtype=np.float32)
+        T2[:3, :3] = np.asarray(res.R)
+        T2[:3, 3] = np.asarray(res.t) * inv_med
+        prev.set_pose(np.eye(4, dtype=np.float32))
+        frame.set_pose(T2)
+        kf0 = self.map.add_keyframe(prev)
+        kf1 = self.map.add_keyframe(frame)
+        for i in np.nonzero(good & matched)[0]:
+            j = int(assign_np[i])
+            pid = self.map.add_point(pts[i], kf0)
+            self.map.add_observation(pid, kf0, int(i))
+            self.map.add_observation(pid, kf1, j)
+            prev.map_pt[i] = pid
+            frame.map_pt[j] = pid
+            self.map.compute_distinctive_descriptor(pid)
+            self.map.update_normal_and_depth(pid)
+        self.local_mapping.insert_keyframe(kf0)
+        self.local_mapping.insert_keyframe(kf1)
+        self.local_mapping.loop_once(run_ba=True)
+        self.ref_kf = kf1
+        frame.ref_kf = kf1
+        self.last_kf_frame_id = frame.frame_id
+        self.local_pts = np.nonzero(self.map.pt_alive[: self.map.n_points])[0]
+        self.state = State.OK
+
     # ----------------------------------------------------------- state flow
 
     def _track(self):
@@ -103,39 +238,10 @@ class Tracking:
         if self.state in (State.NO_IMAGES_YET, State.NOT_INITIALIZED):
             self.state = State.NOT_INITIALIZED
             self._stereo_initialization()
-            if self.state != State.OK:
-                self._record_trajectory(lost=True)
-            else:
-                self._record_trajectory(lost=False)
+            self._record_trajectory(lost=self.state != State.OK)
             self.last_frame = frame
             return
-
-        ok = False
-        if self.state == State.OK:
-            if self.velocity is not None:
-                ok = self._track_with_motion_model()
-            if not ok:
-                ok = self._track_reference_keyframe()
-        if ok:
-            ok = self._track_local_map()
-
-        if ok:
-            self.state = State.OK
-            # update motion model
-            if self.last_frame is not None and self.last_frame.pose is not None:
-                self.velocity = frame.pose @ np.linalg.inv(self.last_frame.pose)
-            # clean outlier associations (Tracking.cc:789-800)
-            out = frame.outlier & (frame.map_pt >= 0)
-            frame.map_pt[out] = -1
-            frame.outlier[:] = False
-            if self._need_new_keyframe():
-                self._create_new_keyframe()
-            self._record_trajectory(lost=False)
-        else:
-            self.state = State.LOST
-            self._record_trajectory(lost=True)
-            self._handle_lost(frame.timestamp)
-        self.last_frame = frame
+        self._track_after_init()
 
     # ------------------------------------------------------- initialization
 
@@ -205,6 +311,12 @@ class Tracking:
         frame.set_pose(np.asarray(res.T))
         inlier = np.asarray(res.inlier)
         frame.outlier = has_pt & ~inlier
+        # chi2 logging for the unsupervised introspection path
+        # (Optimizer.cc:452-455, 486-489: stored at the last LM round)
+        frame.chi2 = np.asarray(res.chi2)
+        frame.chi2_dof = np.where(
+            has_pt, np.where(frame.u_right >= 0, 3, 2), 0
+        ).astype(np.int32)
         return int(inlier.sum())
 
     def _track_with_motion_model(self) -> bool:
@@ -460,6 +572,158 @@ class Tracking:
             frame.frame_id % max(self.cfg.iv.tracking_ba_rate, 1) == 0
         )
         self.local_mapping.loop_once(run_ba=run_ba)
+        if (
+            self.cfg.system.enable_loop_closing
+            and hasattr(self, "loop_closing")
+            and self.map.kf_alive[kf_id]
+        ):
+            self.loop_closing.process_keyframe(
+                kf_id, fix_scale=self.cfg.system.sensor != "mono"
+            )
+
+    # -------------------------------------------------------- relocalization
+
+    def attach_vocabulary(self, voc):
+        """Enable BoW-dependent features (relocalization, loop closing)."""
+        from .keyframe_db import KeyFrameDatabase
+        from .loop_closing import LoopClosing
+
+        self.voc = voc
+        self.kfdb = KeyFrameDatabase(voc)
+        self.loop_closing = LoopClosing(self.cfg, self.map, voc, self.kfdb)
+
+    def _relocalization(self) -> bool:
+        """Tracking::Relocalization (2272-2421): BoW candidates -> per-
+        candidate BoW matching -> PnP RANSAC -> pose optimization; accept
+        at >= 50 inliers. (The IV-SLAM fork resets instead of relocalizing
+        — Tracking.cc:829-854 `|| true` — so this runs only when BoW mode
+        is explicitly enabled.)"""
+        import jax
+
+        from ..ops import bow_match
+        from ..solvers import pnp
+
+        if not hasattr(self, "voc") or self.map.n_keyframes == 0:
+            return False
+        frame = self.current
+        bow = self.voc.bow_vector(frame.desc, frame.valid)
+        cands = self.kfdb.detect_relocalization_candidates(bow, self.map)
+        if not cands:
+            return False
+        fv = self.voc.feature_vector(frame.desc, frame.valid)
+        nodes_cur = np.full(frame.desc.shape[0], -1, np.int64)
+        for node, feats in fv.items():
+            nodes_cur[feats] = node
+        cam = self.cfg.camera
+        sf2 = self.map.scale_factors ** 2
+        for cand in cands[:5]:
+            cf = self.map.kf_frames[cand]
+            if cf is None:
+                continue
+            self.loop_closing._ensure_bow(cand)
+            assign, n = bow_match.search_by_bow(
+                jnp.asarray(cf.desc),
+                jnp.asarray(self.loop_closing.kf_nodes[cand]),
+                jnp.asarray(cf.angle), jnp.asarray((cf.map_pt >= 0) & cf.valid),
+                frame.kp.desc, jnp.asarray(nodes_cur),
+                frame.kp.angle, frame.kp.valid,
+                jnp.float32(0.75),
+            )
+            if int(n) < 15:
+                continue
+            assign_np = np.asarray(assign)
+            ai = np.nonzero(assign_np >= 0)[0]
+            pids = cf.map_pt[ai]
+            alive = self.map.pt_alive[pids]
+            ai, pids = ai[alive], pids[alive]
+            bi = assign_np[ai]
+            if len(ai) < 6:
+                continue
+            cap = frame.xy.shape[0]
+            Xw = np.zeros((cap, 3), np.float32)
+            uv = np.zeros((cap, 2), np.float32)
+            s2 = np.ones(cap, np.float32)
+            val = np.zeros(cap, bool)
+            Xw[: len(ai)] = self.map.pt_pos[pids]
+            uv[: len(ai)] = frame.xy[bi]
+            s2[: len(ai)] = sf2[frame.octave[bi]]
+            val[: len(ai)] = True
+            res = pnp.pnp_ransac(
+                jnp.asarray(Xw), jnp.asarray(uv), jnp.asarray(s2),
+                jnp.asarray(val),
+                cam.fx, cam.fy, cam.cx, cam.cy,
+                jax.random.PRNGKey(frame.frame_id),
+            )
+            if not bool(res.ok):
+                continue
+            frame.set_pose(np.asarray(res.T))
+            frame.map_pt[:] = -1
+            frame.map_pt[bi] = pids
+            n_in = self._pose_optimize(frame)
+            if n_in >= 50:
+                self.state = State.OK
+                return True
+        return False
+
+    # -------------------------------------------------------- introspection
+
+    def enable_datagen(self, out_path=None):
+        from ..introspection.datagen import DataGenerator
+
+        self.datagen = DataGenerator(self.cfg, self.map, out_path)
+
+    def _run_datagen(self, frame):
+        """Training-data generation hooks (Tracking.cc:687-775): run after
+        pose estimation on OK frames past the warmup."""
+        if (
+            self.datagen is None
+            or not self.cfg.iv.enabled
+            or self.cfg.iv.inference_mode
+            or frame.frame_id <= 2
+        ):
+            return
+        self.datagen.set_map(self.map)
+        img_hw = (self.height, self.width)
+        if self.cfg.iv.unsupervised_learning:
+            chi2 = getattr(frame, "chi2", None)
+            if chi2 is None:
+                return
+            found = np.where(
+                frame.map_pt >= 0,
+                self.map.pt_found[np.maximum(frame.map_pt, 0)],
+                0,
+            )
+            reliable = True
+            if frame.gt_pose is not None and self.last_frame is not None:
+                from ..introspection import unsupervised as unsup
+
+                ref_kf = self.ref_kf
+                if ref_kf >= 0 and self.map.kf_gt_pose[ref_kf] is not None:
+                    err6 = unsup.relative_pose_error(
+                        np.linalg.inv(self.map.kf_pose[ref_kf]),
+                        np.linalg.inv(frame.pose),
+                        self.map.kf_gt_pose[ref_kf],
+                        frame.gt_pose,
+                    )
+                    dt = max(
+                        (frame.frame_id - self.last_kf_frame_id)
+                        / max(self.max_frames, 1),
+                        1e-3,
+                    )
+                    rel_gt = (
+                        np.linalg.inv(self.map.kf_gt_pose[ref_kf])
+                        @ frame.gt_pose
+                    )
+                    reliable = unsup.evaluate_tracking_accuracy(
+                        err6, rel_gt, dt,
+                        self.cfg.iv.ref_pose_ang_var_inv,
+                        self.cfg.iv.ref_pose_trans_var_inv,
+                    )
+            self.datagen.process_frame_unsupervised(
+                frame, frame.chi2, frame.chi2_dof, found, reliable, img_hw
+            )
+        else:
+            self.datagen.process_frame_supervised(frame, img_hw)
 
     # -------------------------------------------------------------- failure
 
@@ -487,6 +751,8 @@ class Tracking:
         self.ref_kf = -1
         self.local_kfs = []
         self.local_pts = np.zeros(0, np.int64)
+        if hasattr(self, "voc"):
+            self.attach_vocabulary(self.voc)  # fresh KF database for the new map
 
     # ----------------------------------------------------------- trajectory
 

@@ -1,0 +1,108 @@
+"""Headless visualization (src/{Viewer,FrameDrawer,MapDrawer}.cc roles).
+
+The reference drives a Pangolin GL window with headless + save-to-file
+modes (Viewer.cc:56-70, YAML Viewer.HeadlessMode/SaveFramesToFile/
+SaveMapDrawingsToFile). The TPU runtime is headless by construction; this
+module implements the save-to-file modes: current-frame keypoint/match
+overlays (FrameDrawer) with quality coloring in training mode, and
+top-down map renders with trajectory + GT overlay (MapDrawer,
+map_drawer_visualize_gt_pose).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+class FrameDrawer:
+    """Keypoint/match overlay images (src/FrameDrawer.cc)."""
+
+    def __init__(self, out_dir: Optional[str] = None):
+        self.out_dir = out_dir
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+
+    def draw(self, img_gray: np.ndarray, frame, state_name: str = "OK"):
+        import cv2
+
+        vis = cv2.cvtColor(img_gray, cv2.COLOR_GRAY2BGR)
+        matched = frame.map_pt >= 0
+        n_matched = 0
+        for i in np.nonzero(frame.valid)[0]:
+            x, y = frame.xy[i]
+            pt = (int(round(x)), int(round(y)))
+            if matched[i]:
+                # quality-colored in training mode: green good, red bad
+                q = float(frame.qual_score[i])
+                color = (0, int(255 * max(q, 0)), int(255 * (1 - max(q, 0))))
+                cv2.rectangle(
+                    vis, (pt[0] - 5, pt[1] - 5), (pt[0] + 5, pt[1] + 5), color
+                )
+                cv2.circle(vis, pt, 2, color, -1)
+                n_matched += 1
+            else:
+                cv2.circle(vis, pt, 1, (160, 160, 160), -1)
+        cv2.putText(
+            vis, f"{state_name}  matches: {n_matched}",
+            (10, vis.shape[0] - 10), cv2.FONT_HERSHEY_PLAIN, 1.0,
+            (255, 255, 255), 1,
+        )
+        if self.out_dir:
+            cv2.imwrite(
+                os.path.join(self.out_dir, f"frame_{frame.frame_id:06d}.png"),
+                vis,
+            )
+        return vis
+
+
+class MapDrawer:
+    """Top-down map/trajectory renders (src/MapDrawer.cc). Optional GT
+    trajectory overlay (gflag map_drawer_visualize_gt_pose)."""
+
+    def __init__(self, out_dir: Optional[str] = None, size: int = 800):
+        self.out_dir = out_dir
+        self.size = size
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+
+    def draw(self, map_store, trajectory_twc, gt_twc=None, frame_id=0):
+        import cv2
+
+        vis = np.full((self.size, self.size, 3), 20, np.uint8)
+        pts = map_store.pt_pos[: map_store.n_points][
+            map_store.pt_alive[: map_store.n_points]
+        ]
+        traj = np.array([T[:3, 3] for T in trajectory_twc]) if trajectory_twc \
+            else np.zeros((0, 3))
+        allxz = np.concatenate(
+            [pts[:, [0, 2]], traj[:, [0, 2]]]
+            if len(traj) else [pts[:, [0, 2]]]
+        ) if len(pts) else traj[:, [0, 2]]
+        if len(allxz) == 0:
+            return vis
+        lo = allxz.min(axis=0) - 1
+        hi = allxz.max(axis=0) + 1
+        scale = (self.size - 40) / max(float((hi - lo).max()), 1e-6)
+
+        def to_px(xz):
+            p = (xz - lo) * scale + 20
+            return int(p[0]), self.size - int(p[1]) - 1
+
+        for p in pts[:, [0, 2]]:
+            cv2.circle(vis, to_px(p), 1, (180, 180, 180), -1)
+        for a, b in zip(traj[:-1], traj[1:]):
+            cv2.line(vis, to_px(a[[0, 2]]), to_px(b[[0, 2]]), (0, 220, 0), 1)
+        if gt_twc is not None:
+            gt = np.array([T[:3, 3] for T in gt_twc])
+            for a, b in zip(gt[:-1], gt[1:]):
+                cv2.line(
+                    vis, to_px(a[[0, 2]]), to_px(b[[0, 2]]), (0, 120, 255), 1
+                )
+        if self.out_dir:
+            cv2.imwrite(
+                os.path.join(self.out_dir, f"map_{frame_id:06d}.png"), vis
+            )
+        return vis

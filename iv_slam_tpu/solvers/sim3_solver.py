@@ -31,7 +31,7 @@ def horn_sim3(P1: jnp.ndarray, P2: jnp.ndarray, fix_scale: bool = False):
     c2 = P2.mean(axis=0)
     X1 = P1 - c1
     X2 = P2 - c2
-    M = X2.T @ X1
+    M = X1.T @ X2  # S[i][j] = sum x1_i * x2_j (Horn's correlation matrix)
     # quaternion eigen-decomposition form of Horn's method
     Sxx, Sxy, Sxz = M[0, 0], M[0, 1], M[0, 2]
     Syx, Syy, Syz = M[1, 0], M[1, 1], M[1, 2]

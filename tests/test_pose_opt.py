@@ -63,25 +63,49 @@ def test_pose_opt_converges_and_classifies(rng):
     assert inlier.sum() > 0.8 * (n - len(out_idx))
 
 
+def test_huber_weight_quality_scaling():
+    # quality scales the Huber delta: delta' = delta * qual
+    # (Optimizer.cc:340-342). A residual inside the nominal band but outside
+    # the scaled band gets down-weighted by delta'/|e|.
+    chi2 = jnp.asarray([4.0])
+    active = jnp.asarray([True])
+    w_full = pose_opt._huber_w(chi2, jnp.asarray([5.991]), active)
+    assert float(w_full[0]) == 1.0
+    qual = 0.1
+    w_scaled = pose_opt._huber_w(chi2, jnp.asarray([5.991 * qual**2]), active)
+    np.testing.assert_allclose(
+        float(w_scaled[0]), np.sqrt(5.991 * qual**2 / 4.0), rtol=1e-5
+    )
+    # with the kernel off the weight is 1 regardless
+    w_off = pose_opt._huber_w(chi2, jnp.asarray([5.991 * qual**2]),
+                              jnp.asarray([False]))
+    assert float(w_off[0]) == 1.0
+
+
 def test_pose_opt_quality_downweights(rng):
-    # corrupt half the points with medium bias; giving them low quality
-    # scores (small Huber delta) should recover a better pose
-    K, Xw, obs, T_gt, _ = make_scene(rng, n=300, noise=0.1, outlier_frac=0.0)
+    # single robust LM round (kernel on): a 1.5 px bias on half the points
+    # stays inside the chi2 inlier gate, so the quality-scaled Huber delta
+    # is the only defense — low-quality points should drag the pose less
+    K, Xw, obs, T_gt, _ = make_scene(rng, n=300, noise=0.05, outlier_frac=0.0)
     n = Xw.shape[0]
     obs_np = np.array(obs)
     bad = np.arange(n) < n // 2
-    obs_np[bad, :2] += 4.0  # systematic bias below the outlier threshold
+    obs_np[bad, :2] += 1.5
     obs_j = jnp.asarray(obs_np)
-    T0 = T_gt  # start at gt; bias will pull the estimate away
     ones = jnp.ones(n, jnp.float32)
     valid = jnp.ones(n, bool)
-    res_uniform = pose_opt.pose_optimization(
-        T0, Xw, obs_j, ones, ones, valid, K
-    )
-    qual = jnp.where(jnp.asarray(bad), 0.05, 1.0)
-    res_weighted = pose_opt.pose_optimization(
-        T0, Xw, obs_j, ones, qual, valid, K
-    )
-    err_u = np.linalg.norm(np.asarray(se3.se3_log(res_uniform.T @ se3.inverse(T_gt))))
-    err_w = np.linalg.norm(np.asarray(se3.se3_log(res_weighted.T @ se3.inverse(T_gt))))
+    is_stereo = obs_j[:, 2] >= 0
+    delta_base_sq = jnp.where(is_stereo, 7.815, 5.991)
+
+    def run(qual):
+        delta_sq = delta_base_sq * qual * qual
+        return pose_opt._lm_round(
+            T_gt, Xw, obs_j, ones, delta_sq, is_stereo, valid, K,
+            kernel_on=True, n_iters=10,
+        )
+
+    T_u = run(ones)
+    T_w = run(jnp.where(jnp.asarray(bad), 0.05, 1.0))
+    err_u = np.linalg.norm(np.asarray(se3.se3_log(T_u @ se3.inverse(T_gt))))
+    err_w = np.linalg.norm(np.asarray(se3.se3_log(T_w @ se3.inverse(T_gt))))
     assert err_w < err_u * 0.8, (err_u, err_w)

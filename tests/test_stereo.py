@@ -20,12 +20,13 @@ def stereo_pair():
         base[y:y + 6, x:x + 6] = rng.uniform(0, 255)
     left = np.clip(base[:, 40:40 + w], 0, 255).astype(np.uint8)
     # constant disparity: right image is the left shifted right by disp px
-    sx = np.arange(w, dtype=np.float32)[None, :] + disp
-    sy = np.arange(h, dtype=np.float32)[:, None] + 0 * sx
-    right = cv2.remap(
-        base[:, 40:], sx, np.broadcast_to(sy, (h, w)).astype(np.float32),
-        cv2.INTER_LINEAR,
-    )
+    sx = np.broadcast_to(
+        np.arange(w, dtype=np.float32)[None, :] + disp, (h, w)
+    ).copy()
+    sy = np.broadcast_to(
+        np.arange(h, dtype=np.float32)[:, None], (h, w)
+    ).copy()
+    right = cv2.remap(base[:, 40:], sx, sy, cv2.INTER_LINEAR)
     right = np.clip(right, 0, 255).astype(np.uint8)
     return left, right, disp
 
