@@ -204,6 +204,16 @@ def _redistribute(
     return jnp.where(run, retain1, retain0)
 
 
+def _fast_score(img_l: jnp.ndarray, th: int) -> jnp.ndarray:
+    """FAST scoring: fused Pallas kernel on TPU, XLA elsewhere (identical
+    results — tests/test_fast_pallas.py)."""
+    if jax.default_backend() != "cpu":
+        from . import fast_pallas
+
+        return fast_pallas.fast_score_pallas(img_l, th)
+    return fast.fast_score(img_l, th)
+
+
 def _extract_level(
     img_l: jnp.ndarray,
     qual_l: Optional[jnp.ndarray],
@@ -212,8 +222,8 @@ def _extract_level(
     min_th: int,
 ):
     """One pyramid level -> (n_desired,) slots of (y, x, response, valid)."""
-    score_ini = fast.fast_score(img_l, ini_th)
-    score_min = fast.fast_score(img_l, min_th)
+    score_ini = _fast_score(img_l, ini_th)
+    score_min = _fast_score(img_l, min_th)
     tiles_ini = _tile_nms(_tile_view(score_ini, lay))
     tiles_min = _tile_nms(_tile_view(score_min, lay))
     cnt_ini = jnp.sum((tiles_ini > 0).astype(jnp.int32), axis=(1, 2))

@@ -127,6 +127,48 @@ class MonoFrontend:
         )
 
 
+class RGBDFrontend:
+    """RGB-D frame builder (Frame.cc:232-305 RGBD ctor): depth sampled at
+    keypoint pixels; virtual right coordinate u_r = u - bf / depth."""
+
+    def __init__(self, cfg: Config, height: int, width: int):
+        self.cfg = cfg
+        self.extractor = OrbExtractor(cfg.orb, height, width)
+        self._frame_count = 0
+
+    def process(
+        self,
+        img: np.ndarray,
+        depth_map: np.ndarray,
+        timestamp: float,
+        depth_scale: float = 1.0,
+        img_name: str = "",
+    ) -> Frame:
+        kp = self.extractor(jnp.asarray(img))
+        n = int(kp.xy.shape[0])
+        xy = np.asarray(kp.xy)
+        xs = np.clip(np.rint(xy[:, 0]).astype(int), 0, depth_map.shape[1] - 1)
+        ys = np.clip(np.rint(xy[:, 1]).astype(int), 0, depth_map.shape[0] - 1)
+        depth = depth_map[ys, xs].astype(np.float32) * depth_scale
+        valid_d = depth > 0
+        u_right = np.where(
+            valid_d, xy[:, 0] - self.cfg.camera.bf / np.maximum(depth, 1e-6),
+            -1.0,
+        ).astype(np.float32)
+        depth = np.where(valid_d, depth, -1.0).astype(np.float32)
+        fid = self._frame_count
+        self._frame_count += 1
+        return Frame(
+            frame_id=fid,
+            timestamp=timestamp,
+            kp=kp,
+            u_right=u_right,
+            depth=depth,
+            qual_score=np.ones(n, np.float32),
+            img_name=img_name,
+        )
+
+
 class StereoFrontend:
     """Builds Frames from stereo pairs: extraction + stereo matching +
     quality seeding, all jitted device calls with static shapes."""

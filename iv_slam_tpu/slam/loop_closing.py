@@ -216,6 +216,11 @@ class LoopClosing:
 
         # essential graph over all alive keyframes
         self._run_essential_graph(kf_id, loop_kf)
+        # full map refinement (the reference spawns RunGlobalBundleAdjustment
+        # on a thread, LoopClosing.cc:584; inline here)
+        from ..solvers.local_ba import global_bundle_adjustment
+
+        global_bundle_adjustment(self.cfg, self.map, n_iters=10)
 
     def _run_essential_graph(self, kf_id: int, loop_kf: int):
         m = self.map

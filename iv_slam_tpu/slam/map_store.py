@@ -214,6 +214,101 @@ class MapStore:
         pairs.sort(reverse=True)
         return [(k, w) for w, k in pairs]
 
+    # --- persistence (an improvement over the reference, where map
+    # save/load is an acknowledged TODO — System.h:165-167) ---------------
+
+    def save(self, path: str):
+        """Serialize the map (poses, points, observations, keyframe feature
+        bundles) to one .npz archive."""
+        import io
+        import pickle
+
+        n, k = self.n_points, self.n_keyframes
+        frames = []
+        for kf in range(k):
+            f = self.kf_frames[kf]
+            if f is None:
+                frames.append(None)
+            else:
+                frames.append(
+                    dict(
+                        frame_id=f.frame_id, timestamp=f.timestamp,
+                        xy=f.xy, octave=f.octave, angle=f.angle,
+                        desc=f.desc, valid=f.valid,
+                        u_right=f.u_right, depth=f.depth,
+                        qual_score=f.qual_score, map_pt=f.map_pt,
+                        pose=f.pose, img_name=f.img_name,
+                        gt_pose=f.gt_pose,
+                    )
+                )
+        blob = pickle.dumps(
+            dict(obs=self.pt_obs[:n], frames=frames,
+                 img_names=self.kf_img_name[:k])
+        )
+        np.savez_compressed(
+            path,
+            pt_pos=self.pt_pos[:n], pt_desc=self.pt_desc[:n],
+            pt_normal=self.pt_normal[:n],
+            pt_min_dist=self.pt_min_dist[:n], pt_max_dist=self.pt_max_dist[:n],
+            pt_alive=self.pt_alive[:n], pt_quality=self.pt_quality[:n],
+            pt_visible=self.pt_visible[:n], pt_found=self.pt_found[:n],
+            pt_first_kf=self.pt_first_kf[:n], pt_ref_kf=self.pt_ref_kf[:n],
+            kf_pose=self.kf_pose[:k], kf_alive=self.kf_alive[:k],
+            kf_frame_id=self.kf_frame_id[:k],
+            kf_timestamp=self.kf_timestamp[:k],
+            origin_kf=self.origin_kf,
+            blob=np.frombuffer(blob, np.uint8),
+        )
+
+    @staticmethod
+    def load(path: str, **kwargs) -> "MapStore":
+        import pickle
+
+        from .frame import Frame
+        from ..ops.extractor import Keypoints
+        import jax.numpy as jnp
+
+        z = np.load(path, allow_pickle=False)
+        m = MapStore(**kwargs)
+        n = len(z["pt_pos"])
+        k = len(z["kf_pose"])
+        m.n_points, m.n_keyframes = n, k
+        for name in (
+            "pt_pos", "pt_desc", "pt_normal", "pt_min_dist", "pt_max_dist",
+            "pt_alive", "pt_quality", "pt_visible", "pt_found",
+            "pt_first_kf", "pt_ref_kf",
+        ):
+            getattr(m, name)[:n] = z[name]
+        m.kf_pose[:k] = z["kf_pose"]
+        m.kf_alive[:k] = z["kf_alive"]
+        m.kf_frame_id[:k] = z["kf_frame_id"]
+        m.kf_timestamp[:k] = z["kf_timestamp"]
+        m.origin_kf = int(z["origin_kf"])
+        extra = pickle.loads(z["blob"].tobytes())
+        m.pt_obs[:n] = extra["obs"]
+        m.kf_img_name[:k] = extra["img_names"]
+        for kf, fd in enumerate(extra["frames"]):
+            if fd is None:
+                continue
+            kp = Keypoints(
+                xy=jnp.asarray(fd["xy"]),
+                response=jnp.zeros(len(fd["xy"])),
+                octave=jnp.asarray(fd["octave"]),
+                angle=jnp.asarray(fd["angle"]),
+                desc=jnp.asarray(fd["desc"]),
+                valid=jnp.asarray(fd["valid"]),
+                yx_level=jnp.zeros((len(fd["xy"]), 2), jnp.int32),
+            )
+            f = Frame(
+                frame_id=fd["frame_id"], timestamp=fd["timestamp"], kp=kp,
+                u_right=fd["u_right"], depth=fd["depth"],
+                qual_score=fd["qual_score"], pose=fd["pose"],
+                map_pt=fd["map_pt"], img_name=fd["img_name"],
+                gt_pose=fd["gt_pose"],
+            )
+            m.kf_frames[kf] = f
+        return m
+
     def live_point_arrays(self):
         """Dense views over the allocated point range (for device ops)."""
         n = self.n_points

@@ -45,6 +45,55 @@ class System:
             img_name=img_name,
         )
 
+    def track_mono(
+        self,
+        img: np.ndarray,
+        timestamp: float,
+        gt_pose: Optional[np.ndarray] = None,
+        img_name: str = "",
+        cost_map: Optional[np.ndarray] = None,
+    ) -> Optional[np.ndarray]:
+        return self.tracking.track_mono(
+            img, timestamp, cost_map=cost_map, gt_pose=gt_pose,
+            img_name=img_name,
+        )
+
+    def track_rgbd(
+        self,
+        img: np.ndarray,
+        depth_map: np.ndarray,
+        timestamp: float,
+        depth_scale: float = 1.0,
+        img_name: str = "",
+    ) -> Optional[np.ndarray]:
+        return self.tracking.track_rgbd(
+            img, depth_map, timestamp, depth_scale, img_name
+        )
+
+    def attach_vocabulary(self, voc):
+        """Enable BoW features: relocalization + loop closing (the reference
+        loads ORBvoc at startup, System.cc:105)."""
+        self.tracking.attach_vocabulary(voc)
+
+    def enable_datagen(self, out_path=None):
+        """Training-data generation mode (create_ivslam_dataset)."""
+        self.tracking.enable_datagen(out_path)
+
+    # --- map persistence (reference TODO System.h:165-167, implemented) ----
+
+    def save_map(self, path: str):
+        self.tracking.map.save(path)
+
+    def load_map(self, path: str):
+        from .map_store import MapStore
+
+        self.tracking.map = MapStore.load(
+            path,
+            n_levels=self.cfg.orb.n_levels,
+            scale_factor=self.cfg.orb.scale_factor,
+        )
+        self.tracking.local_mapping.map = self.tracking.map
+
     # --- state -------------------------------------------------------------
 
     @property

@@ -231,6 +231,29 @@ class Tracking:
         self.local_pts = np.nonzero(self.map.pt_alive[: self.map.n_points])[0]
         self.state = State.OK
 
+    def track_rgbd(
+        self,
+        img: np.ndarray,
+        depth_map: np.ndarray,
+        timestamp: float,
+        depth_scale: float = 1.0,
+        img_name: str = "",
+    ) -> Optional[np.ndarray]:
+        """RGB-D tracking (Tracking::GrabImageRGBD): depth-seeded frames go
+        through the stereo state machine (vanilla ORB-SLAM2 behavior — the
+        reference's introspection paths fatal out for RGBD,
+        Tracking.cc:377-379)."""
+        from .frame import RGBDFrontend
+
+        if not hasattr(self, "rgbd_frontend"):
+            self.rgbd_frontend = RGBDFrontend(self.cfg, self.height, self.width)
+        frame = self.rgbd_frontend.process(
+            img, depth_map, timestamp, depth_scale, img_name
+        )
+        self.current = frame
+        self._track()
+        return frame.pose
+
     # ----------------------------------------------------------- state flow
 
     def _track(self):
@@ -364,7 +387,20 @@ class Tracking:
         assign = np.asarray(assign)
         matched = assign >= 0
         frame.map_pt[:] = np.where(matched, pids[np.maximum(assign, 0)], -1)
+        if self.cfg.iv.propagate_keyptqual:
+            self._update_quality_scores(frame)
         return int(n)
+
+    def _update_quality_scores(self, frame: Frame):
+        """ORBmatcher::UpdateQualityScores (1108-1146): min-propagate
+        quality between matched keypoints and their map points."""
+        idx = np.nonzero(frame.map_pt >= 0)[0]
+        pids = frame.map_pt[idx]
+        mpt_q = self.map.pt_quality[pids]
+        updated = np.minimum(mpt_q, frame.qual_score[idx])
+        changed = np.abs(updated - mpt_q) > 0.01
+        self.map.pt_quality[pids[changed]] = updated[changed]
+        frame.qual_score[idx] = updated
 
     def _track_reference_keyframe(self) -> bool:
         """use_BoW=false variant (Tracking.cc:1177-1206): project local map

@@ -1,10 +1,11 @@
-"""Local bundle adjustment window assembly (Optimizer.cc:505-871).
+"""Bundle-adjustment window assembly (Optimizer.cc:505-871 local BA;
+Optimizer.cc:51-249 global BA).
 
-Host side: gathers the covisibility window (local KFs + their points +
-fixed anchor KFs), packs padded edge arrays (bucketed sizes to bound the
-number of XLA compilations), runs the Schur LM core, and writes results
-back into the map store — including erasing observations that end as
-outliers, exactly as the reference's joint erase pass (Optimizer.cc:820-850).
+Host side: gathers a keyframe/point window, packs padded edge arrays
+(bucketed sizes to bound XLA compilations), runs the Schur LM core
+(ba_core.py), and writes results back into the map store — including
+erasing observations that end as outliers, exactly as the reference's
+joint erase pass (Optimizer.cc:820-850).
 """
 
 from __future__ import annotations
@@ -24,32 +25,17 @@ def _bucket_kf(n: int) -> int:
     return max(8, ((n + 7) // 8) * 8)
 
 
-def local_bundle_adjustment(cfg, m, kf_id: int):
-    # --- window selection (Optimizer.cc:507-566) --------------------------
-    local_kfs = [kf_id] + [k for k, _ in m.covisible_keyframes(kf_id)]
-    local_kfs = [k for k in local_kfs if m.kf_alive[k]]
-    local_set = set(local_kfs)
-
-    pts = set()
-    for k in local_kfs:
-        frame = m.kf_frames[k]
-        for pid in frame.map_pt[frame.map_pt >= 0]:
-            if m.pt_alive[pid]:
-                pts.add(int(pid))
-    pts = sorted(pts)
-    if not pts or len(local_kfs) < 2:
-        return
-
-    fixed_kfs = []
-    for pid in pts:
-        for k in m.pt_obs[pid]:
-            if k not in local_set and m.kf_alive[k] and k not in fixed_kfs:
-                fixed_kfs.append(k)
-    all_kfs = local_kfs + fixed_kfs
+def _run_ba(
+    cfg, m, local_kfs, fixed_kfs, pts,
+    n_iters1: int = 5, n_iters2: int = 10,
+    erase_outliers: bool = True, extra_fixed=frozenset(),
+):
+    all_kfs = list(local_kfs) + list(fixed_kfs)
     kf_slot = {k: i for i, k in enumerate(all_kfs)}
     pt_slot = {p: i for i, p in enumerate(pts)}
+    if len(pts) == 0 or len(all_kfs) < 2:
+        return
 
-    # --- edges ------------------------------------------------------------
     e_kf, e_pt, e_obs, e_inv, e_qual, e_feat = [], [], [], [], [], []
     inv_sigma2 = 1.0 / (m.scale_factors ** 2)
     for pid in pts:
@@ -81,7 +67,9 @@ def local_bundle_adjustment(cfg, m, kf_id: int):
     kf_fixed = np.ones(n_kf, bool)
     for i, k in enumerate(all_kfs):
         # the origin keyframe stays fixed even when local (Optimizer.cc:545)
-        kf_fixed[i] = (i >= len(local_kfs)) or (k == m.origin_kf)
+        kf_fixed[i] = (
+            (i >= len(local_kfs)) or (k == m.origin_kf) or (k in extra_fixed)
+        )
 
     pt_pos = np.zeros((n_pt, 3), np.float32)
     pt_pos[: len(pts)] = m.pt_pos[pts]
@@ -112,24 +100,62 @@ def local_bundle_adjustment(cfg, m, kf_id: int):
         ),
     )
     K = camera.Intrinsics.from_config(cfg.camera)
-    res = ba_solve(prob, K)
+    res = ba_solve(prob, K, n_iters1=n_iters1, n_iters2=n_iters2)
 
-    # --- write back -------------------------------------------------------
     new_poses = np.asarray(res.kf_pose)
-    for i, k in enumerate(local_kfs):
+    for i, k in enumerate(all_kfs[: len(local_kfs)]):
         if not kf_fixed[i]:
             m.set_kf_pose(k, new_poses[i])
     new_pts = np.asarray(res.pt_pos)
     m.pt_pos[pts] = new_pts[: len(pts)]
 
-    # erase outlier observations (Optimizer.cc:820-850)
-    inlier = np.asarray(res.e_inlier)[:E]
-    for idx in np.nonzero(~inlier)[0]:
-        pid, k, feat = e_feat[idx]
-        if m.pt_alive[pid] and m.pt_obs[pid].get(k) == feat:
-            frame = m.kf_frames[k]
-            frame.map_pt[feat] = -1
-            m.erase_observation(pid, k)
+    if erase_outliers:
+        inlier = np.asarray(res.e_inlier)[:E]
+        for idx in np.nonzero(~inlier)[0]:
+            pid, k, feat = e_feat[idx]
+            if m.pt_alive[pid] and m.pt_obs[pid].get(k) == feat:
+                frame = m.kf_frames[k]
+                frame.map_pt[feat] = -1
+                m.erase_observation(pid, k)
     for pid in pts:
         if m.pt_alive[pid]:
             m.update_normal_and_depth(pid)
+
+
+def local_bundle_adjustment(cfg, m, kf_id: int):
+    """Covisibility-window BA (Optimizer::LocalBundleAdjustment)."""
+    local_kfs = [kf_id] + [k for k, _ in m.covisible_keyframes(kf_id)]
+    local_kfs = [k for k in local_kfs if m.kf_alive[k]]
+    local_set = set(local_kfs)
+
+    pts = set()
+    for k in local_kfs:
+        frame = m.kf_frames[k]
+        for pid in frame.map_pt[frame.map_pt >= 0]:
+            if m.pt_alive[pid]:
+                pts.add(int(pid))
+    pts = sorted(pts)
+    if not pts or len(local_kfs) < 2:
+        return
+
+    fixed_kfs = []
+    for pid in pts:
+        for k in m.pt_obs[pid]:
+            if k not in local_set and m.kf_alive[k] and k not in fixed_kfs:
+                fixed_kfs.append(k)
+    _run_ba(cfg, m, local_kfs, fixed_kfs, pts)
+
+
+def global_bundle_adjustment(cfg, m, n_iters: int = 20, fixed_kfs=()):
+    """Optimizer::GlobalBundleAdjustemnt (Optimizer.cc:51-63): BA over every
+    live keyframe and point; only the origin keyframe (and any explicitly
+    fixed ones) anchored. Used after loop closure and mono initialization."""
+    alive_kfs = [k for k in range(m.n_keyframes) if m.kf_alive[k]]
+    if len(alive_kfs) < 2:
+        return
+    pts = [p for p in range(m.n_points) if m.pt_alive[p] and m.pt_obs[p]]
+    _run_ba(
+        cfg, m, alive_kfs, [], pts,
+        n_iters1=n_iters // 2, n_iters2=n_iters - n_iters // 2,
+        erase_outliers=False, extra_fixed=set(fixed_kfs),
+    )

@@ -14,13 +14,23 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
-# persistent compile cache: the suite re-traces the same kernels every run
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import faulthandler  # noqa: E402
+import sys  # noqa: E402
+
+# watchdog: if the suite wedges (observed rare XLA-CPU hangs under the
+# single-core CI), dump all thread stacks so the hang is diagnosable
+faulthandler.dump_traceback_later(900, repeat=True, file=sys.stderr)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+import jax  # noqa: E402
+
+# persistent compile cache: the suite re-traces the same kernels every run;
+# set via config (robust even if a plugin imported jax before this file)
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 @pytest.fixture
