@@ -303,6 +303,12 @@ class OrbExtractor:
         qlevels = (
             pyramid.build_pyramid(quality, self.shapes) if with_quality else None
         )
+        return self.extract_from_pyramid(levels, qlevels)
+
+    def extract_from_pyramid(self, levels, qlevels=None):
+        """Extraction given prebuilt pyramid levels (lets callers share one
+        pyramid between extraction and stereo matching in a single jit)."""
+        with_quality = qlevels is not None
         outs = []
         for lvl, lay in enumerate(self.layouts):
             if not lay.active:

@@ -27,6 +27,11 @@ from .fast import CIRCLE
 TILE_H = 128
 TILE_W = 256
 HALO = 3
+# DMA block shapes must respect VMEM tiling (int32: 8x128 sublane/lane);
+# arithmetic is int32 — Mosaic does not legalize 16-bit integer min/max
+# round the halo block up and over-pad the input accordingly
+BLOCK_H = TILE_H + 16
+BLOCK_W = TILE_W + 128
 
 
 def _fast_score_kernel(img_hbm, out_ref, scratch, sem, *, threshold: int):
@@ -34,8 +39,8 @@ def _fast_score_kernel(img_hbm, out_ref, scratch, sem, *, threshold: int):
     j = pl.program_id(1)
     copy = pltpu.make_async_copy(
         img_hbm.at[
-            pl.ds(i * TILE_H, TILE_H + 2 * HALO),
-            pl.ds(j * TILE_W, TILE_W + 2 * HALO),
+            pl.ds(i * TILE_H, BLOCK_H),
+            pl.ds(j * TILE_W, BLOCK_W),
         ],
         scratch,
         sem,
@@ -65,7 +70,7 @@ def _fast_score_kernel(img_hbm, out_ref, scratch, sem, *, threshold: int):
         bscore = jnp.maximum(bscore, bright[k])
         dscore = jnp.maximum(dscore, dark[k])
     score = jnp.maximum(bscore, dscore) - 1
-    out_ref[:, :] = jnp.where(score >= threshold, score, 0).astype(jnp.int16)
+    out_ref[:, :] = jnp.where(score >= threshold, score, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("threshold", "interpret"))
@@ -77,25 +82,34 @@ def fast_score_pallas(
     h, w = img.shape
     ph = -h % TILE_H
     pw = -w % TILE_W
-    x = jnp.pad(img.astype(jnp.int16), ((HALO, HALO + ph), (HALO, HALO + pw)))
+    # over-pad so every (BLOCK_H, BLOCK_W) halo block stays in bounds
+    x = jnp.pad(
+        img.astype(jnp.int32),
+        ((HALO, BLOCK_H - TILE_H - HALO + ph), (HALO, BLOCK_W - TILE_W - HALO + pw)),
+    )
 
     grid = ((h + ph) // TILE_H, (w + pw) // TILE_W)
     out = pl.pallas_call(
         functools.partial(_fast_score_kernel, threshold=threshold),
-        out_shape=jax.ShapeDtypeStruct((h + ph, w + pw), jnp.int16),
+        out_shape=jax.ShapeDtypeStruct((h + ph, w + pw), jnp.int32),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (TILE_H, TILE_W), lambda i, j: (i, j),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((TILE_H + 2 * HALO, TILE_W + 2 * HALO), jnp.int16),
+            pltpu.VMEM((BLOCK_H, BLOCK_W), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # XLA stages the whole padded input/output for this call; the
+            # default 16M scoped budget is too tight at KITTI level 0
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(x)
-    out = out[:h, :w]
+    out = out[:h, :w].astype(jnp.int16)
 
     yy = jnp.arange(h)[:, None]
     xx = jnp.arange(w)[None, :]

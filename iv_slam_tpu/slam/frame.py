@@ -44,9 +44,9 @@ class Frame:
     # cached numpy views of the keypoint arrays (host bookkeeping)
     xy: np.ndarray = None
     octave: np.ndarray = None
-    angle: np.ndarray = None
-    desc: np.ndarray = None
     valid: np.ndarray = None
+    _angle: np.ndarray = None
+    _desc: np.ndarray = None
 
     def __post_init__(self):
         n = self.u_right.shape[0]
@@ -54,11 +54,28 @@ class Frame:
             self.map_pt = np.full(n, -1, np.int32)
         if self.outlier is None:
             self.outlier = np.zeros(n, bool)
-        self.xy = np.asarray(self.kp.xy)
-        self.octave = np.asarray(self.kp.octave)
-        self.angle = np.asarray(self.kp.angle)
-        self.desc = np.asarray(self.kp.desc)
-        self.valid = np.asarray(self.kp.valid)
+        if self.xy is None:
+            # one batched device->host transfer for the always-needed views
+            # (each separate np.asarray pays a full link round-trip)
+            import jax
+
+            self.xy, self.octave, self.valid = jax.device_get(
+                (self.kp.xy, self.kp.octave, self.kp.valid)
+            )
+
+    @property
+    def desc(self) -> np.ndarray:
+        """Host descriptor view — downloaded lazily: only keyframes (map
+        bookkeeping, fusion) need descriptors on the host."""
+        if self._desc is None:
+            self._desc = np.asarray(self.kp.desc)
+        return self._desc
+
+    @property
+    def angle(self) -> np.ndarray:
+        if self._angle is None:
+            self._angle = np.asarray(self.kp.angle)
+        return self._angle
 
     @property
     def n_valid(self) -> int:
@@ -170,8 +187,14 @@ class RGBDFrontend:
 
 
 class StereoFrontend:
-    """Builds Frames from stereo pairs: extraction + stereo matching +
-    quality seeding, all jitted device calls with static shapes."""
+    """Builds Frames from stereo pairs.
+
+    The reference runs left/right ORB extraction on two CPU threads and
+    stereo matching after (Frame.cc:89-230); here the WHOLE frontend —
+    both pyramids, both extractions, stereo matching, quality seeding —
+    is one jitted device program per frame: a single dispatch and a single
+    host round-trip (critical when the accelerator sits behind a
+    high-latency link)."""
 
     def __init__(self, cfg: Config, height: int, width: int):
         self.cfg = cfg
@@ -184,6 +207,93 @@ class StereoFrontend:
         offs = np.cumsum([0] + [s[0] for s in self.shapes[:-1]]).astype(np.int32)
         self.level_offsets = jnp.asarray(offs)
         self._frame_count = 0
+        import jax
+
+        self._jit_plain = jax.jit(
+            lambda il, ir: self._step(il, ir, None)
+        )
+        self._jit_qual = jax.jit(self._step)
+
+    def _step(self, il, ir, cost_map):
+        cam = self.cfg.camera
+        pl = pyr.build_pyramid(il, self.shapes)
+        prr = pyr.build_pyramid(ir, self.shapes)
+        qlevels = (
+            pyr.build_pyramid(cost_map, self.shapes)
+            if cost_map is not None else None
+        )
+        kl = self.extractor.extract_from_pyramid(pl, qlevels)
+        kr = self.extractor.extract_from_pyramid(prr)
+        canvas_l, _ = stereo.flatten_pyramid(pl)
+        canvas_r, _ = stereo.flatten_pyramid(prr)
+        u_right, depth = stereo.match_stereo(
+            kl.xy, kl.octave, kl.desc, kl.valid,
+            kr.xy, kr.octave, kr.desc, kr.valid,
+            canvas_l, canvas_r, self.level_offsets, self.level_widths,
+            self.scale_factors, jnp.float32(cam.bf), jnp.float32(cam.baseline),
+        )
+        if cost_map is not None:
+            # seed per-keypoint quality from the cost map at the keypoint
+            # pixel: qual = 2/(1 + cost/256) - 1 (Frame.cc:130-143; note the
+            # reference uses /256 here vs /255 in the extractor weighting)
+            xs = jnp.clip(
+                jnp.rint(kl.xy[:, 0]).astype(jnp.int32), 0, cam.width - 1
+            )
+            ys = jnp.clip(
+                jnp.rint(kl.xy[:, 1]).astype(jnp.int32), 0, cam.height - 1
+            )
+            cost = cost_map[ys, xs].astype(jnp.float32)
+            qual = 2.0 * (1.0 / (1.0 + cost / 256.0)) - 1.0
+        else:
+            qual = jnp.ones(kl.xy.shape[0], jnp.float32)
+        return kl, kr, u_right, depth, qual
+
+    def submit(
+        self,
+        img_left: np.ndarray,
+        img_right: np.ndarray,
+        cost_map: Optional[np.ndarray] = None,
+    ):
+        """Enqueue the device work for one frame (async). Returns a handle
+        for collect(). Submitting frame n+1 before collecting frame n
+        pipelines uploads/compute against the link latency."""
+        pair = jnp.asarray(np.stack([img_left, img_right]))
+        il, ir = pair[0], pair[1]
+        if cost_map is None:
+            return self._jit_plain(il, ir)
+        return self._jit_qual(il, ir, jnp.asarray(cost_map))
+
+    def collect(
+        self,
+        handle,
+        timestamp: float,
+        gt_pose: Optional[np.ndarray] = None,
+        gt_cov: Optional[np.ndarray] = None,
+        img_name: str = "",
+    ) -> Frame:
+        import jax
+
+        kl, kr, u_right, depth, qual = handle
+        # one download for the small always-needed host fields; descriptors
+        # and angles stay on device (lazy Frame properties — only keyframes
+        # pull them)
+        (u_right, depth, qual, xy, octave, valid) = jax.device_get(
+            (u_right, depth, qual, kl.xy, kl.octave, kl.valid)
+        )
+        fid = self._frame_count
+        self._frame_count += 1
+        return Frame(
+            frame_id=fid,
+            timestamp=timestamp,
+            kp=kl,
+            u_right=u_right,
+            depth=depth,
+            qual_score=qual,
+            gt_pose=gt_pose,
+            gt_cov=gt_cov,
+            img_name=img_name,
+            xy=xy, octave=octave, valid=valid,
+        )
 
     def process(
         self,
@@ -195,47 +305,6 @@ class StereoFrontend:
         gt_cov: Optional[np.ndarray] = None,
         img_name: str = "",
     ) -> Frame:
-        il = jnp.asarray(img_left)
-        ir = jnp.asarray(img_right)
-        q = jnp.asarray(cost_map) if cost_map is not None else None
-        kl = self.extractor(il, q)
-        kr = self.extractor(ir)
-
-        pl = pyr.build_pyramid(il, self.shapes)
-        prr = pyr.build_pyramid(ir, self.shapes)
-        canvas_l, _ = stereo.flatten_pyramid(pl)
-        canvas_r, _ = stereo.flatten_pyramid(prr)
-        cam = self.cfg.camera
-        u_right, depth = stereo.match_stereo(
-            kl.xy, kl.octave, kl.desc, kl.valid,
-            kr.xy, kr.octave, kr.desc, kr.valid,
-            canvas_l, canvas_r, self.level_offsets, self.level_widths,
-            self.scale_factors, jnp.float32(cam.bf), jnp.float32(cam.baseline),
-        )
-
-        n = int(kl.xy.shape[0])
-        if cost_map is not None:
-            # seed per-keypoint quality from the cost map at the keypoint
-            # pixel: qual = 2/(1 + cost/256) - 1 (Frame.cc:130-143; note the
-            # reference uses /256 here vs /255 in the extractor weighting)
-            xy = np.asarray(kl.xy)
-            xs = np.clip(np.rint(xy[:, 0]).astype(int), 0, cost_map.shape[1] - 1)
-            ys = np.clip(np.rint(xy[:, 1]).astype(int), 0, cost_map.shape[0] - 1)
-            cost = cost_map[ys, xs].astype(np.float32)
-            qual = 2.0 * (1.0 / (1.0 + cost / 256.0)) - 1.0
-        else:
-            qual = np.ones(n, np.float32)
-
-        fid = self._frame_count
-        self._frame_count += 1
-        return Frame(
-            frame_id=fid,
-            timestamp=timestamp,
-            kp=kl,
-            u_right=np.asarray(u_right),
-            depth=np.asarray(depth),
-            qual_score=qual,
-            gt_pose=gt_pose,
-            gt_cov=gt_cov,
-            img_name=img_name,
-        )
+        """Synchronous submit + collect (the per-frame tracking path)."""
+        handle = self.submit(img_left, img_right, cost_map)
+        return self.collect(handle, timestamp, gt_pose, gt_cov, img_name)

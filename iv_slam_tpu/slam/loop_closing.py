@@ -159,6 +159,44 @@ class LoopClosing:
             )
             if int(res.n_inliers) < 20:
                 continue
+            # extend matches through the Sim3 window search
+            # (ORBmatcher::SearchBySim3 — reference requires >= 40 total
+            # matches around the refined Sim3, LoopClosing.cc:236-404)
+            sR = np.asarray(res.R) * float(res.s)
+            cand_free = np.asarray(cand_has & cf.valid)
+            cur_free = np.asarray(cur_has & cur.valid)
+            P1_all = (
+                self.map.pt_pos[np.maximum(cf.map_pt, 0)] @ Tc_cand[:3, :3].T
+                + Tc_cand[:3, 3]
+            )
+            P2_all = (
+                self.map.pt_pos[np.maximum(cur.map_pt, 0)] @ Tc_cur[:3, :3].T
+                + Tc_cur[:3, 3]
+            )
+            ext_assign, n_ext = bow_match.search_by_sim3(
+                jnp.asarray(P1_all.astype(np.float32)), cf.kp.desc,
+                jnp.asarray(cf.xy), jnp.asarray(cf.octave),
+                jnp.asarray(cand_free),
+                jnp.asarray(P2_all.astype(np.float32)), cur.kp.desc,
+                jnp.asarray(cur.xy), jnp.asarray(cur.octave),
+                jnp.asarray(cur_free),
+                jnp.asarray(sR.astype(np.float32)),
+                jnp.asarray(np.asarray(res.t).astype(np.float32)),
+                cam.fx, cam.fy, cam.cx, cam.cy,
+                jnp.asarray(self.map.scale_factors),
+                jnp.float32(np.log(self.map.scale_factors[1]
+                                   / self.map.scale_factors[0])),
+                jnp.asarray(
+                    self.map.pt_max_dist[np.maximum(cf.map_pt, 0)].astype(
+                        np.float32)
+                ),
+                jnp.asarray(
+                    self.map.pt_max_dist[np.maximum(cur.map_pt, 0)].astype(
+                        np.float32)
+                ),
+            )
+            if int(n_ext) + int(res.n_inliers) < 40:
+                continue
             # refine (S21: cand(1) -> cur(2)? reference optimizes S12 from
             # current to loop candidate; we refine P1 -> P2)
             opt = sim3_opt.optimize_sim3(

@@ -26,8 +26,13 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import jax  # noqa: E402
 
-# persistent compile cache: the suite re-traces the same kernels every run;
-# set via config (robust even if a plugin imported jax before this file)
+# jax may have been imported before this file (interpreter sitecustomize);
+# env mutations alone are too late then — force the platform via config so
+# tests really run on the virtual-CPU mesh, not a tunneled accelerator
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+
+# persistent compile cache: the suite re-traces the same kernels every run
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
