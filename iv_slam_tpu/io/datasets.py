@@ -113,6 +113,51 @@ def load_jackal_session(
     return StereoSequence(left, right, times, None, names=names)
 
 
+def load_airsim_stereo(
+    data_path: str, gt_path: Optional[str] = None,
+    load_gt_depth: bool = False,
+) -> StereoSequence:
+    """AirSim session layout (stereo_airsim.cc): image_0/image_1 numbered
+    frames, AirSim-format GT poses, optional PFM GT depth images
+    (img_depth/*.pfm, stereo_airsim.cc:339-360)."""
+    left_dir = os.path.join(data_path, "image_0")
+    names = sorted(os.listdir(left_dir))
+    left = [os.path.join(left_dir, n) for n in names]
+    right = [os.path.join(data_path, "image_1", n) for n in names]
+    tfile = os.path.join(data_path, "times.txt")
+    times = (
+        np.loadtxt(tfile)[: len(names)]
+        if os.path.exists(tfile)
+        else np.arange(len(names)) * 0.1
+    )
+    gt = None
+    if gt_path and os.path.exists(gt_path):
+        raw = np.loadtxt(gt_path)
+        if raw.shape[1] == 12:  # KITTI-format rows
+            gt = np.tile(np.eye(4, dtype=np.float32), (len(raw), 1, 1))
+            gt[:, :3, :4] = raw.reshape(-1, 3, 4)
+        elif raw.shape[1] >= 8:  # AirSim: t x y z qw qx qy qz
+            from scipy.spatial.transform import Rotation
+
+            gt = np.tile(np.eye(4, dtype=np.float32), (len(raw), 1, 1))
+            q = raw[:, [5, 6, 7, 4]]  # -> [x, y, z, w]
+            gt[:, :3, :3] = Rotation.from_quat(q).as_matrix()
+            gt[:, :3, 3] = raw[:, 1:4]
+    seq = StereoSequence(left, right, times, gt, names=names)
+    if load_gt_depth:
+        seq.depth_paths = [
+            os.path.join(data_path, "img_depth", os.path.splitext(n)[0] + ".pfm")
+            for n in names
+        ]
+    return seq
+
+
+def load_gt_depth_pfm(path: str) -> Optional[np.ndarray]:
+    from .pfm import read_pfm
+
+    return read_pfm(path) if os.path.exists(path) else None
+
+
 def load_tum_rgbd(data_path: str, association_file: str):
     """TUM RGB-D associations: timestamp rgb_path timestamp depth_path
     (rgbd_tum.cc LoadImages)."""

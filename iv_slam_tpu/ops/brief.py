@@ -65,6 +65,34 @@ def descriptors(
     )
 
 
+def descriptors_global_gather(
+    blurred: jnp.ndarray, yx: jnp.ndarray, angles_deg: jnp.ndarray
+) -> jnp.ndarray:
+    """Descriptors via one flat (N, 512) gather from the blurred image
+    instead of per-keypoint 39x39 patch slices — 3x fewer gathered elements
+    (bit-identical to `descriptors`; keypoints are >= 19 px from borders so
+    no clamping is ever active)."""
+    h, w = blurred.shape
+    pat = jnp.asarray(pattern(), dtype=jnp.float32)
+    ang = angles_deg.astype(jnp.float32) * _FACTOR_PI
+    a = jnp.cos(ang)[:, None]
+    b = jnp.sin(ang)[:, None]
+    px, py = pat[None, :, 0], pat[None, :, 1]
+    rows = jnp.rint(px * b + py * a).astype(jnp.int32) + yx[:, 0:1]
+    cols = jnp.rint(px * a - py * b).astype(jnp.int32) + yx[:, 1:2]
+    flat_idx = jnp.clip(rows, 0, h - 1) * w + jnp.clip(cols, 0, w - 1)
+    vals = jnp.take(blurred.reshape(-1), flat_idx.reshape(-1)).reshape(
+        yx.shape[0], 512
+    )
+    t0 = vals[:, 0::2].astype(jnp.int32)
+    t1 = vals[:, 1::2].astype(jnp.int32)
+    bits = (t0 < t1).astype(jnp.uint8)
+    weights = jnp.asarray(1 << np.arange(8, dtype=np.uint8), dtype=jnp.uint8)
+    return jnp.sum(
+        bits.reshape(-1, 32, 8) * weights[None, None, :], axis=-1, dtype=jnp.uint8
+    )
+
+
 def pack_u32(desc_u8: jnp.ndarray) -> jnp.ndarray:
     """(N, 32) uint8 -> (N, 8) uint32 little-endian words (for Hamming ops)."""
     d = desc_u8.astype(jnp.uint32).reshape(-1, 8, 4)

@@ -322,9 +322,12 @@ class OrbExtractor:
                 self.cfg.min_th_fast,
             )
             yx = jnp.stack([y, x], axis=1)
+            # patch-gather orientation + flat-gather BRIEF (measured fastest
+            # on v5e; the conv-moment variant lowers poorly for 1-channel
+            # 31x31 kernels — kept in orient.py for reference)
             ang = orient.ic_angles(img_l, yx)
             blurred = image.gaussian_blur(img_l, 7, 2.0)
-            desc = brief.descriptors(blurred, yx, ang)
+            desc = brief.descriptors_global_gather(blurred, yx, ang)
             scale = jnp.float32(self.scale_factors[lvl])
             xy0 = jnp.stack([x, y], axis=1).astype(jnp.float32) * scale
             outs.append(
