@@ -1,0 +1,128 @@
+"""Loop-closing pipeline pieces on a manufactured revisit scenario."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from iv_slam_tpu.config import Config, CameraConfig, ORBConfig
+from iv_slam_tpu.ops.extractor import Keypoints
+from iv_slam_tpu.slam.frame import Frame
+from iv_slam_tpu.slam.keyframe_db import KeyFrameDatabase
+from iv_slam_tpu.slam.loop_closing import LoopClosing
+from iv_slam_tpu.slam.map_store import MapStore
+from iv_slam_tpu.slam.vocabulary import Vocabulary
+
+
+def _make_frame(fid, xy, desc, pose, n_cap=256):
+    n = len(xy)
+    pad = n_cap - n
+    xy_f = np.pad(xy.astype(np.float32), ((0, pad), (0, 0)))
+    desc_f = np.pad(desc, ((0, pad), (0, 0)))
+    valid = np.zeros(n_cap, bool)
+    valid[:n] = True
+    kp = Keypoints(
+        xy=jnp.asarray(xy_f),
+        response=jnp.zeros(n_cap),
+        octave=jnp.zeros(n_cap, jnp.int32),
+        angle=jnp.zeros(n_cap),
+        desc=jnp.asarray(desc_f),
+        valid=jnp.asarray(valid),
+        yx_level=jnp.zeros((n_cap, 2), jnp.int32),
+    )
+    f = Frame(
+        frame_id=fid, timestamp=float(fid), kp=kp,
+        u_right=np.full(n_cap, -1.0, np.float32),
+        depth=np.full(n_cap, -1.0, np.float32),
+        qual_score=np.ones(n_cap, np.float32),
+        pose=pose.astype(np.float32),
+    )
+    return f
+
+
+@pytest.fixture(scope="module")
+def scenario(tmp_path_factory):
+    rng = np.random.default_rng(17)
+    cfg = Config()
+    cfg.camera = CameraConfig(fx=400, fy=400, cx=160, cy=120, bf=200,
+                              width=320, height=240)
+    cfg.orb = ORBConfig(n_features=256)
+    m = MapStore(n_levels=8, scale_factor=1.2)
+
+    # world points in front of the origin
+    n_pts = 120
+    Xw = np.stack([
+        rng.uniform(-4, 4, n_pts), rng.uniform(-3, 3, n_pts),
+        rng.uniform(6, 14, n_pts),
+    ], 1).astype(np.float32)
+    descs = rng.integers(0, 256, (n_pts, 32)).astype(np.uint8)
+
+    def project(T, X):
+        pc = X @ T[:3, :3].T + T[:3, 3]
+        return np.stack([
+            400 * pc[:, 0] / pc[:, 2] + 160,
+            400 * pc[:, 1] / pc[:, 2] + 120,
+        ], 1), pc
+
+    # keyframe 0 at origin, keyframe 1 revisiting with slight offset
+    T0 = np.eye(4, dtype=np.float32)
+    T1 = np.eye(4, dtype=np.float32)
+    T1[:3, 3] = [0.1, 0.02, 0.05]
+    frames = []
+    for fid, T in ((0, T0), (1, T1)):
+        uv, _ = project(T, Xw)
+        f = _make_frame(fid, uv, descs, T)
+        frames.append(f)
+    # register in the map with DISJOINT point sets (a genuine unrecognized
+    # revisit: no covisibility between the two keyframes, duplicate
+    # landmarks — exactly what loop closure exists to fuse)
+    kf0 = m.add_keyframe(frames[0])
+    for i in range(n_pts):
+        pid = m.add_point(Xw[i], kf0)
+        m.add_observation(pid, kf0, i)
+        frames[0].map_pt[i] = pid
+        m.pt_desc[pid] = descs[i]
+        m.update_normal_and_depth(pid)
+    kf1 = m.add_keyframe(frames[1])
+    for i in range(n_pts):
+        pid = m.add_point(Xw[i] + rng.normal(0, 0.01, 3).astype(np.float32),
+                          kf1)
+        m.add_observation(pid, kf1, i)
+        frames[1].map_pt[i] = pid
+        m.pt_desc[pid] = descs[i]
+        m.update_normal_and_depth(pid)
+
+    voc = Vocabulary.train(descs, k=6, L=3, seed=3)
+    return cfg, m, voc, kf0, kf1
+
+
+def test_compute_sim3_finds_relative_pose(scenario):
+    cfg, m, voc, kf0, kf1 = scenario
+    kfdb = KeyFrameDatabase(voc)
+    lc = LoopClosing(cfg, m, voc, kfdb)
+    lc._ensure_bow(kf0)
+    lc._ensure_bow(kf1)
+    match = lc._compute_sim3(kf1, [kf0], fix_scale=True)
+    assert match is not None
+    loop_kf, (S_rel, scale) = match
+    assert loop_kf == kf0
+    assert abs(scale - 1.0) < 0.05
+    # relative translation recovered: S_rel maps kf0-cam -> kf1-cam
+    t_rel = S_rel[:3, 3] / scale
+    expected = m.kf_pose[kf1][:3, 3] - m.kf_pose[kf0][:3, 3]
+    np.testing.assert_allclose(t_rel, expected, atol=0.05)
+
+
+def test_detect_loop_needs_temporal_consistency(scenario):
+    cfg, m, voc, kf0, kf1 = scenario
+    kfdb = KeyFrameDatabase(voc)
+    lc = LoopClosing(cfg, m, voc, kfdb)
+    lc._ensure_bow(kf0)
+    kfdb.add(kf0, lc.kf_bow[kf0])
+    lc._ensure_bow(kf1)
+    # first detection: candidate exists but fails the 3-consistent gate
+    cands = lc._detect_loop(kf1)
+    assert cands == []
+    # after repeated consistent detections the gate opens
+    for _ in range(3):
+        cands = lc._detect_loop(kf1)
+    assert kf0 in cands
