@@ -125,6 +125,10 @@ class IVConfig:
     propagate_keyptqual: bool = False
     optimizer_run_extra_iter: bool = True
     optimizer_pose_opt_iter_count: int = 4
+    # local-BA variant (LocalMapping.cc:145-163: standard is the active
+    # default; "vis" adds the map-point quality update, "constrained" is
+    # GT-pinned guided BA for training-data labeling)
+    ba_mode: str = "standard"  # standard | vis | constrained
 
 
 @dataclass

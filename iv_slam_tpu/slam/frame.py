@@ -102,6 +102,28 @@ class Frame:
         return (Twc @ pc)[:3]
 
 
+def sample_gt_depth(
+    depth_map: np.ndarray, xy: np.ndarray, valid: np.ndarray,
+    patch: int = 5, max_depth: float = 600.0,
+) -> np.ndarray:
+    """Per-keypoint ground-truth depth as the minimum over a 5x5 patch
+    around the keypoint (Frame.cc:152-191 mvKeysGTDepth; sky masked at
+    600 m). Returns (N,) float32; -1 where invalid."""
+    h, w = depth_map.shape
+    half = patch // 2
+    out = np.full(len(xy), -1.0, np.float32)
+    for i in np.nonzero(valid)[0]:
+        px = int(round(float(xy[i, 0])))
+        py = int(round(float(xy[i, 1])))
+        x0, y0 = max(px - half, 0), max(py - half, 0)
+        p = depth_map[y0:y0 + patch, x0:x0 + patch]
+        if p.size:
+            d = float(p.min())
+            if d < max_depth:
+                out[i] = d
+    return out
+
+
 class MonoFrontend:
     """Monocular frame builder (Frame.cc:308-413 mono ctor): extraction
     only; stereo fields stay at -1."""

@@ -341,4 +341,12 @@ class LocalMapping:
     def _run_local_ba(self, kf_id: int):
         from ..solvers import local_ba  # local import: solver is heavy
 
-        local_ba.local_bundle_adjustment(self.cfg, self.map, kf_id)
+        mode = self.cfg.iv.ba_mode
+        if mode == "vis":
+            local_ba.local_bundle_adjustment_vis(self.cfg, self.map, kf_id)
+        elif mode == "constrained":
+            local_ba.constrained_local_bundle_adjustment(
+                self.cfg, self.map, kf_id
+            )
+        else:
+            local_ba.local_bundle_adjustment(self.cfg, self.map, kf_id)

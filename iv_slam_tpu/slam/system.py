@@ -104,6 +104,14 @@ class System:
     def failure_count(self) -> int:
         return self.tracking.failure_count
 
+    def activate_localization_mode(self):
+        """System::ActivateLocalizationMode (System.h:122): tracking-only —
+        no keyframes/mapping; VO temporal points carry the motion model."""
+        self.tracking.only_tracking = True
+
+    def deactivate_localization_mode(self):
+        self.tracking.only_tracking = False
+
     def reset(self):
         self.tracking._reset()
 

@@ -61,6 +61,11 @@ class Tracking:
         self.n_inliers = 0
         self.min_frames = 0
         self.max_frames = int(cfg.camera.fps)
+        # localization-only mode (System::ActivateLocalizationMode): no
+        # mapping; temporary visual-odometry points carry frame-to-frame
+        # tracking (Tracking::UpdateLastFrame, Tracking.cc:1260-1301)
+        self.only_tracking = False
+        self._temporal_points: List[int] = []
 
         sf = cfg.orb.scale_factors()
         self.inv_level_sigma2 = (1.0 / (sf * sf)).astype(np.float32)
@@ -149,7 +154,14 @@ class Tracking:
             out = frame.outlier & (frame.map_pt >= 0)
             frame.map_pt[out] = -1
             frame.outlier[:] = False
-            if self._need_new_keyframe():
+            if self.only_tracking:
+                # drop references to observation-less (VO) points, then the
+                # points themselves (Tracking.cc:789-807)
+                for i in np.nonzero(frame.map_pt >= 0)[0]:
+                    if not self.map.pt_obs[int(frame.map_pt[i])]:
+                        frame.map_pt[i] = -1
+                self._delete_temporal_points()
+            elif self._need_new_keyframe():
                 self._create_new_keyframe()
             self._record_trajectory(lost=False)
             self._run_datagen(frame)
@@ -342,12 +354,46 @@ class Tracking:
         ).astype(np.int32)
         return int(inlier.sum())
 
+    def _update_last_frame(self):
+        """Tracking::UpdateLastFrame: refresh the last frame's pose from its
+        reference keyframe; in localization-only mode, seed temporary VO
+        points from its stereo depths (close points, or the 100 nearest)."""
+        last = self.last_frame
+        if last.ref_kf >= 0 and self.rel_poses:
+            last.set_pose(self.rel_poses[-1] @ self.map.kf_pose[last.ref_kf])
+        if (
+            not self.only_tracking
+            or last.frame_id == self.last_kf_frame_id
+            or self.cfg.system.sensor == "mono"
+        ):
+            return
+        cam = self.cfg.camera
+        order = np.argsort(np.where(last.depth > 0, last.depth, np.inf))
+        n_points = 0
+        for i in order:
+            z = last.depth[i]
+            if z <= 0:
+                break
+            pid = int(last.map_pt[i])
+            if pid < 0 or not self.map.pt_obs[pid]:
+                pos = last.unproject_stereo(i, cam.fx, cam.fy, cam.cx, cam.cy)
+                new_pid = self.map.add_point(pos, -1)
+                self.map.pt_desc[new_pid] = last.desc[i]
+                last.map_pt[i] = new_pid
+                self._temporal_points.append(new_pid)
+            n_points += 1
+            if z > cam.depth_threshold and n_points > 100:
+                break
+
+    def _delete_temporal_points(self):
+        for pid in self._temporal_points:
+            self.map.kill_point(pid)
+        self._temporal_points.clear()
+
     def _track_with_motion_model(self) -> bool:
         frame = self.current
         last = self.last_frame
-        # update last frame pose from its reference KF (UpdateLastFrame)
-        if last.ref_kf >= 0 and self.rel_poses:
-            last.set_pose(self.rel_poses[-1] @ self.map.kf_pose[last.ref_kf])
+        self._update_last_frame()
         frame.set_pose(self.velocity @ last.pose)
         frame.map_pt[:] = -1
 
@@ -438,9 +484,14 @@ class Tracking:
         # statistics + strip stereo outliers (Tracking.cc:1655-1684)
         good = (frame.map_pt >= 0) & ~frame.outlier
         self.map.increase_found(frame.map_pt[good])
-        self.n_inliers = int(
-            sum(1 for pid in frame.map_pt[good] if self.map.pt_obs[pid])
-        )
+        if self.only_tracking:
+            # localization mode counts every non-outlier match
+            # (Tracking.cc:1661-1666)
+            self.n_inliers = int(good.sum())
+        else:
+            self.n_inliers = int(
+                sum(1 for pid in frame.map_pt[good] if self.map.pt_obs[pid])
+            )
         bad = (frame.map_pt >= 0) & frame.outlier
         frame.map_pt[bad] = -1  # stereo sensor path
         frame.outlier[bad] = False

@@ -58,6 +58,37 @@ class FrameDrawer:
         return vis
 
 
+def draw_heatmap_overlay(
+    img_gray: np.ndarray,
+    heatmap: np.ndarray,
+    good_for_training: bool,
+    keypoints_xy: Optional[np.ndarray] = None,
+    errors: Optional[np.ndarray] = None,
+    out_path: Optional[str] = None,
+):
+    """Training-data debug visualization (feature_evaluator.cpp:1057-1114):
+    heatmap blended over the image, green/red dot for the good-for-training
+    verdict, optional per-keypoint error coloring."""
+    import cv2
+
+    h, w = heatmap.shape
+    base = cv2.cvtColor(img_gray[:h, :w], cv2.COLOR_GRAY2BGR)
+    color = cv2.applyColorMap(heatmap, cv2.COLORMAP_JET)
+    vis = cv2.addWeighted(base, 0.5, color, 0.5, 0)
+    dot = (0, 255, 0) if good_for_training else (0, 0, 255)
+    cv2.circle(vis, (24, 24), 12, dot, -1)
+    if keypoints_xy is not None and errors is not None:
+        emax = max(float(np.max(errors)), 1e-6)
+        for (x, y), e in zip(keypoints_xy, errors):
+            if e < 0:
+                continue
+            c = int(255 * min(e / emax, 1.0))
+            cv2.circle(vis, (int(x), int(y)), 2, (0, 255 - c, c), -1)
+    if out_path:
+        cv2.imwrite(out_path, vis)
+    return vis
+
+
 class MapDrawer:
     """Top-down map/trajectory renders (src/MapDrawer.cc). Optional GT
     trajectory overlay (gflag map_drawer_visualize_gt_pose)."""

@@ -29,6 +29,7 @@ def _run_ba(
     cfg, m, local_kfs, fixed_kfs, pts,
     n_iters1: int = 5, n_iters2: int = 10,
     erase_outliers: bool = True, extra_fixed=frozenset(),
+    return_edges: bool = False,
 ):
     all_kfs = list(local_kfs) + list(fixed_kfs)
     kf_slot = {k: i for i, k in enumerate(all_kfs)}
@@ -120,9 +121,15 @@ def _run_ba(
     for pid in pts:
         if m.pt_alive[pid]:
             m.update_normal_and_depth(pid)
+    if return_edges:
+        return (
+            pts, e_feat,
+            np.asarray(res.e_chi2)[:E], np.asarray(res.e_inlier)[:E],
+        )
+    return None
 
 
-def local_bundle_adjustment(cfg, m, kf_id: int):
+def local_bundle_adjustment(cfg, m, kf_id: int, return_edges: bool = False):
     """Covisibility-window BA (Optimizer::LocalBundleAdjustment)."""
     local_kfs = [kf_id] + [k for k, _ in m.covisible_keyframes(kf_id)]
     local_kfs = [k for k in local_kfs if m.kf_alive[k]]
@@ -143,7 +150,76 @@ def local_bundle_adjustment(cfg, m, kf_id: int):
         for k in m.pt_obs[pid]:
             if k not in local_set and m.kf_alive[k] and k not in fixed_kfs:
                 fixed_kfs.append(k)
-    _run_ba(cfg, m, local_kfs, fixed_kfs, pts)
+    return _run_ba(cfg, m, local_kfs, fixed_kfs, pts,
+                   return_edges=return_edges)
+
+
+def local_bundle_adjustment_vis(cfg, m, kf_id: int):
+    """Optimizer::LocalBundleAdjustmentVis (Optimizer.cc:873-1293):
+    local BA followed by a per-map-point quality update from the summed
+    normalized chi2 over all its local observations — chi-square quantile
+    windows [50%, 95%] at the point's total dof."""
+    from scipy.stats import chi2 as chi2_dist
+
+    extra = local_bundle_adjustment(cfg, m, kf_id, return_edges=True)
+    if extra is None:
+        return
+    pts, e_feat, chi2_vals, inlier = extra
+    acc = {}
+    for (pid, k, feat), c2, ok in zip(e_feat, chi2_vals, inlier):
+        frame = m.kf_frames[k]
+        dof = 3 if frame.u_right[feat] >= 0 else 2
+        tot = acc.setdefault(pid, [0.0, 0])
+        tot[0] += float(c2)
+        tot[1] += dof
+    for pid, (chi2_sum, dof) in acc.items():
+        if dof < 1 or not m.pt_alive[pid]:
+            continue
+        th_max = chi2_dist.ppf(0.95, dof)
+        th_min = chi2_dist.ppf(0.5, dof)
+        scaled = np.clip((chi2_sum - th_min) / (th_max - th_min), 0.0, 1.0)
+        m.pt_quality[pid] = 2.0 * (1.0 / (1.0 + scaled)) - 1.0
+
+
+def constrained_local_bundle_adjustment(cfg, m, kf_id: int):
+    """Optimizer::ConstrainedLocalBundleAdjustment (Optimizer.cc:1295-1751):
+    "guided BA" — keyframe poses pinned to ground truth, only points
+    optimized; each observation's final chi2 is mapped through the
+    [kErrMin=1.0, kErrMax=7.815] window into a keypoint quality label."""
+    local_kfs = [kf_id] + [k for k, _ in m.covisible_keyframes(kf_id)]
+    local_kfs = [k for k in local_kfs if m.kf_alive[k]]
+    # pin every pose to its GT (camera-to-world inverted to Tcw)
+    gt_ok = all(m.kf_gt_pose[k] is not None for k in local_kfs)
+    if not gt_ok or len(local_kfs) < 2:
+        return
+    saved = {k: m.kf_pose[k].copy() for k in local_kfs}
+    for k in local_kfs:
+        m.set_kf_pose(k, np.linalg.inv(m.kf_gt_pose[k]).astype(np.float32))
+    pts = set()
+    for k in local_kfs:
+        frame = m.kf_frames[k]
+        for pid in frame.map_pt[frame.map_pt >= 0]:
+            if m.pt_alive[pid]:
+                pts.add(int(pid))
+    pts = sorted(pts)
+    extra = _run_ba(
+        cfg, m, local_kfs, [], pts, erase_outliers=False,
+        extra_fixed=set(local_kfs), return_edges=True,
+    )
+    if extra is None:
+        for k, T in saved.items():
+            m.set_kf_pose(k, T)
+        return
+    _, e_feat, chi2_vals, _ = extra
+    K_ERR_MIN, K_ERR_MAX = 1.0, 7.815
+    for (pid, k, feat), c2 in zip(e_feat, chi2_vals):
+        if m.n_observations(pid) <= 2:
+            continue
+        frame = m.kf_frames[k]
+        scaled = np.clip(
+            (float(c2) - K_ERR_MIN) / (K_ERR_MAX - K_ERR_MIN), 0.0, 1.0
+        )
+        frame.qual_score[feat] = 2.0 * (1.0 / (1.0 + scaled)) - 1.0
 
 
 def global_bundle_adjustment(cfg, m, n_iters: int = 20, fixed_kfs=()):

@@ -13,10 +13,12 @@ class PlaneWorld:
     def __init__(self, rng, tex_size=4096, res=80.0, fx=400.0, fy=400.0,
                  cx=160.0, cy=120.0, w=320, h=240, baseline=0.5):
         tex = rng.uniform(0, 255, size=(tex_size, tex_size)).astype(np.float32)
-        tex = cv2.GaussianBlur(tex, (5, 5), 1.0)
-        for _ in range(4000):
+        for _ in range(6000):
             y, x = rng.integers(10, tex_size - 16, 2)
             tex[y:y + 8, x:x + 8] = rng.uniform(0, 255)
+        # low-pass the texture below Nyquist: descriptors must survive the
+        # sub-pixel resampling of camera motion (raw noise decorrelates)
+        tex = cv2.GaussianBlur(tex, (9, 9), 2.0)
         self.tex = np.clip(tex, 0, 255).astype(np.uint8)
         self.res = res  # texture pixels per world meter
         self.K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
@@ -48,6 +50,81 @@ class PlaneWorld:
         )
         right = self.render(Twc_r)
         return left, right
+
+    def render_depth(self, Twc: np.ndarray) -> np.ndarray:
+        """Exact per-pixel depth (camera-frame z) of the plane."""
+        R = Twc[:3, :3]
+        C = Twc[:3, 3]
+        uu, vv = np.meshgrid(np.arange(self.w), np.arange(self.h))
+        rays_cam = np.stack(
+            [uu, vv, np.ones_like(uu)], axis=-1
+        ).astype(np.float32) @ self.Kinv.T
+        rays_w = rays_cam @ R.T
+        lam = -C[2] / rays_w[..., 2]
+        # depth = z-component in camera frame of the hit point
+        return (lam * rays_cam[..., 2]).astype(np.float32)
+
+
+class TwoPlaneWorld(PlaneWorld):
+    """Ground plane (z = 0) plus an elevated square platform (z = height2)
+    — non-planar structure so monocular H/F model selection has parallax."""
+
+    def __init__(self, rng, height2=4.0, region=(-2.0, 2.0, -2.0, 2.0),
+                 **kw):
+        super().__init__(rng, **kw)
+        tex2 = rng.uniform(0, 255, size=(1024, 1024)).astype(np.float32)
+        import cv2
+
+        for _ in range(900):
+            y, x = rng.integers(10, 1008, 2)
+            tex2[y:y + 6, x:x + 6] = rng.uniform(0, 255)
+        tex2 = cv2.GaussianBlur(tex2, (9, 9), 2.0)
+        self.tex2 = np.clip(tex2, 0, 255).astype(np.uint8)
+        self.height2 = height2
+        self.region = region
+
+    def render(self, Twc: np.ndarray) -> np.ndarray:
+        import cv2
+
+        base = super().render(Twc)
+        R = Twc[:3, :3]
+        C = Twc[:3, 3]
+        uu, vv = np.meshgrid(np.arange(self.w), np.arange(self.h))
+        rays = np.stack([uu, vv, np.ones_like(uu)], axis=-1).astype(
+            np.float32
+        ) @ self.Kinv.T @ R.T
+        lam2 = (self.height2 - C[2]) / rays[..., 2]
+        X2 = C[None, None, :] + lam2[..., None] * rays
+        x0, x1, y0, y1 = self.region
+        hit = (
+            (lam2 > 0)
+            & (X2[..., 0] >= x0) & (X2[..., 0] <= x1)
+            & (X2[..., 1] >= y0) & (X2[..., 1] <= y1)
+        )
+        tx = ((X2[..., 0] - x0) / (x1 - x0) * 1000).astype(np.float32)
+        ty = ((X2[..., 1] - y0) / (y1 - y0) * 1000).astype(np.float32)
+        img2 = cv2.remap(self.tex2, tx, ty, cv2.INTER_LINEAR)
+        return np.where(hit, img2, base).astype(np.uint8)
+
+    def render_depth(self, Twc: np.ndarray) -> np.ndarray:
+        R = Twc[:3, :3]
+        C = Twc[:3, 3]
+        uu, vv = np.meshgrid(np.arange(self.w), np.arange(self.h))
+        rays_cam = np.stack(
+            [uu, vv, np.ones_like(uu)], axis=-1
+        ).astype(np.float32) @ self.Kinv.T
+        rays_w = rays_cam @ R.T
+        lam1 = -C[2] / rays_w[..., 2]
+        lam2 = (self.height2 - C[2]) / rays_w[..., 2]
+        X2 = C[None, None, :] + lam2[..., None] * rays_w
+        x0, x1, y0, y1 = self.region
+        hit = (
+            (lam2 > 0)
+            & (X2[..., 0] >= x0) & (X2[..., 0] <= x1)
+            & (X2[..., 1] >= y0) & (X2[..., 1] <= y1)
+        )
+        lam = np.where(hit, lam2, lam1)
+        return (lam * rays_cam[..., 2]).astype(np.float32)
 
 
 def camera_pose(t_xyz, height=10.0, yaw=0.0):
