@@ -71,12 +71,19 @@ class LocalMapping:
         T1 = m.kf_pose[kf_id]
         O1 = m.kf_camera_center(kf_id)
         neighbors = [k for k, _ in m.covisible_keyframes(kf_id)[:n_neighbors]]
+        is_mono = cur.depth.max() <= 0
         for nb in neighbors:
             T2 = m.kf_pose[nb]
             O2 = m.kf_camera_center(nb)
             baseline = float(np.linalg.norm(O2 - O1))
-            # stereo gate: baseline must exceed the stereo baseline
-            if baseline < cam.baseline:
+            if is_mono:
+                # mono gate (LocalMapping.cc:318-330): baseline relative to
+                # the neighbor's median scene depth must exceed 0.01
+                med_depth = self._median_scene_depth(nb)
+                if med_depth <= 0 or baseline / med_depth < 0.01:
+                    continue
+            elif baseline < cam.baseline:
+                # stereo gate: baseline must exceed the stereo baseline
                 continue
             nf = m.kf_frames[nb]
             free1 = cur.valid & (cur.map_pt < 0)
@@ -146,6 +153,19 @@ class LocalMapping:
                 m.compute_distinctive_descriptor(pid)
                 m.update_normal_and_depth(pid)
                 self.recent_points[pid] = kf_id
+
+    def _median_scene_depth(self, kf_id: int) -> float:
+        """KeyFrame::ComputeSceneMedianDepth: median z of the keyframe's map
+        points in its camera frame."""
+        m = self.map
+        frame = m.kf_frames[kf_id]
+        T = m.kf_pose[kf_id]
+        pids = frame.map_pt[frame.map_pt >= 0]
+        pids = pids[m.pt_alive[pids]]
+        if len(pids) == 0:
+            return -1.0
+        z = (m.pt_pos[pids] @ T[:3, :3].T + T[:3, 3])[:, 2]
+        return float(np.median(z))
 
     # --------------------------------------------------------------- fuse
 
@@ -273,8 +293,9 @@ class LocalMapping:
 
     def _cull_map_points(self, kf_id: int):
         """MapPointCulling (LocalMapping.cc:236-271): recently created
-        points must prove themselves (found/visible ratio, observations)."""
-        th_obs = 3  # stereo
+        points must prove themselves (found/visible ratio, observations).
+        Threshold: 2 observations for monocular, 3 for stereo/RGB-D."""
+        th_obs = 2 if self.cfg.system.sensor == "mono" else 3
         for pid in list(self.recent_points):
             first_kf = self.recent_points[pid]
             if not self.map.pt_alive[pid]:

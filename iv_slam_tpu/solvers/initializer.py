@@ -126,6 +126,60 @@ def _triangulate(R, t, K, p1, p2):
     return jax.vmap(one)(p1, p2)
 
 
+def _decompose_h(H21: jnp.ndarray, K: jnp.ndarray):
+    """Faugeras (1988) homography decomposition into 8 (R, t) hypotheses
+    (the reference's Initializer::ReconstructH candidate set)."""
+    A = jnp.linalg.inv(K) @ H21 @ K
+    U, S, Vt = jnp.linalg.svd(A)
+    V = Vt.T
+    s = jnp.linalg.det(U) * jnp.linalg.det(V)
+    d1, d2, d3 = S[0], S[1], S[2]
+
+    denom = jnp.maximum(d1 * d1 - d3 * d3, 1e-12)
+    aux1 = jnp.sqrt(jnp.maximum(d1 * d1 - d2 * d2, 0.0) / denom)
+    aux3 = jnp.sqrt(jnp.maximum(d2 * d2 - d3 * d3, 0.0) / denom)
+    x1s = jnp.array([1.0, 1.0, -1.0, -1.0]) * aux1
+    x3s = jnp.array([1.0, -1.0, 1.0, -1.0]) * aux3
+
+    Rs, ts = [], []
+    # case d' = d2
+    st_base = jnp.sqrt(
+        jnp.maximum((d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3), 0.0)
+    ) / jnp.maximum((d1 + d3) * d2, 1e-12)
+    ct = (d2 * d2 + d1 * d3) / jnp.maximum((d1 + d3) * d2, 1e-12)
+    for i in range(4):
+        eps = jnp.sign(x1s[i] * x3s[i] + 1e-20)
+        st = eps * st_base
+        Rp = jnp.array(
+            [[ct, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, ct]]
+        )
+        Rp = Rp.at[0, 2].set(-st).at[2, 0].set(st)
+        tp = (d1 - d3) * jnp.array([x1s[i], 0.0, -x3s[i]])
+        Rs.append(s * U @ Rp @ Vt)
+        ts.append(U @ tp)
+    # case d' = -d2
+    sp_base = jnp.sqrt(
+        jnp.maximum((d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3), 0.0)
+    ) / jnp.maximum((d1 - d3) * d2, 1e-12)
+    cp = (d1 * d3 - d2 * d2) / jnp.maximum((d1 - d3) * d2, 1e-12)
+    for i in range(4):
+        eps = jnp.sign(x1s[i] * x3s[i] + 1e-20)
+        sp = eps * sp_base
+        Rp = jnp.array(
+            [[cp, 0.0, 0.0], [0.0, -1.0, 0.0], [0.0, 0.0, -cp]]
+        )
+        Rp = Rp.at[0, 2].set(sp).at[2, 0].set(sp)
+        tp = (d1 + d3) * jnp.array([x1s[i], 0.0, x3s[i]])
+        Rs.append(s * U @ Rp @ Vt)
+        ts.append(U @ tp)
+    R_stack = jnp.stack(Rs)
+    t_stack = jnp.stack(ts)
+    t_stack = t_stack / jnp.maximum(
+        jnp.linalg.norm(t_stack, axis=1, keepdims=True), 1e-12
+    )
+    return R_stack, t_stack
+
+
 def _check_rt(R, t, K, p1, p2, valid, sigma2=1.0):
     """Count triangulated points passing depth/parallax/reprojection checks
     (Initializer::CheckRT)."""
@@ -203,16 +257,12 @@ def initialize_mono(
     _, inl_h = _score_h(H21, p1, p2, valid)
     _, inl_f = _score_f(F21, p1, p2, valid)
 
-    # motion hypotheses: E decomposition (4) — the reference's Faugeras-H
-    # path reduces to the same R/t family for the planar case, so the E
-    # route covers both model selections for motion recovery
-    E = K.T @ F21 @ K
     model_inl = jnp.where(use_h, inl_h, inl_f)
-    # for H-selected cases, refit F on the H-inliers to get an E to decompose
-    Fh = _dlt_f(p1n, p2n)  # full-set fit (masked below by scoring quality)
-    E_sel = jnp.where(use_h, K.T @ (jnp.linalg.inv(T2).T @ Fh @ T1) @ K, E)
 
-    U, S, Vt = jnp.linalg.svd(E_sel)
+    # motion hypotheses: Faugeras decomposition (8) for the H model,
+    # essential decomposition (4, padded to 8) for the F model
+    E = K.T @ F21 @ K
+    U, S, Vt = jnp.linalg.svd(E)
     W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
     R1 = U @ W @ Vt
     R2 = U @ W.T @ Vt
@@ -220,9 +270,13 @@ def initialize_mono(
     R2 = R2 * jnp.sign(jnp.linalg.det(R2))
     tu = U[:, 2]
     tu = tu / jnp.maximum(jnp.linalg.norm(tu), 1e-12)
+    cands_R_f = jnp.stack([R1, R1, R2, R2, R1, R1, R2, R2])
+    cands_t_f = jnp.stack([tu, -tu, tu, -tu, tu, -tu, tu, -tu])
 
-    cands_R = jnp.stack([R1, R1, R2, R2])
-    cands_t = jnp.stack([tu, -tu, tu, -tu])
+    cands_R_h, cands_t_h = _decompose_h(H21, K)
+
+    cands_R = jnp.where(use_h, cands_R_h, cands_R_f)
+    cands_t = jnp.where(use_h, cands_t_h, cands_t_f)
 
     goods, Xs, pars = jax.vmap(
         lambda R, t: _check_rt(R, t, K, p1, p2, model_inl)
