@@ -162,6 +162,9 @@ class SystemConfig:
     enable_loop_closing: bool = False
     gt_pose_available: bool = False
     silent: bool = False
+    # single-dispatch fused tracking (slam/fused_track.py): one device
+    # program per frame against the device-resident map mirror
+    fused_tracking: bool = False
 
 
 @dataclass

@@ -53,22 +53,14 @@ def convert_encoder(sd: Dict[str, np.ndarray]) -> Tuple[dict, dict]:
     put("ConvBN_0", _conv_w(sd["features.0.0.weight"]), bn_p, bn_s)
 
     # inverted residual blocks: features.1..17
-    n_convbn = 1
     for idx in range(1, 18):
         base = f"features.{idx}.conv"
         block = f"InvertedResidual_{idx - 1}"
-        layers = sorted(
-            {int(k.split(".")[3]) for k in sd if k.startswith(base + ".")}
-        )
-        # expand_ratio==1 blocks have 5 entries (dw, bn, pw, bn); others 8
         sub_params: dict = {}
         sub_stats: dict = {}
-        conv_i = 0
-        li = 0
-        seq = []
         # torch Sequential: [pw conv, bn, relu] [dw conv, bn, relu] [pw conv, bn]
-        conv_keys = [k for k in sd if k.startswith(base) and k.endswith(".weight")
-                     and "running" not in k]
+        conv_keys = [k for k in sd if k.startswith(base + ".") and
+                     k.endswith(".weight") and "running" not in k]
         # identify conv layers by weight rank
         conv_idx = sorted(
             {int(k.split(".")[3]) for k in conv_keys

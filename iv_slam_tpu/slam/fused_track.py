@@ -1,0 +1,160 @@
+"""Single-dispatch fused tracking step.
+
+The classic per-frame loop (Tracking.cc:513-880) interleaves host logic with
+four device calls (motion-model search, pose LM, local-map search, pose LM),
+each paying a full link round-trip. This program fuses the whole estimation
+chain into ONE jitted dispatch against the device-resident map mirror
+(device_map.py):
+
+  motion-model projection search (narrow -> conditional wide window)
+  -> 4x10-round quality-weighted pose LM -> local search over ALL live map
+  points (frustum + scale-window gated; a superset of the reference's
+  covisibility-local set — the dense Hamming matrix makes the full map
+  affordable) -> pose LM again.
+
+Host code afterwards only reads back small assignment/pose arrays and keeps
+its bookkeeping unchanged. Used by Tracking when cfg.system.fused_tracking
+is set; the multi-dispatch path remains as the semantics reference.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import camera
+from ..ops import match as match_ops
+from ..solvers import pose_opt
+
+
+class FusedResult(NamedTuple):
+    T: jnp.ndarray              # (4, 4) final pose
+    assign_map: jnp.ndarray     # (M,) device-map slot per keypoint or -1
+    inlier: jnp.ndarray         # (M,) bool (final pose-opt inliers)
+    chi2: jnp.ndarray           # (M,)
+    n_motion: jnp.ndarray       # () motion-model matches
+    n_final: jnp.ndarray        # () final inlier count
+
+
+class FusedTracker:
+    def __init__(self, cfg, height: int, width: int):
+        self.cfg = cfg
+        self.K = camera.Intrinsics.from_config(cfg.camera)
+        import numpy as np
+
+        sf = cfg.orb.scale_factors()
+        self.scale_factors = jnp.asarray(sf)
+        self.inv_level_sigma2 = jnp.asarray((1.0 / (sf * sf)).astype(np.float32))
+        self.log_scale = jnp.float32(np.log(cfg.orb.scale_factor))
+        self.height = height
+        self.width = width
+        self._step = jax.jit(self._build_step())
+
+    def _build_step(self):
+        cfg = self.cfg
+        cam = cfg.camera
+        K = self.K
+        swm = cfg.matcher.search_window_multiplier
+        nn_local = 0.8 * cfg.matcher.nn_ratio_multiplier
+
+        def step(
+            # current frame (device arrays from the frontend)
+            cur_xy, cur_oct, cur_angle, cur_desc, cur_ur, cur_valid, cur_qual,
+            # last frame
+            last_xy, last_oct, last_angle, last_valid,
+            last_pt_ids,            # (N,) int32 map slots or -1
+            T_pred, T_last,
+            # device map tables
+            map_pos, map_desc, map_normal, map_mind, map_maxd, map_qual,
+            map_valid,
+        ):
+            ids = jnp.maximum(last_pt_ids, 0)
+            pt_pos = map_pos[ids]
+            pt_desc = map_desc[ids]
+            pt_ok = map_valid[ids] & (last_pt_ids >= 0) & last_valid
+
+            def motion_search(th):
+                return match_ops.search_by_projection_last_frame(
+                    cur_xy, cur_oct, cur_angle, cur_desc, cur_ur, cur_valid,
+                    pt_pos, pt_desc, last_oct, last_angle, pt_ok,
+                    T_pred, T_last,
+                    jnp.float32(cam.fx), jnp.float32(cam.fy),
+                    jnp.float32(cam.cx), jnp.float32(cam.cy),
+                    jnp.float32(cam.bf), jnp.float32(cam.baseline),
+                    jnp.float32(self.width), jnp.float32(self.height),
+                    self.scale_factors, th,
+                )
+
+            assign1, n1 = motion_search(jnp.float32(7.0 * swm))
+            # widen the window when matches are scarce (Tracking.cc:1333-1343)
+            assign1, n1 = jax.lax.cond(
+                n1 < 20,
+                lambda: motion_search(jnp.float32(14.0 * swm)),
+                lambda: (assign1, n1),
+            )
+            # keypoint -> map slot from the motion stage
+            slot1 = jnp.where(assign1 >= 0, last_pt_ids[jnp.maximum(assign1, 0)], -1)
+
+            def run_pose_opt(T0, slots):
+                has = slots >= 0
+                sl = jnp.maximum(slots, 0)
+                Xw = map_pos[sl]
+                obs = jnp.concatenate([cur_xy, cur_ur[:, None]], axis=1)
+                inv_s2 = self.inv_level_sigma2[cur_oct]
+                if cfg.iv.propagate_keyptqual:
+                    qual = map_qual[sl]
+                else:
+                    qual = cur_qual
+                res = pose_opt.pose_optimization(
+                    T0, Xw, obs, inv_s2, qual, has & map_valid[sl], K,
+                    n_rounds=cfg.iv.optimizer_pose_opt_iter_count,
+                )
+                return res
+
+            res1 = run_pose_opt(T_pred, slot1)
+            slot1_in = jnp.where(res1.inlier, slot1, -1)
+
+            # local search over the full map table
+            assign2, _ = match_ops.search_by_projection_local_map(
+                cur_xy, cur_oct, cur_desc, cur_ur, cur_valid,
+                slot1_in >= 0,
+                map_pos, map_desc, map_normal, map_mind, map_maxd, map_valid,
+                res1.T,
+                jnp.float32(cam.fx), jnp.float32(cam.fy),
+                jnp.float32(cam.cx), jnp.float32(cam.cy), jnp.float32(cam.bf),
+                jnp.float32(self.width), jnp.float32(self.height),
+                self.scale_factors, self.log_scale,
+                jnp.float32(1.0 * swm), jnp.float32(nn_local),
+            )
+            merged = jnp.where(slot1_in >= 0, slot1_in, assign2)
+            res2 = run_pose_opt(res1.T, merged)
+            final_assign = jnp.where(res2.inlier, merged, -1)
+            return FusedResult(
+                T=res2.T,
+                assign_map=final_assign,
+                inlier=res2.inlier,
+                chi2=res2.chi2,
+                n_motion=n1,
+                n_final=res2.n_inliers,
+            )
+
+        return step
+
+    def track(self, frame, last_frame, last_pt_ids, T_pred, dmap) -> FusedResult:
+        import numpy as np
+
+        return self._step(
+            frame.kp.xy, frame.kp.octave, frame.kp.angle, frame.kp.desc,
+            jnp.asarray(frame.u_right), frame.kp.valid,
+            jnp.asarray(frame.qual_score),
+            last_frame.kp.xy, last_frame.kp.octave, last_frame.kp.angle,
+            last_frame.kp.valid,
+            jnp.asarray(last_pt_ids.astype(np.int32)),
+            jnp.asarray(T_pred.astype(np.float32)),
+            jnp.asarray(last_frame.pose.astype(np.float32)),
+            dmap.pos, dmap.desc, dmap.normal, dmap.min_dist, dmap.max_dist,
+            dmap.quality, dmap.valid,
+        )

@@ -139,7 +139,13 @@ class Tracking:
         frame = self.current
         ok = False
         if self.state == State.OK:
-            if self.velocity is not None:
+            if (
+                self.cfg.system.fused_tracking
+                and self.velocity is not None
+                and not self.only_tracking
+            ):
+                ok = self._track_fused()
+            if not ok and self.velocity is not None:
                 ok = self._track_with_motion_model()
             if not ok:
                 ok = self._track_reference_keyframe()
@@ -353,6 +359,63 @@ class Tracking:
             has_pt, np.where(frame.u_right >= 0, 3, 2), 0
         ).astype(np.int32)
         return int(inlier.sum())
+
+    def _track_fused(self) -> bool:
+        """Single-dispatch tracking (slam/fused_track.py): motion search +
+        pose LM + full-map local search + pose LM as ONE device program.
+        Falls back to the classic multi-dispatch path on failure."""
+        from .device_map import DeviceMap
+        from .fused_track import FusedTracker
+
+        frame = self.current
+        last = self.last_frame
+        if last is None or last.pose is None:
+            return False
+        if not hasattr(self, "_fused"):
+            self._fused = FusedTracker(self.cfg, self.height, self.width)
+            self._dmap = DeviceMap()
+            self._dmap_dirty = True
+        if self._dmap_dirty:
+            self._dmap.sync(self.map)
+            self._dmap_dirty = False
+        self._update_last_frame()
+        T_pred = self.velocity @ last.pose
+        res = self._fused.track(frame, last, last.map_pt, T_pred, self._dmap)
+        n_motion = int(res.n_motion)
+        if n_motion < 20:
+            return False
+        assign, inlier, chi2, T = (
+            np.asarray(res.assign_map), np.asarray(res.inlier),
+            np.asarray(res.chi2), np.asarray(res.T),
+        )
+        frame.set_pose(T)
+        frame.map_pt[:] = assign
+        frame.outlier[:] = False
+        frame.chi2 = chi2
+        frame.chi2_dof = np.where(
+            assign >= 0, np.where(frame.u_right >= 0, 3, 2), 0
+        ).astype(np.int32)
+        good = assign >= 0
+        self.map.increase_found(assign[good])
+        self.n_inliers = int(
+            sum(1 for pid in assign[good] if self.map.pt_obs[pid])
+        )
+        if self.n_inliers < 30:
+            # roll back associations; the classic path will retry
+            frame.map_pt[:] = -1
+            return False
+        # reference keyframe: the most-voted observer of our matches
+        counter = {}
+        for pid in assign[good]:
+            for kf_id in self.map.pt_obs[pid]:
+                counter[kf_id] = counter.get(kf_id, 0) + 1
+        if counter:
+            self.ref_kf = max(counter, key=counter.get)
+            frame.ref_kf = self.ref_kf
+        return True
+
+    def mark_map_dirty(self):
+        self._dmap_dirty = True
 
     def _update_last_frame(self):
         """Tracking::UpdateLastFrame: refresh the last frame's pose from its

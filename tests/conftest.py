@@ -6,6 +6,7 @@ Env vars must be set before the first jax import.
 """
 
 import os
+import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
@@ -32,10 +33,28 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
 
-# NOTE: the persistent compilation cache is intentionally NOT enabled here:
-# this environment routes some compiles through a remote helper whose AOT
-# executables carry different CPU-feature flags — reloading them segfaults
-# (observed: SIGSEGV in compilation_cache.get_executable_and_time).
+# The interpreter's sitecustomize installs process-wide jax hooks (a
+# compile interceptor + a hidden compilation cache) whose XLA:CPU AOT
+# serialization round-trips executables with mismatched CPU-feature flags
+# — reloading them intermittently SIGSEGVs. Neutralize both for tests:
+# restore the original compiler entry point from the wrapper's closure and
+# make sure no persistent cache is configured.
+import jax._src.compiler as _jcompiler  # noqa: E402
+
+_fn = _jcompiler.backend_compile_and_load
+if "axon" in getattr(_fn, "__name__", "") and _fn.__closure__:
+    for _cell in _fn.__closure__:
+        try:
+            _v = _cell.cell_contents
+        except ValueError:
+            continue
+        if callable(_v) and getattr(_v, "__name__", "") == "backend_compile_and_load":
+            _jcompiler.backend_compile_and_load = _v
+            break
+jax.config.update("jax_compilation_cache_dir", None)
+from jax._src import compilation_cache as _cc  # noqa: E402
+
+_cc.reset_cache()
 
 
 @pytest.fixture
