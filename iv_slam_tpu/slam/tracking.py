@@ -66,6 +66,7 @@ class Tracking:
         # tracking (Tracking::UpdateLastFrame, Tracking.cc:1260-1301)
         self.only_tracking = False
         self._temporal_points: List[int] = []
+        self._dmap_dirty = True  # device map mirror needs (re)sync
 
         sf = cfg.orb.scale_factors()
         self.inv_level_sigma2 = (1.0 / (sf * sf)).astype(np.float32)
@@ -138,6 +139,7 @@ class Tracking:
     def _track_after_init(self):
         frame = self.current
         ok = False
+        fused_done = False
         if self.state == State.OK:
             if (
                 self.cfg.system.fused_tracking
@@ -145,13 +147,14 @@ class Tracking:
                 and not self.only_tracking
             ):
                 ok = self._track_fused()
+                fused_done = ok  # fused path already ran the local-map stage
             if not ok and self.velocity is not None:
                 ok = self._track_with_motion_model()
-            if not ok:
+            if not ok and not fused_done:
                 ok = self._track_reference_keyframe()
         elif self.state == State.LOST and self.cfg.system.use_bow:
             ok = self._relocalization()
-        if ok:
+        if ok and not fused_done:
             ok = self._track_local_map()
         if ok:
             self.state = State.OK
@@ -374,7 +377,6 @@ class Tracking:
         if not hasattr(self, "_fused"):
             self._fused = FusedTracker(self.cfg, self.height, self.width)
             self._dmap = DeviceMap()
-            self._dmap_dirty = True
         if self._dmap_dirty:
             self._dmap.sync(self.map)
             self._dmap_dirty = False
@@ -717,6 +719,7 @@ class Tracking:
             self.map.compute_distinctive_descriptor(pid)
             self.map.update_normal_and_depth(pid)
         self.last_kf_frame_id = frame.frame_id
+        self._dmap_dirty = True
         self.local_mapping.insert_keyframe(kf_id)
         run_ba = (
             frame.frame_id % max(self.cfg.iv.tracking_ba_rate, 1) == 0
