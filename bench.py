@@ -20,6 +20,10 @@ import numpy as np
 
 def main():
     import jax
+    # persistent compile cache for accelerator executables (the
+    # XLA:CPU AOT path is feature-unsafe here, so CPU runs skip it)
+    if jax.default_backend() != "cpu":
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_tpu_cache")
     import jax.numpy as jnp
 
     from iv_slam_tpu.config import Config, CameraConfig, ORBConfig

@@ -56,6 +56,13 @@ def parse_args():
 
 def main():
     args = parse_args()
+    import jax
+
+    # persistent compile cache for accelerator executables (the XLA:CPU AOT
+    # path is feature-unsafe in this environment, so CPU runs skip it)
+    if jax.default_backend() != "cpu":
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_tpu_cache")
+
     from iv_slam_tpu.config import Config, load_reference_yaml
     from iv_slam_tpu.io import datasets, trajectory
     from iv_slam_tpu.slam.system import System
@@ -87,7 +94,6 @@ def main():
     # introspection sources
     cost_fn = None
     if args.introspection_func_enabled and args.introspection_model_path:
-        import jax
         from iv_slam_tpu.models.introspection import (
             IntrospectionNet, inference_cost_map,
         )
@@ -112,12 +118,25 @@ def main():
 
     os.makedirs(args.out_visualization_path, exist_ok=True)
     t_track = []
+    # depth-1 frontend prefetch: frame i+1's extraction runs on device while
+    # frame i's tracking occupies the host (stereo_kitti.cc overlaps I/O
+    # with tracking via threads; here jax's async dispatch does it)
+    handle = None
+    next_cost = None
+    if len(seq) > 0:
+        left, right, _, _, _ = seq[0]
+        next_cost = cost_fn(left) if cost_fn else None
+        handle = sys_.tracking.submit_frontend(left, right, next_cost)
     for i in range(len(seq)):
-        left, right, t, gt, name = seq[i]
-        cost = cost_fn(left) if cost_fn else None
+        _, _, t, gt, name = seq[i]
         t0 = time.perf_counter()
-        sys_.track_stereo(left, right, t, gt_pose=gt, img_name=name,
-                          cost_map=cost)
+        cur_handle = handle
+        if i + 1 < len(seq):
+            nleft, nright, _, _, _ = seq[i + 1]
+            next_cost = cost_fn(nleft) if cost_fn else None
+            handle = sys_.tracking.submit_frontend(nleft, nright, next_cost)
+        sys_.track_stereo(None, None, t, gt_pose=gt, img_name=name,
+                          frontend_handle=cur_handle)
         t_track.append(time.perf_counter() - t0)
         if i % 50 == 0:
             print(f"frame {i}/{len(seq)} state={sys_.state.name} "

@@ -119,7 +119,7 @@ class LocalMapping:
             i1_raw = np.nonzero(assign_np >= 0)[0]
             i2_raw = assign_np[i1_raw]
             # pad to a bucketed static size so the kernel compiles once
-            cap = 256
+            cap = 512
             while cap < len(i1_raw):
                 cap *= 2
             nb_valid = len(i1_raw)

@@ -37,13 +37,19 @@ class System:
         gt_cov: Optional[np.ndarray] = None,
         img_name: str = "",
         cost_map: Optional[np.ndarray] = None,
+        frontend_handle=None,
     ) -> Optional[np.ndarray]:
         """Returns the camera pose Tcw, or None while not initialized."""
         return self.tracking.track_stereo(
             img_left, img_right, timestamp,
             cost_map=cost_map, gt_pose=gt_pose, gt_cov=gt_cov,
-            img_name=img_name,
+            img_name=img_name, frontend_handle=frontend_handle,
         )
+
+    def submit_frontend(self, img_left, img_right, cost_map=None):
+        """Prefetch the next frame's frontend (device work overlaps host
+        tracking of the current frame)."""
+        return self.tracking.submit_frontend(img_left, img_right, cost_map)
 
     def track_mono(
         self,

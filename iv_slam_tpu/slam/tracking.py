@@ -95,13 +95,27 @@ class Tracking:
         gt_pose: Optional[np.ndarray] = None,
         gt_cov: Optional[np.ndarray] = None,
         img_name: str = "",
+        frontend_handle=None,
     ) -> Optional[np.ndarray]:
-        frame = self.frontend.process(
-            img_left, img_right, timestamp, cost_map, gt_pose, gt_cov, img_name
-        )
+        """Track one stereo pair. Pass `frontend_handle` from
+        `submit_frontend` (called while the previous frame was tracking) to
+        overlap the frontend's device work with host-side tracking — the
+        reference's I/O-vs-tracking thread overlap, jax-async style."""
+        if frontend_handle is not None:
+            frame = self.frontend.collect(
+                frontend_handle, timestamp, gt_pose, gt_cov, img_name
+            )
+        else:
+            frame = self.frontend.process(
+                img_left, img_right, timestamp, cost_map, gt_pose, gt_cov,
+                img_name,
+            )
         self.current = frame
         self._track()
         return frame.pose
+
+    def submit_frontend(self, img_left, img_right, cost_map=None):
+        return self.frontend.submit(img_left, img_right, cost_map)
 
     def track_mono(
         self,

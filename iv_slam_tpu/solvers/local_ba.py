@@ -17,12 +17,15 @@ from ..geometry import camera
 from .ba_core import BAProblem, ba_solve
 
 
-def _bucket(n: int, quantum: int = 256) -> int:
+def _bucket(n: int, quantum: int = 2048) -> int:
+    """Pad to a coarse fixed grid: on TPU the padded FLOPs are negligible
+    while every new shape costs a full XLA compile (tens of seconds through
+    a remote-compile link)."""
     return max(quantum, ((n + quantum - 1) // quantum) * quantum)
 
 
 def _bucket_kf(n: int) -> int:
-    return max(8, ((n + 7) // 8) * 8)
+    return max(32, ((n + 31) // 32) * 32)
 
 
 def _run_ba(
