@@ -149,6 +149,34 @@ def relative_transform(Twc_cur: jnp.ndarray, Twc_ref: jnp.ndarray) -> jnp.ndarra
     return Tcw @ Twc_ref
 
 
+def gt_reprojection_errors(
+    kp_ref: jnp.ndarray,       # (N, 2) reference-frame keypoints
+    kp_cur: jnp.ndarray,       # (N, 2) matched current-frame keypoints
+    gt_depth_ref: jnp.ndarray,  # (N,) GT depth at the reference keypoints
+    valid: jnp.ndarray,
+    T_rel: jnp.ndarray,        # (4, 4) ref-cam -> cur-cam GT transform
+    Kmat: jnp.ndarray,
+) -> jnp.ndarray:
+    """Reprojection-based scoring (ErrorType::kReprojection;
+    FeatureEvaluator::GetGTReprojection, fe.cpp:1186-1340): backproject the
+    reference keypoint with its ground-truth depth, transform with the GT
+    relative pose, and measure the pixel distance to the matched current
+    keypoint. -1 where invalid (no GT depth)."""
+    fx, fy = Kmat[0, 0], Kmat[1, 1]
+    cx, cy = Kmat[0, 2], Kmat[1, 2]
+    z = gt_depth_ref
+    x = (kp_ref[:, 0] - cx) * z / fx
+    y = (kp_ref[:, 1] - cy) * z / fy
+    p_ref = jnp.stack([x, y, z], axis=-1)
+    p_cur = p_ref @ T_rel[:3, :3].T + T_rel[:3, 3]
+    zc = p_cur[:, 2]
+    u = fx * p_cur[:, 0] / jnp.where(zc != 0, zc, 1.0) + cx
+    v = fy * p_cur[:, 1] / jnp.where(zc != 0, zc, 1.0) + cy
+    err = jnp.sqrt((u - kp_cur[:, 0]) ** 2 + (v - kp_cur[:, 1]) ** 2)
+    ok = valid & (z > 0) & (zc > 0)
+    return jnp.where(ok, err, -1.0)
+
+
 def bad_match_stats(norm_err: jnp.ndarray):
     """Fraction of scored matches above kBadFeatureErrThresh (fe.cpp:82-248)
     -> (bad_percent, n_scored)."""

@@ -94,6 +94,41 @@ def heatmap_from_grid(
     return jnp.clip(jnp.rint(up * 255.0), 0, 255).astype(jnp.uint8)
 
 
+def hist2d_heatmap(
+    points: jnp.ndarray,    # (N, 2) keypoint (x, y)
+    values: jnp.ndarray,    # (N,) error values
+    valid: jnp.ndarray,
+    bny: int,
+    bnx: int,
+    bin_size: int = 40,
+    stride: int = 20,
+    err_min: float = 0.0,
+) -> jnp.ndarray:
+    """Sliding-window histogram heatmap — the reference's non-GP variant
+    (GenerateImageQualityHeatmap + Hist2D, fe.cpp:459-541, 3114-3181):
+    each (bin_size x bin_size) window (stride-spaced) averages the error
+    values of the keypoints inside it; empty bins default to err_min.
+
+    TPU shape: membership is a dense (bins, N) containment mask and the
+    bin sums are two matmuls."""
+    gx = (jnp.arange(bnx) * stride).astype(jnp.float32)
+    gy = (jnp.arange(bny) * stride).astype(jnp.float32)
+    gxx, gyy = jnp.meshgrid(gx, gy)  # (bny, bnx) window origins
+    x0 = gxx.reshape(-1)[:, None]
+    y0 = gyy.reshape(-1)[:, None]
+    px = points[None, :, 0]
+    py = points[None, :, 1]
+    inside = (
+        (px >= x0) & (px < x0 + bin_size)
+        & (py >= y0) & (py < y0 + bin_size)
+        & valid[None, :]
+    ).astype(jnp.float32)
+    freq = inside @ jnp.ones_like(values)
+    sums = inside @ jnp.where(valid, values, 0.0)
+    mean = jnp.where(freq > 0, sums / jnp.maximum(freq, 1.0), err_min)
+    return mean.reshape(bny, bnx)
+
+
 def mask_from_variance(
     grid_var: jnp.ndarray,
     out_h: int,
