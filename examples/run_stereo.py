@@ -91,6 +91,14 @@ def main():
     cfg.camera.height, cfg.camera.width = h, w
     sys_ = System(cfg, h, w)
 
+    if args.create_ivslam_dataset:
+        cfg.iv.enabled = True
+        sys_.enable_datagen(
+            args.out_dataset_path
+            or os.path.join(args.out_visualization_path,
+                            "generated_training_data")
+        )
+
     # introspection sources
     cost_fn = None
     if args.introspection_func_enabled and args.introspection_model_path:
@@ -141,6 +149,9 @@ def main():
         if i % 50 == 0:
             print(f"frame {i}/{len(seq)} state={sys_.state.name} "
                   f"median_track={np.median(t_track):.3f}s")
+
+    if args.create_ivslam_dataset and sys_.tracking.datagen is not None:
+        sys_.tracking.datagen.finalize()
 
     out = args.out_visualization_path
     sys_.save_trajectory_kitti(os.path.join(out, "Trajectory_KITTI_000.txt"))
