@@ -51,6 +51,9 @@ def parse_args():
     p.add_argument("--gt_pose_available", action="store_true")
     p.add_argument("--timestamps_file", default="",
                    help="EuRoC timestamp list")
+    p.add_argument("--rectify_images", action="store_true",
+                   help="rectify with the settings' LEFT./RIGHT. blocks "
+                        "(stereo_kitti.cc:286-343)")
     return p.parse_args()
 
 
@@ -85,6 +88,25 @@ def main():
         )
     else:
         seq = datasets.load_jackal_session(args.data_path)
+
+    # optional stereo rectification from the settings' LEFT./RIGHT. blocks
+    rect_maps = (None, None)
+    if args.rectify_images and args.settings_path:
+        from iv_slam_tpu.config import _parse_opencv_yaml
+        from iv_slam_tpu.io import rectify
+
+        doc = _parse_opencv_yaml(args.settings_path)
+        rect_maps = (
+            rectify.load_rectification_from_yaml(doc, "LEFT"),
+            rectify.load_rectification_from_yaml(doc, "RIGHT"),
+        )
+
+    def maybe_rectify(left, right):
+        if rect_maps[0] is not None:
+            left = rectify.remap(left, rect_maps[0])
+        if rect_maps[1] is not None:
+            right = rectify.remap(right, rect_maps[1])
+        return left, right
 
     left0 = datasets.load_gray(seq.left_paths[0])
     h, w = left0.shape
@@ -133,6 +155,7 @@ def main():
     next_cost = None
     if len(seq) > 0:
         left, right, _, _, _ = seq[0]
+        left, right = maybe_rectify(left, right)
         next_cost = cost_fn(left) if cost_fn else None
         handle = sys_.tracking.submit_frontend(left, right, next_cost)
     for i in range(len(seq)):
@@ -141,6 +164,7 @@ def main():
         cur_handle = handle
         if i + 1 < len(seq):
             nleft, nright, _, _, _ = seq[i + 1]
+            nleft, nright = maybe_rectify(nleft, nright)
             next_cost = cost_fn(nleft) if cost_fn else None
             handle = sys_.tracking.submit_frontend(nleft, nright, next_cost)
         sys_.track_stereo(None, None, t, gt_pose=gt, img_name=name,

@@ -918,6 +918,7 @@ class Tracking:
         self.ref_kf = -1
         self.local_kfs = []
         self.local_pts = np.zeros(0, np.int64)
+        self._dmap_dirty = True  # the device map mirrors a dead map now
         if hasattr(self, "voc"):
             self.attach_vocabulary(self.voc)  # fresh KF database for the new map
 
