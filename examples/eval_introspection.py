@@ -86,34 +86,27 @@ def main():
         report = dict(masked_mse=float(np.mean(losses)), n=len(losses))
         print(json.dumps(report))
 
-    else:  # retention curves
-        import imageio.v3 as iio
+    else:  # retention curves (eval_model_outputs.py:48-60)
+        from iv_slam_tpu.train.data import (
+            ImageQualityDatasetPP, retention_curve,
+        )
 
-        with open(args.keypoints_json) as f:
-            kp = json.load(f)
-        xs = np.array(kp["x_coord"])
-        ys = np.array(kp["y_coord"])
-        err = np.array(kp["epipolar_err"])
-        # predicted cost at each keypoint from the saved cost maps would
-        # need per-image association; with img_dir of predicted maps:
-        # approximate using one global set (matches eval_model_outputs'
-        # aggregated curves)
-        pred_dir = args.img_dir
-        # load all predicted costs into an average map and sample
-        maps = [iio.imread(os.path.join(pred_dir, n))
-                for n in sorted(os.listdir(pred_dir))
-                if not n.startswith("overlay_")]
-        mean_map = np.mean(np.stack(maps), axis=0)
-        xi = np.clip(xs.astype(int), 0, mean_map.shape[1] - 1)
-        yi = np.clip(ys.astype(int), 0, mean_map.shape[0] - 1)
-        cost = mean_map[yi, xi]
-        order = np.argsort(cost)
-        fracs = np.linspace(0.1, 1.0, 10)
-        curve = [
-            dict(retained=float(f),
-                 mean_err=float(err[order[: max(int(f * len(order)), 1)]].mean()))
-            for f in fracs
-        ]
+        ds = ImageQualityDatasetPP(
+            args.data_root, args.raw_img_root, args.sessions,
+            network_output_root=args.img_dir,
+        )
+        costs, errs = [], []
+        for i in range(len(ds)):
+            s = ds[i]
+            xi = np.clip(s.keypt_xy[:, 0].astype(int), 0,
+                         s.network_output.shape[1] - 1)
+            yi = np.clip(s.keypt_xy[:, 1].astype(int), 0,
+                         s.network_output.shape[0] - 1)
+            costs.append(s.network_output[yi, xi, 0].astype(np.float32))
+            errs.append(s.keypt_epipolar_err)
+        curve = retention_curve(
+            np.concatenate(costs), np.concatenate(errs)
+        )
         print(json.dumps(curve, indent=2))
 
 

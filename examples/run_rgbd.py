@@ -22,8 +22,9 @@ def main():
     p.add_argument("--data_path", required=True)
     p.add_argument("--association_file", required=True)
     p.add_argument("--settings_path", default="")
-    p.add_argument("--depth_scale", type=float, default=1.0 / 5000.0,
-                   help="TUM depth PNGs store depth * 5000")
+    p.add_argument("--depth_scale", type=float, default=0.0,
+                   help="depth-image scale; 0 = 1/DepthMapFactor from the "
+                        "settings YAML (TUM PNGs store depth * 5000)")
     p.add_argument("--out_visualization_path", default="out_rgbd")
     args = p.parse_args()
 
@@ -42,6 +43,10 @@ def main():
     if args.settings_path:
         cfg = load_reference_yaml(args.settings_path, cfg)
     cfg.system.sensor = "rgbd"
+    # DepthMapFactor semantics (Tracking.cc YAML parse): depth /= factor
+    if args.depth_scale <= 0.0:
+        f = cfg.camera.depth_map_factor
+        args.depth_scale = 1.0 / f if f > 1e-6 else 1.0
 
     rgb_paths, depth_paths, times = datasets.load_tum_rgbd(
         args.data_path, args.association_file

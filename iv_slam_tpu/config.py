@@ -36,6 +36,9 @@ class CameraConfig:
     width: int = 1241
     height: int = 376
     th_depth: float = 35.0  # YAML ThDepth: close/far stereo point threshold
+    # YAML DepthMapFactor: RGB-D depth-image scaling (Tracking.cc parse;
+    # TUM PNGs store depth * 5000). The driver divides depth by this.
+    depth_map_factor: float = 1.0
 
     @property
     def baseline(self) -> float:
@@ -116,6 +119,9 @@ class IVConfig:
     inference_mode: bool = False
     unsupervised_learning: bool = False
     create_dataset: bool = False
+    # TrainingMode enum (feature_evaluator.h:68-78, default .h:404);
+    # keys of introspection.feature_evaluator.TRAINING_MODES
+    training_mode: str = "ref_kf_epipolar_normalized"
     # gflag defaults (Tracking.cc:44-64, Frame.cc:29-33, MapPoint.cc:26,
     # Optimizer.cc:40-49)
     tracking_ba_rate: int = 1
@@ -195,6 +201,7 @@ _YAML_CAMERA_KEYS = {
     "Camera.width": "width",
     "Camera.height": "height",
     "ThDepth": "th_depth",
+    "DepthMapFactor": "depth_map_factor",
 }
 
 _YAML_ORB_KEYS = {
@@ -259,6 +266,12 @@ def load_reference_yaml(path: str, cfg: Optional[Config] = None) -> Config:
         cfg.iv.unsupervised_learning = bool(int(doc["IVSLAM.unsupervisedLearning"]))
     if "Viewer.HeadlessMode" in doc:
         cfg.viewer.headless = bool(int(doc["Viewer.HeadlessMode"]))
+    if "Viewer.SaveFramesToFile" in doc:
+        cfg.viewer.save_frames_to_file = bool(
+            int(doc["Viewer.SaveFramesToFile"]))
+    if "Viewer.SaveMapDrawingsToFile" in doc:
+        cfg.viewer.save_map_drawings_to_file = bool(
+            int(doc["Viewer.SaveMapDrawingsToFile"]))
     cfg.orb.max_keypoints = max(cfg.orb.max_keypoints, _next_pow2(cfg.orb.n_features))
     return cfg
 

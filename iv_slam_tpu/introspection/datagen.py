@@ -42,30 +42,72 @@ class DataGenerator:
 
     # ------------------------------------------------------- supervised
 
-    def process_frame_supervised(self, frame, img_hw) -> Optional[dict]:
-        """Score + heatmap for one tracked frame with GT pose available."""
+    def process_frame_supervised(
+        self, frame, img_hw, prev_frame=None
+    ) -> Optional[dict]:
+        """Score + heatmap for one tracked frame with GT pose available.
+
+        Dispatches on cfg.iv.training_mode over the reference's 9-way
+        TrainingMode enum (EvaluateFeatures, fe.cpp:119-151): the
+        reference keypoint comes from the previous frame, the map point's
+        reference keyframe, or prev-with-ref-fallback; the error is
+        reprojection (fe.cpp:2115-2266), raw epipolar (2268-2411), or
+        uncertainty-normalized epipolar (2413-2752, the default)."""
         if frame.gt_pose is None or frame.pose is None:
             return None
+        spec = fe.TRAINING_MODES[self.cfg.iv.training_mode]
+        if spec is None:
+            # the reference LOG(FATAL)s on these two enum values
+            raise NotImplementedError(
+                f"training mode {self.cfg.iv.training_mode!r} is not "
+                "implemented (matches the reference, fe.cpp:2151-2209)"
+            )
+        ref_source, err_type = spec
         m = self.map
-        has_pt = frame.map_pt >= 0
-        idx = np.nonzero(has_pt)[0]
+        idx = np.nonzero(frame.map_pt >= 0)[0]
         if len(idx) == 0:
             return None
+        if ref_source in ("prev", "prev_and_ref"):
+            if prev_frame is None or prev_frame.gt_pose is None:
+                return None
+            prev_idx_of = {
+                int(p): j for j, p in enumerate(prev_frame.map_pt) if p >= 0
+            }
         kp_cur, kp_ref, lvl_sig2, keep = [], [], [], []
+        pt_w, T_ref_cw, T_rel_pt = [], [], []
         sf2 = m.scale_factors ** 2
         for i in idx:
             pid = int(frame.map_pt[i])
             if not m.pt_alive[pid]:
                 continue
-            ref_kf = int(m.pt_ref_kf[pid])
-            feat = m.pt_obs[pid].get(ref_kf)
-            if feat is None or m.kf_gt_pose[ref_kf] is None:
+            prev_feat = (
+                prev_idx_of.get(pid)
+                if ref_source in ("prev", "prev_and_ref") else None
+            )
+            if ref_source == "prev" and prev_feat is None:
                 continue
-            rf = m.kf_frames[ref_kf]
+            use_prev = prev_feat is not None and ref_source != "ref"
+            if use_prev:
+                ref_xy = prev_frame.xy[prev_feat]
+                ref_pose, ref_gt = prev_frame.pose, prev_frame.gt_pose
+            else:
+                ref_kf = int(m.pt_ref_kf[pid])
+                feat = m.pt_obs[pid].get(ref_kf)
+                if feat is None or m.kf_gt_pose[ref_kf] is None:
+                    continue
+                ref_xy = m.kf_frames[ref_kf].xy[feat]
+                ref_pose = m.kf_pose[ref_kf]
+                ref_gt = m.kf_gt_pose[ref_kf]
             kp_cur.append(frame.xy[i])
-            kp_ref.append(rf.xy[feat])
+            kp_ref.append(ref_xy)
             lvl_sig2.append(sf2[frame.octave[i]])
             keep.append(i)
+            if err_type == "reproj":
+                pt_w.append(m.pt_pos[pid])
+                T_ref_cw.append(ref_pose)
+                T_rel_pt.append(np.asarray(fe.relative_transform(
+                    jnp.asarray(frame.gt_pose), jnp.asarray(ref_gt)
+                )))
         if len(keep) < 4:
             return None
         n = len(keep)
@@ -77,33 +119,56 @@ class DataGenerator:
                        constant_values=1.0)
         valid = np.zeros(cap, bool)
         valid[: min(n, cap)] = True
-
-        # GT relative transform: ref KF -> current (both Twc)
-        ref_kf0 = int(m.pt_ref_kf[int(frame.map_pt[keep[0]])])
-        # use per-frame GT pose of the current frame and each point's ref
-        # KF; the reference computes this per keypoint — batching by the
-        # dominant ref KF keeps one transform per call
-        T_rel = np.asarray(
-            fe.relative_transform(
-                jnp.asarray(frame.gt_pose),
-                jnp.asarray(m.kf_gt_pose[ref_kf0]),
-            )
-        )
         K = self.cfg.camera.K()
-        scores = fe.epipolar_scores(
-            jnp.asarray(kp_cur_a.astype(np.float32)),
-            jnp.asarray(kp_ref_a.astype(np.float32)),
-            jnp.asarray(sig_a),
-            jnp.asarray(valid),
-            jnp.asarray(T_rel.astype(np.float32)),
-            jnp.asarray(K),
-            jnp.zeros((3, 3)), jnp.zeros((3, 3)), jnp.asarray(False),
-        )
-        norm_err = np.asarray(scores.norm_err)
+
+        if err_type == "reproj":
+            # zero-padded transforms are fine: padded slots are masked by
+            # `valid` and guarded against z = 0 inside the kernel
+            err = np.asarray(fe.map_point_reprojection_errors(
+                jnp.asarray(kp_cur_a.astype(np.float32)),
+                jnp.asarray(np.pad(
+                    np.stack(pt_w)[:cap], ((0, pad), (0, 0))
+                ).astype(np.float32)),
+                jnp.asarray(np.pad(
+                    np.stack(T_ref_cw)[:cap], ((0, pad), (0, 0), (0, 0))
+                ).astype(np.float32)),
+                jnp.asarray(np.pad(
+                    np.stack(T_rel_pt)[:cap], ((0, pad), (0, 0), (0, 0))
+                ).astype(np.float32)),
+                jnp.asarray(valid),
+                jnp.asarray(K),
+            ))
+            norm_err = err
+            thresh = fe.BAD_ERR_THRESH_REPROJ
+        else:
+            if ref_source == "prev":
+                ref_gt0 = prev_frame.gt_pose
+            else:
+                # one transform per call batched by the dominant ref KF
+                # (the reference computes this per keypoint)
+                ref_kf0 = int(m.pt_ref_kf[int(frame.map_pt[keep[0]])])
+                ref_gt0 = m.kf_gt_pose[ref_kf0]
+            T_rel = np.asarray(fe.relative_transform(
+                jnp.asarray(frame.gt_pose), jnp.asarray(ref_gt0)
+            ))
+            scores = fe.epipolar_scores(
+                jnp.asarray(kp_cur_a.astype(np.float32)),
+                jnp.asarray(kp_ref_a.astype(np.float32)),
+                jnp.asarray(sig_a),
+                jnp.asarray(valid),
+                jnp.asarray(T_rel.astype(np.float32)),
+                jnp.asarray(K),
+                jnp.zeros((3, 3)), jnp.zeros((3, 3)), jnp.asarray(False),
+            )
+            norm_err = np.asarray(
+                scores.norm_err if err_type == "epipolar_normalized"
+                else scores.raw_err
+            )
+            thresh = fe.BAD_ERR_THRESH
         sel = norm_err >= 0
         if sel.sum() < 4:
             return None
-        pct, cnt = fe.bad_match_stats(scores.norm_err)
+        pct, cnt = fe.bad_match_stats(jnp.asarray(norm_err), thresh)
         good = fe.frame_good_for_training(float(pct), int(cnt))
 
         bny, bnx, out_h, out_w = gp.grid_shape(

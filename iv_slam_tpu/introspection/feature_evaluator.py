@@ -25,6 +25,22 @@ MIN_SENSITIVITY = 1.0                # kMinEpipolarErrSensitivity_
 NO_COV_NORMALIZATION = 4.0           # kNormalizationFactor (no-cov case)
 SCALE95 = 2.4477  # sqrt(5.991)
 BAD_ERR_THRESH = 1.0                 # kBadFeatureErrThresh_Epipolar_
+BAD_ERR_THRESH_REPROJ = 5.0          # kBadFeatureErrThresh_Reproj_ (.h:331)
+
+# TrainingMode enum (feature_evaluator.h:68-78) -> (reference source,
+# error type). The reference LOG(FATAL)s on the two *_last_kf modes
+# (fe.cpp:2151-2160, 2206-2209); they raise NotImplementedError here.
+TRAINING_MODES = {
+    "prev_frame": ("prev", "reproj"),
+    "prev_frame_and_last_kf": None,                 # kCompareAgainstPrevFrameAndLastKeyFrame
+    "prev_frame_and_ref_kf": ("prev_and_ref", "reproj"),
+    "last_kf": None,                                # kCompareAgainstLastKeyFrame
+    "ref_kf": ("ref", "reproj"),
+    "prev_frame_epipolar": ("prev", "epipolar"),
+    "ref_kf_epipolar": ("ref", "epipolar"),
+    "prev_frame_epipolar_normalized": ("prev", "epipolar_normalized"),
+    "ref_kf_epipolar_normalized": ("ref", "epipolar_normalized"),
+}
 MIN_BAD_PERCENT = 5.0                # kMinBadMatchPercent_
 MAX_BAD_PERCENT = 60.0               # kMaxBadMatchPercent_
 MIN_MATCHES = 10                     # kMinMatchesInFrame_
@@ -64,8 +80,6 @@ def epipolar_scores(
     t = T_rel[:3, 3]
     fx, fy = Kmat[0, 0], Kmat[1, 1]
     cx, cy = Kmat[0, 2], Kmat[1, 2]
-    Kinv = jnp.linalg.inv(Kmat)
-
     baseline_ok = jnp.linalg.norm(t) >= MIN_BASELINE
 
     # --- raw epipolar error (CalculateEpipolarErrorVec, fe.cpp:2754-2830) --
@@ -74,28 +88,21 @@ def epipolar_scores(
     xr = jnp.stack(
         [(kp_ref[:, 0] - cx) / fx, (kp_ref[:, 1] - cy) / fy, ones], axis=-1
     )
-    # epipole: projection of ref camera center into current frame
-    def proj(p3):
-        return jnp.stack(
-            [fx * p3[..., 0] / p3[..., 2] + cx, fy * p3[..., 1] / p3[..., 2] + cy],
-            axis=-1,
-        )
-
-    epipole = proj(t)
-    p_in2 = xr @ R.T + t
-    p2d = proj(p_in2)
-    u_hat = p2d - epipole
-    u_hat = u_hat / jnp.maximum(jnp.linalg.norm(u_hat, axis=-1, keepdims=True), 1e-12)
-    d = kp_cur - epipole
-    proj_pt = epipole + jnp.sum(d * u_hat, axis=-1, keepdims=True) * u_hat
-    raw_err = jnp.linalg.norm(kp_cur - proj_pt, axis=-1)
+    # The reference projects the keypoint onto the pixel-space epipolar
+    # line through the epipole (fe.cpp:2785-2815); that parameterization
+    # divides by t_z and degenerates when the motion is parallel to the
+    # image plane (epipole at infinity). The point-to-line distance
+    # |x_cur^T l| / ||l_12|| with l = [K t]x (K R K^-1) x_ref is the same
+    # quantity wherever the epipole is finite and stays defined when it
+    # is not — computed below from the Jacobian intermediates.
 
     # --- analytic variance propagation (GetEpipolarErrorJacobians) --------
-    # epipolar line l = F x_ref with F = [K t]_x (K R K^-1)
-    B = (Kmat @ R @ Kinv) @ xr[..., None]            # (N, 3, 1)
+    # epipolar line l = F p_ref with F = [K t]_x (K R K^-1) and p_ref the
+    # PIXEL homogeneous coordinate (fe.cpp:1849-1866 normalizes by z, not
+    # by K). Since K^-1 p_ref = xr, B = K R K^-1 p_ref = K R xr.
+    B = (Kmat @ R) @ xr[..., None]                   # (N, 3, 1)
     KT = Kmat @ t
-    F = _hat(KT) @ (Kmat @ R @ Kinv)
-    l = (F @ xr[..., None])[..., 0]                  # (N, 3)
+    l = (_hat(KT)[None] @ B)[..., 0]                 # (N, 3)
     Ln = jnp.maximum(jnp.linalg.norm(l[:, :2], axis=-1), 1e-12)
     L3 = Ln ** 3
 
@@ -103,11 +110,12 @@ def epipolar_scores(
     Jl_t = jnp.stack(
         [jnp.cross(Kmat[:, i][None, :], B[..., 0]) for i in range(3)], axis=-1
     )  # (N, 3, 3)
-    C = (R @ Kinv) @ xr[..., None]
+    C = R @ xr[..., None]
     Jl_w = -(_hat(KT)[None] @ (Kmat[None] @ _hat(C[..., 0])))  # (N, 3, 3)
 
     xn = jnp.concatenate([kp_cur, jnp.ones((kp_cur.shape[0], 1))], axis=-1)
     xl = jnp.sum(xn * l, axis=-1)                    # x^T l
+    raw_err = jnp.abs(xl) / Ln                       # distance to epipolar line
 
     def err_jac(Jl):
         term1 = jnp.einsum("ni,nij->nj", xn, Jl) / Ln[:, None]
@@ -177,12 +185,41 @@ def gt_reprojection_errors(
     return jnp.where(ok, err, -1.0)
 
 
-def bad_match_stats(norm_err: jnp.ndarray):
+def map_point_reprojection_errors(
+    kp_cur: jnp.ndarray,     # (N, 2) current-frame keypoints
+    pt_world: jnp.ndarray,   # (N, 3) matched map-point world positions
+    T_ref_cw: jnp.ndarray,   # (N, 4, 4) reference frame ESTIMATED Tcw
+    T_rel_gt: jnp.ndarray,   # (N, 4, 4) GT ref-cam -> cur-cam transform
+    valid: jnp.ndarray,
+    Kmat: jnp.ndarray,
+) -> jnp.ndarray:
+    """Reprojection scoring of the non-epipolar training modes
+    (CalculateReprojectionError, fe.cpp:2979-3074): the map point's
+    "ground-truth" location in the current camera is its estimated
+    position in the reference camera carried over by the GT relative
+    transform — X_cur = T_gt(ref->cur) . Tcw_ref . X_w — and the error is
+    the pixel distance between its projection and the observed keypoint.
+    -1 where invalid."""
+    fx, fy = Kmat[0, 0], Kmat[1, 1]
+    cx, cy = Kmat[0, 2], Kmat[1, 2]
+    ph = jnp.concatenate([pt_world, jnp.ones_like(pt_world[:, :1])], axis=-1)
+    p_ref = jnp.einsum("nij,nj->ni", T_ref_cw, ph)
+    p_cur = jnp.einsum("nij,nj->ni", T_rel_gt, p_ref)[:, :3]
+    zc = p_cur[:, 2]
+    u = fx * p_cur[:, 0] / jnp.where(zc != 0, zc, 1.0) + cx
+    v = fy * p_cur[:, 1] / jnp.where(zc != 0, zc, 1.0) + cy
+    err = jnp.sqrt((u - kp_cur[:, 0]) ** 2 + (v - kp_cur[:, 1]) ** 2)
+    return jnp.where(valid & (zc != 0), err, -1.0)
+
+
+def bad_match_stats(norm_err: jnp.ndarray, thresh: float = BAD_ERR_THRESH):
     """Fraction of scored matches above kBadFeatureErrThresh (fe.cpp:82-248)
-    -> (bad_percent, n_scored)."""
+    -> (bad_percent, n_scored). thresh: 1.0 for epipolar error types,
+    5.0 for reprojection (kBadFeatureErrThresh_{Epipolar,Reproj}_,
+    feature_evaluator.h:322,331)."""
     scored = norm_err >= 0
     n = jnp.sum(scored.astype(jnp.int32))
-    bad = jnp.sum((scored & (norm_err > BAD_ERR_THRESH)).astype(jnp.int32))
+    bad = jnp.sum((scored & (norm_err > thresh)).astype(jnp.int32))
     pct = 100.0 * bad / jnp.maximum(n, 1)
     return pct, n
 

@@ -224,6 +224,18 @@ def _extract_level(
     """One pyramid level -> (n_desired,) slots of (y, x, response, valid)."""
     score_ini = _fast_score(img_l, ini_th)
     score_min = _fast_score(img_l, min_th)
+    return _select_level_keypoints(score_ini, score_min, qual_l, lay)
+
+
+def _select_level_keypoints(
+    score_ini: jnp.ndarray,
+    score_min: jnp.ndarray,
+    qual_l: Optional[jnp.ndarray],
+    lay: LevelLayout,
+):
+    """Keypoint selection from precomputed FAST score maps (split out so a
+    batch axis can be vmapped over it while the Pallas FAST kernel runs
+    per image)."""
     tiles_ini = _tile_nms(_tile_view(score_ini, lay))
     tiles_min = _tile_nms(_tile_view(score_min, lay))
     cnt_ini = jnp.sum((tiles_ini > 0).astype(jnp.int32), axis=(1, 2))
@@ -305,6 +317,59 @@ class OrbExtractor:
         )
         return self.extract_from_pyramid(levels, qlevels)
 
+    def extract_from_pyramid_batched(self, levels, qlevels=None):
+        """Batched extraction over B images at once (levels[l]: (B, H, W)).
+
+        The reference extracts left/right on two CPU threads
+        (Frame.cc:116-124); here the pair is ONE batch axis: selection,
+        orientation, blur, and BRIEF run as (B, ...) ops, halving kernel
+        launches and doubling gather widths. A missing quality map is an
+        all-zeros cost map, which reproduces the unweighted path exactly
+        (cost 0 -> cell weight 1 -> uniform budgets, response x 1.0)."""
+        B = levels[0].shape[0]
+        outs = []
+        for lvl, lay in enumerate(self.layouts):
+            if not lay.active:
+                continue
+            imgs = levels[lvl]
+            qual = (
+                qlevels[lvl] if qlevels is not None
+                else jnp.zeros_like(imgs)
+            )
+            score_ini = jnp.stack(
+                [_fast_score(imgs[b], self.cfg.ini_th_fast) for b in range(B)]
+            )
+            score_min = jnp.stack(
+                [_fast_score(imgs[b], self.cfg.min_th_fast) for b in range(B)]
+            )
+            y, x, resp, valid = jax.vmap(
+                lambda si, sm, q: _select_level_keypoints(si, sm, q, lay)
+            )(score_ini, score_min, qual)
+            yx = jnp.stack([y, x], axis=-1)                    # (B, N, 2)
+            ang = jax.vmap(orient.ic_angles_integral)(imgs, yx)
+            blurred = jax.vmap(
+                lambda im: image.gaussian_blur(im, 7, 2.0)
+            )(imgs)
+            desc = jax.vmap(brief.descriptors_global_gather)(
+                blurred, yx, ang
+            )
+            scale = jnp.float32(self.scale_factors[lvl])
+            xy0 = jnp.stack([x, y], axis=-1).astype(jnp.float32) * scale
+            outs.append(
+                Keypoints(
+                    xy=xy0,
+                    response=resp,
+                    octave=jnp.full(y.shape, lvl, jnp.int32),
+                    angle=ang,
+                    desc=desc,
+                    valid=valid,
+                    yx_level=yx,
+                )
+            )
+        return Keypoints(
+            *[jnp.concatenate(parts, axis=1) for parts in zip(*outs)]
+        )
+
     def extract_from_pyramid(self, levels, qlevels=None):
         """Extraction given prebuilt pyramid levels (lets callers share one
         pyramid between extraction and stereo matching in a single jit)."""
@@ -322,10 +387,11 @@ class OrbExtractor:
                 self.cfg.min_th_fast,
             )
             yx = jnp.stack([y, x], axis=1)
-            # patch-gather orientation + flat-gather BRIEF (measured fastest
-            # on v5e; the conv-moment variant lowers poorly for 1-channel
-            # 31x31 kernels — kept in orient.py for reference)
-            ang = orient.ic_angles(img_l, yx)
+            # prefix-sum orientation (124 gathered elements/keypoint,
+            # bit-identical to the 961-pixel patch gather) + flat-gather
+            # BRIEF (measured fastest on v5e; the conv-moment variant
+            # lowers poorly for 1-channel 31x31 kernels)
+            ang = orient.ic_angles_integral(img_l, yx)
             blurred = image.gaussian_blur(img_l, 7, 2.0)
             desc = brief.descriptors_global_gather(blurred, yx, ang)
             scale = jnp.float32(self.scale_factors[lvl])

@@ -84,6 +84,52 @@ def ic_angles(img: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
     return fast_atan2_deg(m[:, 1], m[:, 0])
 
 
+@functools.lru_cache(maxsize=1)
+def _row_extents() -> np.ndarray:
+    """(31,) circular-patch half-width per row offset v = -15..15."""
+    umax = umax_table()
+    v = np.arange(-HALF_PATCH, HALF_PATCH + 1)
+    return umax[np.abs(v)].astype(np.int32)
+
+
+def ic_angles_integral(img: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
+    """IC orientation via per-row prefix sums — exact integer moments with
+    124 gathered elements per keypoint instead of 961 patch pixels.
+
+    For each row offset v the circular mask covers u in [-a, a] with
+    a = umax[|v|] (ORBextractor.cc:460-477), so with per-row prefix sums
+    S(y, x) = sum_{x' <= x} I(y, x') and W(y, x) = sum_{x' <= x} x' I(y, x'):
+
+      m01 = sum_v v * (S[y+v, x+a] - S[y+v, x-a-1])
+      m10 = sum_v (W[y+v, x+a] - W[y+v, x-a-1]) - x * (S diff)
+
+    Row sums stay < 2^31 (255 * 1241^2 for KITTI-wide rows), so int32
+    arithmetic is exact and the angles are bit-identical to ic_angles
+    (same moments, same fastAtan2)."""
+    h, w = img.shape
+    i32 = img.astype(jnp.int32)
+    # prefix sums padded with a leading zero column so x-a-1 = -1 maps to 0
+    S = jnp.pad(jnp.cumsum(i32, axis=1), ((0, 0), (1, 0)))
+    W = jnp.pad(
+        jnp.cumsum(i32 * jnp.arange(w, dtype=jnp.int32)[None, :], axis=1),
+        ((0, 0), (1, 0)),
+    )
+    a = jnp.asarray(_row_extents())               # (31,)
+    v = jnp.arange(-HALF_PATCH, HALF_PATCH + 1)   # (31,)
+    rows = yx[:, 0:1] + v[None, :]                # (N, 31)
+    hi = yx[:, 1:2] + a[None, :] + 1              # x + a (+1 for pad)
+    lo = yx[:, 1:2] - a[None, :]                  # x - a - 1 (+1 for pad)
+    wp = w + 1
+    flat_hi = rows * wp + hi
+    flat_lo = rows * wp + lo
+    Sf, Wf = S.reshape(-1), W.reshape(-1)
+    s_diff = jnp.take(Sf, flat_hi) - jnp.take(Sf, flat_lo)   # (N, 31)
+    w_diff = jnp.take(Wf, flat_hi) - jnp.take(Wf, flat_lo)
+    m01 = jnp.sum(v[None, :] * s_diff, axis=1)
+    m10 = jnp.sum(w_diff, axis=1) - yx[:, 1] * jnp.sum(s_diff, axis=1)
+    return fast_atan2_deg(m01.astype(jnp.float32), m10.astype(jnp.float32))
+
+
 def extract_patches(img: jnp.ndarray, yx: jnp.ndarray, radius: int) -> jnp.ndarray:
     """Gather (2r+1)^2 patches around integer centers via vmapped slices."""
     size = 2 * radius + 1

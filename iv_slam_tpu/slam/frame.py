@@ -237,15 +237,23 @@ class StereoFrontend:
         self._jit_qual = jax.jit(self._step)
 
     def _step(self, il, ir, cost_map):
+        import jax
+
         cam = self.cfg.camera
         pl = pyr.build_pyramid(il, self.shapes)
         prr = pyr.build_pyramid(ir, self.shapes)
-        qlevels = (
-            pyr.build_pyramid(cost_map, self.shapes)
-            if cost_map is not None else None
-        )
-        kl = self.extractor.extract_from_pyramid(pl, qlevels)
-        kr = self.extractor.extract_from_pyramid(prr)
+        # left/right as ONE batch axis through the extractor (the
+        # reference's two extraction threads, Frame.cc:116-124); the right
+        # image gets a zero cost map = exact unweighted semantics
+        levels = [jnp.stack([a, b]) for a, b in zip(pl, prr)]
+        if cost_map is not None:
+            ql = pyr.build_pyramid(cost_map, self.shapes)
+            qlevels = [jnp.stack([q, jnp.zeros_like(q)]) for q in ql]
+        else:
+            qlevels = None
+        kb = self.extractor.extract_from_pyramid_batched(levels, qlevels)
+        kl = jax.tree.map(lambda a: a[0], kb)
+        kr = jax.tree.map(lambda a: a[1], kb)
         canvas_l, _ = stereo.flatten_pyramid(pl)
         canvas_r, _ = stereo.flatten_pyramid(prr)
         u_right, depth = stereo.match_stereo(

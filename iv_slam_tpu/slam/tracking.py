@@ -890,7 +890,9 @@ class Tracking:
                 frame, frame.chi2, frame.chi2_dof, found, reliable, img_hw
             )
         else:
-            self.datagen.process_frame_supervised(frame, img_hw)
+            self.datagen.process_frame_supervised(
+                frame, img_hw, prev_frame=self.last_frame
+            )
 
     # -------------------------------------------------------------- failure
 

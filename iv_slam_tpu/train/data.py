@@ -146,3 +146,123 @@ class ImageQualityDataset:
             if item is None:
                 return
             yield item
+
+
+@dataclass
+class PPSample:
+    image: np.ndarray           # (H, W, C) uint8, cropped to heatmap size
+    score_img: np.ndarray       # (H, W, 1) uint8 GT bad-region heatmap
+    network_output: np.ndarray  # (H, W, 1) uint8 predicted cost map
+    keypt_xy: np.ndarray        # (K, 2) float keypoint coords in this image
+    keypt_response: np.ndarray  # (K,)
+    keypt_epipolar_err: np.ndarray  # (K,)
+    session: int
+    name: str
+
+
+class ImageQualityDatasetPP:
+    """Post-processing/eval dataset (data_loader/load_images_pp.py):
+    pairs raw images with the GT bad-region heatmap, the network's
+    predicted cost map, and the per-image keypoints (coords, response,
+    epipolar error) recorded in keypoints.json / img_names.json — the
+    inputs of the retained-data precision curves
+    (testing/eval_model_outputs.py:48-60)."""
+
+    def __init__(
+        self,
+        data_root: str,          # sessions of generated_training_data
+        raw_img_root: str,
+        sessions: Sequence[int],
+        network_output_root: str,
+        raw_img_folder: str = "image_0",
+        session_prefix_length: int = 5,
+    ):
+        import json
+
+        fmt = f"{{0:0{session_prefix_length}d}}"
+        self.entries = []
+        for s in sessions:
+            sdir = os.path.join(
+                data_root, fmt.format(s), "generated_training_data"
+            )
+            kp_path = os.path.join(sdir, "keypoints.json")
+            names_path = os.path.join(sdir, "img_names.json")
+            if not (os.path.exists(kp_path) and os.path.exists(names_path)):
+                continue
+            with open(kp_path) as f:
+                kp = json.load(f)
+            with open(names_path) as f:
+                names = json.load(f)
+            kx = np.asarray(kp["x_coord"], np.float32)
+            ky = np.asarray(kp["y_coord"], np.float32)
+            kr = np.asarray(kp["response"], np.float32)
+            ke = np.asarray(kp["epipolar_err"], np.float32)
+            for name, corr in zip(
+                names["img_name"], names["corresponding_keypt_id"]
+            ):
+                ids = np.asarray(corr["keypt_id"], int)
+                self.entries.append(
+                    dict(
+                        session=s,
+                        name=name,
+                        raw=os.path.join(
+                            raw_img_root, fmt.format(s), raw_img_folder, name
+                        ),
+                        score=os.path.join(sdir, "bad_region_heatmap", name),
+                        net=os.path.join(
+                            network_output_root, fmt.format(s), name
+                        ),
+                        xy=np.stack([kx[ids], ky[ids]], axis=1),
+                        response=kr[ids],
+                        err=ke[ids],
+                    )
+                )
+
+    def __len__(self):
+        return len(self.entries)
+
+    def __getitem__(self, i: int) -> PPSample:
+        import imageio.v3 as iio
+
+        e = self.entries[i]
+        raw = iio.imread(e["raw"])
+        if raw.ndim == 2:
+            raw = raw[..., None]
+        score = iio.imread(e["score"])
+        if score.ndim == 3:
+            score = score[..., 0]
+        net_path = e["net"]
+        if not os.path.exists(net_path):
+            # the reference stores network outputs as .jpg
+            net_path = os.path.splitext(net_path)[0] + ".jpg"
+        net = iio.imread(net_path)
+        if net.ndim == 3:
+            net = net[..., 0]
+        h, w = score.shape
+        return PPSample(
+            image=raw[:h, :w],
+            score_img=score[..., None],
+            network_output=net[:h, :w, None],
+            keypt_xy=e["xy"],
+            keypt_response=e["response"],
+            keypt_epipolar_err=e["err"],
+            session=e["session"],
+            name=e["name"],
+        )
+
+
+def retention_curve(
+    pred_cost: np.ndarray, epipolar_err: np.ndarray, n_points: int = 10
+) -> list:
+    """Retained-data precision curve (eval_model_outputs.py:48-60): sort
+    keypoints by predicted cost ascending; for each retention fraction
+    report the mean GT epipolar error of the retained set."""
+    order = np.argsort(pred_cost)
+    out = []
+    for f in np.linspace(1.0 / n_points, 1.0, n_points):
+        k = max(int(f * len(order)), 1)
+        out.append(
+            dict(retained=float(f),
+                 mean_err=float(np.mean(epipolar_err[order[:k]])))
+        )
+    return out

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models.introspection import IntrospectionNet
-from .losses import deep_sup_loss
+from .losses import deep_sup_loss, masked_mse
 
 
 class TrainState(NamedTuple):
@@ -81,7 +81,10 @@ def create_train_state(
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     tx = tx or make_optimizer()
     dummy = jnp.zeros((1, input_hw[0], input_hw[1], 3), jnp.float32)
-    variables = net.init(rng, dummy, train=True)
+    variables = net.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        dummy, train=True,
+    )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return (
@@ -100,15 +103,21 @@ def train_step(
     mask (B,h,w,1)) with h = H/8 (target_downsampling_rate)."""
 
     def loss_fn(params):
-        (pred, pred_ds), updates = net.apply(
+        out, updates = net.apply(
             {"params": params, "batch_stats": state.batch_stats},
             batch["image"],
             train=True,
             mutable=["batch_stats"],
+            rngs={"dropout": jax.random.fold_in(
+                jax.random.PRNGKey(0), state.step)},
         )
-        loss, main = deep_sup_loss(
-            pred, pred_ds, batch["target"], batch["mask"]
-        )
+        if isinstance(out, tuple):
+            # deep-supervision decoders return (pred, pred_deepsup)
+            loss, main = deep_sup_loss(
+                out[0], out[1], batch["target"], batch["mask"]
+            )
+        else:
+            loss = main = masked_mse(out, batch["target"], batch["mask"])
         return loss, (main, updates["batch_stats"])
 
     (loss, (main, new_bs)), grads = jax.value_and_grad(

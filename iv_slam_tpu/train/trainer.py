@@ -37,6 +37,13 @@ class TrainConfig:
     input_hw: tuple = (512, 512)
     seed: int = 0
     ckpt_dir: str = "checkpoints"
+    # model selection (MODEL.arch_encoder/arch_decoder/fc_dim in the yacs
+    # tree, config/defaults.py) — any pair from models/zoo.py
+    arch_encoder: str = "mobilenetv2dilated"
+    arch_decoder: str = "c1_deepsup"
+    fc_dim: int = 0          # 0 = infer from the encoder arch
+    num_class: int = 1
+    regression_mode: bool = True
 
 
 @dataclass
@@ -50,7 +57,20 @@ class History:
 class Trainer:
     def __init__(self, cfg: TrainConfig, mesh=None):
         self.cfg = cfg
-        self.net = IntrospectionNet()
+        if (cfg.arch_encoder, cfg.arch_decoder) == (
+            "mobilenetv2dilated", "c1_deepsup",
+        ) and cfg.num_class == 1:
+            self.net = IntrospectionNet()  # flagship recipe, stable ckpts
+        else:
+            from ..models.zoo import SegmentationModel
+
+            self.net = SegmentationModel(
+                arch_encoder=cfg.arch_encoder,
+                arch_decoder=cfg.arch_decoder,
+                fc_dim=cfg.fc_dim,
+                num_class=cfg.num_class,
+                regression_mode=cfg.regression_mode,
+            )
         max_iters = cfg.num_epochs * 1000  # refined once data is known
         self.tx = ts.make_optimizer(
             cfg.lr_encoder, cfg.lr_decoder, max_iters,

@@ -78,3 +78,50 @@ def test_map_save_load_roundtrip(tmp_path, rng):
     )
     kf0 = m2.kf_frames[0]
     assert kf0 is not None and kf0.map_pt.shape == m.kf_frames[0].map_pt.shape
+
+
+@pytest.mark.slow
+def test_training_mode_matrix(tmp_path, rng):
+    """All 7 implemented TrainingMode variants (feature_evaluator.h:68-78)
+    score the same tracked frame; the two reference-FATAL modes raise."""
+    from iv_slam_tpu.introspection import feature_evaluator as fe
+    from iv_slam_tpu.introspection.datagen import DataGenerator
+
+    world, frames, gt = synth_world.make_sequence(rng, n_frames=8, step=0.08)
+    cfg = make_config()
+    sys = System(cfg, 240, 320)
+    tracked = []
+    for i, (left, right) in enumerate(frames):
+        sys.track_stereo(
+            left, right, timestamp=i * 0.1, gt_pose=gt[i],
+            img_name=f"{i:06d}.png",
+        )
+        tracked.append(sys.tracking.current)
+    assert sys.state == State.OK
+    frame, prev = tracked[-1], tracked[-2]
+
+    results = {}
+    for mode, spec in fe.TRAINING_MODES.items():
+        cfg.iv.training_mode = mode
+        gen = DataGenerator(cfg, sys.tracking.map, None)
+        if spec is None:
+            with pytest.raises(NotImplementedError):
+                gen.process_frame_supervised(frame, (240, 320), prev)
+            continue
+        results[mode] = gen.process_frame_supervised(frame, (240, 320), prev)
+
+    assert len(results) == 7
+    for mode, res in results.items():
+        assert res is not None, mode
+        assert res["n_scored"] > 4, mode
+        err = res["norm_err"]
+        assert (err[err >= 0] >= 0).all(), mode
+        assert res["heatmap"].dtype == np.uint8, mode
+    # reprojection errors on a well-tracked synthetic sequence are small
+    # in pixels; epipolar-normalized are divided by the 95% bound
+    e_norm = results["ref_kf_epipolar_normalized"]["norm_err"]
+    e_raw = results["ref_kf_epipolar"]["norm_err"]
+    sel = (e_norm >= 0) & (e_raw >= 0)
+    assert sel.sum() > 4
+    # normalization shrinks the raw epipolar error (factor >= 4)
+    assert np.median(e_norm[sel]) <= np.median(e_raw[sel]) + 1e-6

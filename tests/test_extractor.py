@@ -55,6 +55,18 @@ def test_ic_angles_match_golden(img):
         assert min(d, 360 - d) < 1e-3, (k, ours[k], ref)
 
 
+def test_ic_angles_integral_bit_identical(img):
+    """The prefix-sum IC path (orient.ic_angles_integral) must equal the
+    patch-gather path exactly — both compute exact integer moments."""
+    rng = np.random.default_rng(7)
+    ys = rng.integers(19, img.shape[0] - 19, 200)
+    xs = rng.integers(19, img.shape[1] - 19, 200)
+    yx = jnp.asarray(np.stack([ys, xs], axis=1).astype(np.int32))
+    a = np.asarray(orient.ic_angles(jnp.asarray(img), yx))
+    b = np.asarray(orient.ic_angles_integral(jnp.asarray(img), yx))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_brief_descriptors_match_golden(img):
     pattern = brief.pattern()
     blurred = cv2.GaussianBlur(img, (7, 7), 2, borderType=cv2.BORDER_REFLECT_101)
