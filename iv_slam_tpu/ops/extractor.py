@@ -222,22 +222,30 @@ def _extract_level(
     min_th: int,
 ):
     """One pyramid level -> (n_desired,) slots of (y, x, response, valid)."""
-    score_ini = _fast_score(img_l, ini_th)
     score_min = _fast_score(img_l, min_th)
-    return _select_level_keypoints(score_ini, score_min, qual_l, lay)
+    return _select_level_keypoints(score_min, qual_l, lay, ini_th)
 
 
 def _select_level_keypoints(
-    score_ini: jnp.ndarray,
     score_min: jnp.ndarray,
     qual_l: Optional[jnp.ndarray],
     lay: LevelLayout,
+    ini_th: int,
 ):
-    """Keypoint selection from precomputed FAST score maps (split out so a
-    batch axis can be vmapped over it while the Pallas FAST kernel runs
-    per image)."""
-    tiles_ini = _tile_nms(_tile_view(score_ini, lay))
+    """Keypoint selection from ONE precomputed FAST score map at minThFAST
+    (split out so a batch axis can be vmapped over it while the Pallas FAST
+    kernel runs per image).
+
+    The FAST score is the max threshold at which the segment test passes,
+    so the iniTh map is the minTh map masked at >= iniTh — and NMS commutes
+    with that mask: a suppressor of a pixel with score >= iniTh has a
+    strictly greater score, hence also survives the iniTh zeroing. One
+    FAST + NMS pass therefore serves both thresholds (ORBextractor.cc's two
+    cv::FAST calls, 1046-1059)."""
     tiles_min = _tile_nms(_tile_view(score_min, lay))
+    # fast.fast_score stores score-1 and gates score >= th, so the iniTh
+    # re-mask uses the same convention: score - 1 >= th <=> corner at th
+    tiles_ini = jnp.where(tiles_min >= ini_th, tiles_min, 0)
     cnt_ini = jnp.sum((tiles_ini > 0).astype(jnp.int32), axis=(1, 2))
     use_min = cnt_ini <= 3  # ORBextractor.cc:1054-1059
     tiles = jnp.where(use_min[:, None, None], tiles_min, tiles_ini)
@@ -336,15 +344,14 @@ class OrbExtractor:
                 qlevels[lvl] if qlevels is not None
                 else jnp.zeros_like(imgs)
             )
-            score_ini = jnp.stack(
-                [_fast_score(imgs[b], self.cfg.ini_th_fast) for b in range(B)]
-            )
             score_min = jnp.stack(
                 [_fast_score(imgs[b], self.cfg.min_th_fast) for b in range(B)]
             )
             y, x, resp, valid = jax.vmap(
-                lambda si, sm, q: _select_level_keypoints(si, sm, q, lay)
-            )(score_ini, score_min, qual)
+                lambda sm, q: _select_level_keypoints(
+                    sm, q, lay, self.cfg.ini_th_fast
+                )
+            )(score_min, qual)
             yx = jnp.stack([y, x], axis=-1)                    # (B, N, 2)
             ang = jax.vmap(orient.ic_angles_integral)(imgs, yx)
             blurred = jax.vmap(
