@@ -96,6 +96,28 @@ def search_for_triangulation(
 
 
 @functools.partial(jax.jit, static_argnames=())
+def search_for_triangulation_batched(
+    xy1, desc1, free1,
+    xy2_nb, desc2_nb, free2_nb,      # (NB, N2, ...) stacked neighbors
+    F12_nb,                          # (NB, 3, 3)
+    sigma2_2_nb,                     # (NB, N2)
+    epipole2_nb,                     # (NB, 2)
+    ex_check_nb,                     # (NB,) bool
+    sigma2_1_for_ex_nb,              # (NB, N2)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """search_for_triangulation vmapped over the covisible-neighbor axis:
+    the per-keyframe CreateNewMapPoints neighbor loop (LocalMapping.cc:
+    295-316) becomes ONE launch returning (NB, N1) assignments."""
+    return jax.vmap(
+        search_for_triangulation,
+        in_axes=(None, None, None, 0, 0, 0, 0, 0, 0, 0, 0),
+    )(
+        xy1, desc1, free1, xy2_nb, desc2_nb, free2_nb, F12_nb,
+        sigma2_2_nb, epipole2_nb, ex_check_nb, sigma2_1_for_ex_nb,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=())
 def triangulate_checked(
     xy1: jnp.ndarray, xy2: jnp.ndarray,       # (N, 2) matched pixels
     ur1: jnp.ndarray, depth1: jnp.ndarray,    # stereo data of kf1 features
@@ -103,16 +125,21 @@ def triangulate_checked(
     sigma2_1: jnp.ndarray, sigma2_2: jnp.ndarray,
     scale1: jnp.ndarray, scale2: jnp.ndarray,  # scaleFactor^octave per feat
     valid: jnp.ndarray,
-    T1w: jnp.ndarray, T2w: jnp.ndarray,        # (4, 4) camera poses
+    T1w: jnp.ndarray, T2w: jnp.ndarray,        # (4, 4) / (N, 4, 4) poses
     fx, fy, cx, cy, bf,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """LocalMapping::CreateNewMapPoints triangulation core: DLT when
     parallax allows, stereo backprojection otherwise; full check battery.
+    T2w may be per-pair (N, 4, 4) so pairs against MANY neighbor keyframes
+    triangulate in one launch (the batched keyframe event).
     Returns (points_w (N, 3), good (N,))."""
+    n = xy1.shape[0]
+    if T2w.ndim == 2:
+        T2w = jnp.broadcast_to(T2w, (n, 4, 4))
     R1, t1 = T1w[:3, :3], T1w[:3, 3]
-    R2, t2 = T2w[:3, :3], T2w[:3, 3]
+    R2, t2 = T2w[:, :3, :3], T2w[:, :3, 3]          # (N, 3, 3), (N, 3)
     O1 = -R1.T @ t1
-    O2 = -R2.T @ t2
+    O2 = -jnp.einsum("nji,nj->ni", R2, t2)          # (N, 3)
 
     xn1 = jnp.stack(
         [(xy1[:, 0] - cx) / fx, (xy1[:, 1] - cy) / fy, jnp.ones(xy1.shape[0])],
@@ -123,7 +150,7 @@ def triangulate_checked(
         axis=1,
     )
     ray1 = xn1 @ R1  # world-frame rays (R^T xn)
-    ray2 = xn2 @ R2
+    ray2 = jnp.einsum("ni,nij->nj", xn2, R2)
     cos_par = jnp.sum(ray1 * ray2, axis=1) / jnp.maximum(
         jnp.linalg.norm(ray1, axis=1) * jnp.linalg.norm(ray2, axis=1), 1e-12
     )
@@ -138,34 +165,36 @@ def triangulate_checked(
 
     # DLT triangulation
     P1 = jnp.concatenate([R1, t1[:, None]], axis=1)
-    P2 = jnp.concatenate([R2, t2[:, None]], axis=1)
+    P2 = jnp.concatenate([R2, t2[..., None]], axis=2)   # (N, 3, 4)
 
-    def dlt(a, b):
+    def dlt(a, b, p2):
         A = jnp.stack(
             [
                 a[0] * P1[2] - P1[0],
                 a[1] * P1[2] - P1[1],
-                b[0] * P2[2] - P2[0],
-                b[1] * P2[2] - P2[1],
+                b[0] * p2[2] - p2[0],
+                b[1] * p2[2] - p2[1],
             ]
         )
         _, _, Vt = jnp.linalg.svd(A)
         X = Vt[-1]
         return X[:3] / jnp.where(jnp.abs(X[3]) > 1e-12, X[3], 1e-12)
 
-    X_dlt = jax.vmap(dlt)(xn1, xn2)
+    X_dlt = jax.vmap(dlt)(xn1, xn2, P2)
 
     # stereo backprojection fallbacks
-    def backproj(T, xy, depth):
-        Twc = jnp.linalg.inv(T)
-        xc = jnp.stack(
-            [(xy[:, 0] - cx) * depth / fx, (xy[:, 1] - cy) * depth / fy, depth],
-            axis=1,
-        )
-        return xc @ Twc[:3, :3].T + Twc[:3, 3]
-
-    X_s1 = backproj(T1w, xy1, depth1)
-    X_s2 = backproj(T2w, xy2, depth2)
+    xc1 = jnp.stack(
+        [(xy1[:, 0] - cx) * depth1 / fx, (xy1[:, 1] - cy) * depth1 / fy,
+         depth1], axis=1,
+    )
+    Twc1 = jnp.linalg.inv(T1w)
+    X_s1 = xc1 @ Twc1[:3, :3].T + Twc1[:3, 3]
+    xc2 = jnp.stack(
+        [(xy2[:, 0] - cx) * depth2 / fx, (xy2[:, 1] - cy) * depth2 / fy,
+         depth2], axis=1,
+    )
+    # camera -> world without a batched 4x4 inverse: X = R^T (xc - t)
+    X_s2 = jnp.einsum("nji,nj->ni", R2, xc2 - t2)
 
     use_dlt = (cos_par < jnp.minimum(cos_stereo, 0.9998)) & (cos_par > 0)
     use_s1 = ~use_dlt & (depth1 > 0) & (cos_stereo1 <= cos_stereo2)
@@ -176,8 +205,7 @@ def triangulate_checked(
     )
     has_source = use_dlt | use_s1 | use_s2
 
-    def checks(T, xy, ur, sig2):
-        pc = X @ T[:3, :3].T + T[:3, 3]
+    def checks(pc, xy, ur, sig2):
         z = pc[:, 2]
         u = fx * pc[:, 0] / jnp.maximum(z, 1e-9) + cx
         v = fy * pc[:, 1] / jnp.maximum(z, 1e-9) + cy
@@ -187,12 +215,14 @@ def triangulate_checked(
         th = jnp.where(ur > 0, 7.8, 5.991) * sig2
         return (z > 0) & (e2_st < th), z
 
-    ok1, z1 = checks(T1w, xy1, ur1, sigma2_1)
-    ok2, z2 = checks(T2w, xy2, ur2, sigma2_2)
+    ok1, z1 = checks(X @ R1.T + t1, xy1, ur1, sigma2_1)
+    ok2, z2 = checks(
+        jnp.einsum("nij,nj->ni", R2, X) + t2, xy2, ur2, sigma2_2
+    )
 
     # scale-consistency (LocalMapping.cc:489-503)
     d1 = jnp.linalg.norm(X - O1[None], axis=1)
-    d2 = jnp.linalg.norm(X - O2[None], axis=1)
+    d2 = jnp.linalg.norm(X - O2, axis=1)
     ratio_dist = d2 / jnp.maximum(d1, 1e-12)
     ratio_oct = scale1 / jnp.maximum(scale2, 1e-12)
     ratio_factor = 1.5 * 1.2  # 1.5 * scaleFactor

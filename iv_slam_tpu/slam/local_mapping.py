@@ -55,7 +55,13 @@ class LocalMapping:
 
     def _create_new_map_points(self, kf_id: int, n_neighbors: int = 10):
         """LocalMapping::CreateNewMapPoints (273-525): triangulate new
-        points against the best covisible keyframes."""
+        points against the best covisible keyframes.
+
+        Device shape: the reference's per-neighbor loop becomes TWO
+        launches per keyframe event — one neighbor-batched epipolar search
+        (NB stacked keyframes, one (NB, N1) assignment readback) and one
+        triangulation over all accepted pairs with per-pair neighbor poses
+        — instead of 2 x NB dispatch round-trips."""
         import jax.numpy as jnp
 
         from ..ops import triangulate as tri
@@ -65,20 +71,25 @@ class LocalMapping:
         cur = m.kf_frames[kf_id]
         if cur is None:
             return
-        K = cam.K()
+        K = cam.K().astype(np.float64)
+        Kinv = np.linalg.inv(K)
         sf = m.scale_factors
         sf2 = sf ** 2
         T1 = m.kf_pose[kf_id]
         O1 = m.kf_camera_center(kf_id)
-        neighbors = [k for k, _ in m.covisible_keyframes(kf_id)[:n_neighbors]]
+        free1 = cur.valid & (cur.map_pt < 0)
+        if free1.sum() < 5:
+            return
         is_mono = cur.depth.max() <= 0
-        for nb in neighbors:
+
+        # ---- host gates + per-neighbor tables (LocalMapping.cc:295-330)
+        cand = []
+        for nb, _w in m.covisible_keyframes(kf_id)[:n_neighbors]:
             T2 = m.kf_pose[nb]
             O2 = m.kf_camera_center(nb)
             baseline = float(np.linalg.norm(O2 - O1))
             if is_mono:
-                # mono gate (LocalMapping.cc:318-330): baseline relative to
-                # the neighbor's median scene depth must exceed 0.01
+                # mono gate: baseline / median scene depth must exceed 0.01
                 med_depth = self._median_scene_depth(nb)
                 if med_depth <= 0 or baseline / med_depth < 0.01:
                     continue
@@ -86,73 +97,117 @@ class LocalMapping:
                 # stereo gate: baseline must exceed the stereo baseline
                 continue
             nf = m.kf_frames[nb]
-            free1 = cur.valid & (cur.map_pt < 0)
             free2 = nf.valid & (nf.map_pt < 0)
-            if free1.sum() < 5 or free2.sum() < 5:
+            if free2.sum() < 5:
                 continue
-            F12 = tri.fundamental_from_poses(
-                jnp.asarray(T1), jnp.asarray(T2), jnp.asarray(K), jnp.asarray(K)
-            )
             # epipole of cam1 in image 2
             c1_in2 = T2[:3, :3] @ O1 + T2[:3, 3]
             if abs(c1_in2[2]) < 1e-6:
                 continue
             epipole2 = np.array(
-                [
-                    cam.fx * c1_in2[0] / c1_in2[2] + cam.cx,
-                    cam.fy * c1_in2[1] / c1_in2[2] + cam.cy,
-                ],
-                np.float32,
+                [cam.fx * c1_in2[0] / c1_in2[2] + cam.cx,
+                 cam.fy * c1_in2[1] / c1_in2[2] + cam.cy], np.float32,
             )
-            assign, n = tri.search_for_triangulation(
-                jnp.asarray(cur.xy), cur.kp.desc, jnp.asarray(free1),
-                jnp.asarray(nf.xy), nf.kp.desc, jnp.asarray(free2),
-                F12,
-                jnp.asarray(sf2[nf.octave]),
-                jnp.asarray(epipole2),
-                jnp.asarray(cur.depth.max() <= 0),  # mono: epipole gate on
-                jnp.asarray(sf2[nf.octave]),
+            # F12 = K^-T [t12]x R12 K^-1 (ComputeF12, LocalMapping.cc:609)
+            # in host numpy: 3x3 work is not worth a device round-trip
+            R1m, t1m = T1[:3, :3], T1[:3, 3]
+            R2m, t2m = T2[:3, :3], T2[:3, 3]
+            R12 = R1m @ R2m.T
+            t12 = -(R12 @ t2m) + t1m
+            tx = np.array(
+                [[0.0, -t12[2], t12[1]],
+                 [t12[2], 0.0, -t12[0]],
+                 [-t12[1], t12[0], 0.0]]
             )
-            if int(n) == 0:
+            F12 = (Kinv.T @ tx @ R12 @ Kinv).astype(np.float32)
+            cand.append(dict(
+                nb=nb, nf=nf, T2=T2, free2=free2, F12=F12, epipole2=epipole2,
+            ))
+        if not cand:
+            return
+
+        # ---- launch 1: neighbor-batched epipolar search (bucketed NB)
+        nb_cap = 1
+        while nb_cap < len(cand):
+            nb_cap *= 2
+        pad_nb = nb_cap - len(cand)
+        c0 = cand[0]
+
+        def stack(get, pad_value=None):
+            rows = [get(c) for c in cand]
+            if pad_nb:
+                rows += [get(c0) if pad_value is None else pad_value] * pad_nb
+            return np.stack(rows)
+
+        assign_nb, _ = tri.search_for_triangulation_batched(
+            jnp.asarray(cur.xy), cur.kp.desc, jnp.asarray(free1),
+            jnp.asarray(stack(lambda c: c["nf"].xy)),
+            jnp.stack([c["nf"].kp.desc for c in cand]
+                      + [c0["nf"].kp.desc] * pad_nb),
+            # padded neighbor slots are all-False masks: zero matches
+            jnp.asarray(stack(
+                lambda c: c["free2"], np.zeros_like(c0["free2"]))),
+            jnp.asarray(stack(lambda c: c["F12"])),
+            jnp.asarray(stack(lambda c: sf2[c["nf"].octave])),
+            jnp.asarray(stack(lambda c: c["epipole2"])),
+            jnp.asarray(np.full(nb_cap, is_mono)),
+            jnp.asarray(stack(lambda c: sf2[c["nf"].octave])),
+        )
+        assign_nb = np.asarray(assign_nb)[: len(cand)]
+
+        # ---- compact accepted pairs across neighbors
+        nbi_raw, i1_raw = np.nonzero(assign_nb >= 0)
+        if len(i1_raw) == 0:
+            return
+        i2_raw = assign_nb[nbi_raw, i1_raw]
+        cap = 512
+        while cap < len(i1_raw):
+            cap *= 2
+        n_valid = len(i1_raw)
+        i1 = np.zeros(cap, np.int64)
+        i2 = np.zeros(cap, np.int64)
+        nbi = np.zeros(cap, np.int64)
+        i1[:n_valid] = i1_raw
+        i2[:n_valid] = i2_raw
+        nbi[:n_valid] = nbi_raw
+        vmask = np.zeros(cap, bool)
+        vmask[:n_valid] = True
+
+        # per-pair neighbor-side gathers (host views into padded frames)
+        xy2 = np.stack([cand[n]["nf"].xy[j] for n, j in zip(nbi, i2)])
+        ur2 = np.array([cand[n]["nf"].u_right[j] for n, j in zip(nbi, i2)],
+                       np.float32)
+        dp2 = np.array([cand[n]["nf"].depth[j] for n, j in zip(nbi, i2)],
+                       np.float32)
+        oc2 = np.array([cand[n]["nf"].octave[j] for n, j in zip(nbi, i2)])
+        T2_pairs = np.stack([cand[n]["T2"] for n in nbi])
+
+        # ---- launch 2: triangulate all pairs with per-pair poses
+        pts, good = tri.triangulate_checked(
+            jnp.asarray(cur.xy[i1]), jnp.asarray(xy2.astype(np.float32)),
+            jnp.asarray(cur.u_right[i1]), jnp.asarray(cur.depth[i1]),
+            jnp.asarray(ur2), jnp.asarray(dp2),
+            jnp.asarray(sf2[cur.octave[i1]]), jnp.asarray(sf2[oc2]),
+            jnp.asarray(sf[cur.octave[i1]]), jnp.asarray(sf[oc2]),
+            jnp.asarray(vmask),
+            jnp.asarray(T1), jnp.asarray(T2_pairs.astype(np.float32)),
+            cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+        )
+        pts = np.asarray(pts)
+        good = np.asarray(good) & vmask
+        for k in np.nonzero(good)[0]:
+            f1, f2, c = int(i1[k]), int(i2[k]), cand[int(nbi[k])]
+            nf = c["nf"]
+            if cur.map_pt[f1] >= 0 or nf.map_pt[f2] >= 0:
                 continue
-            assign_np = np.asarray(assign)
-            i1_raw = np.nonzero(assign_np >= 0)[0]
-            i2_raw = assign_np[i1_raw]
-            # pad to a bucketed static size so the kernel compiles once
-            cap = 512
-            while cap < len(i1_raw):
-                cap *= 2
-            nb_valid = len(i1_raw)
-            i1 = np.zeros(cap, np.int64)
-            i2 = np.zeros(cap, np.int64)
-            i1[:nb_valid] = i1_raw
-            i2[:nb_valid] = i2_raw
-            vmask = np.zeros(cap, bool)
-            vmask[:nb_valid] = True
-            pts, good = tri.triangulate_checked(
-                jnp.asarray(cur.xy[i1]), jnp.asarray(nf.xy[i2]),
-                jnp.asarray(cur.u_right[i1]), jnp.asarray(cur.depth[i1]),
-                jnp.asarray(nf.u_right[i2]), jnp.asarray(nf.depth[i2]),
-                jnp.asarray(sf2[cur.octave[i1]]), jnp.asarray(sf2[nf.octave[i2]]),
-                jnp.asarray(sf[cur.octave[i1]]), jnp.asarray(sf[nf.octave[i2]]),
-                jnp.asarray(vmask),
-                jnp.asarray(T1), jnp.asarray(T2),
-                cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
-            )
-            pts = np.asarray(pts)
-            good = np.asarray(good) & vmask
-            for k in np.nonzero(good)[0]:
-                f1, f2 = int(i1[k]), int(i2[k])
-                if cur.map_pt[f1] >= 0 or nf.map_pt[f2] >= 0:
-                    continue
-                pid = m.add_point(pts[k], kf_id)
-                m.add_observation(pid, kf_id, f1)
-                m.add_observation(pid, nb, f2)
-                cur.map_pt[f1] = pid
-                nf.map_pt[f2] = pid
-                m.compute_distinctive_descriptor(pid)
-                m.update_normal_and_depth(pid)
-                self.recent_points[pid] = kf_id
+            pid = m.add_point(pts[k], kf_id)
+            m.add_observation(pid, kf_id, f1)
+            m.add_observation(pid, c["nb"], f2)
+            cur.map_pt[f1] = pid
+            nf.map_pt[f2] = pid
+            m.compute_distinctive_descriptor(pid)
+            m.update_normal_and_depth(pid)
+            self.recent_points[pid] = kf_id
 
     def _median_scene_depth(self, kf_id: int) -> float:
         """KeyFrame::ComputeSceneMedianDepth: median z of the keyframe's map
