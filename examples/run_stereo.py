@@ -30,8 +30,13 @@ import numpy as np
 
 def parse_args():
     p = argparse.ArgumentParser()
-    p.add_argument("--dataset", choices=["kitti", "euroc", "jackal"],
+    p.add_argument("--dataset",
+                   choices=["kitti", "euroc", "jackal", "airsim"],
                    default="kitti")
+    p.add_argument("--load_gt_depth_imgs", action="store_true",
+                   help="load PFM GT depth images (img_depth/*.pfm) and "
+                        "sample per-keypoint GT depth "
+                        "(stereo_airsim.cc:339-360)")
     p.add_argument("--data_path", required=True)
     p.add_argument("--settings_path", default="")
     p.add_argument("--ground_truth_path", default="")
@@ -86,8 +91,19 @@ def main():
         seq = datasets.load_euroc_stereo(
             args.data_path, args.timestamps_file
         )
+    elif args.dataset == "airsim":
+        seq = datasets.load_airsim_stereo(
+            args.data_path, args.ground_truth_path or None,
+            load_gt_depth=args.load_gt_depth_imgs,
+        )
     else:
         seq = datasets.load_jackal_session(args.data_path)
+
+    def gt_depth_for(i):
+        paths = getattr(seq, "depth_paths", None)
+        if not args.load_gt_depth_imgs or paths is None:
+            return None
+        return datasets.load_gt_depth_pfm(paths[i])
 
     # optional stereo rectification from the settings' LEFT./RIGHT. blocks
     rect_maps = (None, None)
@@ -168,7 +184,8 @@ def main():
             next_cost = cost_fn(nleft) if cost_fn else None
             handle = sys_.tracking.submit_frontend(nleft, nright, next_cost)
         sys_.track_stereo(None, None, t, gt_pose=gt, img_name=name,
-                          frontend_handle=cur_handle)
+                          frontend_handle=cur_handle,
+                          gt_depth_map=gt_depth_for(i))
         t_track.append(time.perf_counter() - t0)
         if i % 50 == 0:
             print(f"frame {i}/{len(seq)} state={sys_.state.name} "

@@ -75,6 +75,7 @@ class DataGenerator:
             }
         kp_cur, kp_ref, lvl_sig2, keep = [], [], [], []
         pt_w, T_ref_cw, T_rel_pt = [], [], []
+        ref_gtd, ref_gt_pose = [], []   # per-keypoint GT-depth gate inputs
         sf2 = m.scale_factors ** 2
         for i in idx:
             pid = int(frame.map_pt[i])
@@ -90,14 +91,25 @@ class DataGenerator:
             if use_prev:
                 ref_xy = prev_frame.xy[prev_feat]
                 ref_pose, ref_gt = prev_frame.pose, prev_frame.gt_pose
+                gtd = (
+                    float(prev_frame.kp_gt_depth[prev_feat])
+                    if prev_frame.kp_gt_depth is not None else -1.0
+                )
             else:
                 ref_kf = int(m.pt_ref_kf[pid])
                 feat = m.pt_obs[pid].get(ref_kf)
                 if feat is None or m.kf_gt_pose[ref_kf] is None:
                     continue
-                ref_xy = m.kf_frames[ref_kf].xy[feat]
+                rf = m.kf_frames[ref_kf]
+                ref_xy = rf.xy[feat]
                 ref_pose = m.kf_pose[ref_kf]
                 ref_gt = m.kf_gt_pose[ref_kf]
+                gtd = (
+                    float(rf.kp_gt_depth[feat])
+                    if rf.kp_gt_depth is not None else -1.0
+                )
+            ref_gtd.append(gtd)
+            ref_gt_pose.append(ref_gt)
             kp_cur.append(frame.xy[i])
             kp_ref.append(ref_xy)
             lvl_sig2.append(sf2[frame.octave[i]])
@@ -165,6 +177,27 @@ class DataGenerator:
                 else scores.raw_err
             )
             thresh = fe.BAD_ERR_THRESH
+        # GT-depth uncertainty gate (GetGTReprojection, fe.cpp:1256-1340 +
+        # its `continue` at 2352-2358): backproject the ref keypoint with
+        # its GT depth, carry by the GT relative transform; a landing depth
+        # > 600 m marks the GT depth uncertain and the keypoint is skipped
+        if any(g > 0 for g in ref_gtd):
+            norm_err = np.array(norm_err)  # jax buffers are read-only
+            cam = self.cfg.camera
+            Tcw_cur = np.linalg.inv(np.asarray(frame.gt_pose, np.float64))
+            for k in range(min(n, cap)):
+                g = ref_gtd[k]
+                if g <= 0 or norm_err[k] < 0:
+                    continue
+                rxy = kp_ref_a[k]
+                p_ref = np.array([
+                    (rxy[0] - cam.cx) * g / cam.fx,
+                    (rxy[1] - cam.cy) * g / cam.fy, g, 1.0,
+                ])
+                p_cur = (Tcw_cur @ np.asarray(ref_gt_pose[k], np.float64)) \
+                    @ p_ref
+                if p_cur[2] > 600.0:
+                    norm_err[k] = -1.0
         sel = norm_err >= 0
         if sel.sum() < 4:
             return None

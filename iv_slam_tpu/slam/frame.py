@@ -40,6 +40,9 @@ class Frame:
     ref_kf: int = -1
     gt_pose: Optional[np.ndarray] = None   # (4, 4) Twc ground truth
     gt_cov: Optional[np.ndarray] = None    # (6, 6)
+    # per-keypoint GT depth (mvKeysGTDepth, Frame.cc:152-191): 5x5 patch-min
+    # of the GT depth image at each keypoint; -1 where unavailable
+    kp_gt_depth: Optional[np.ndarray] = None
     img_name: str = ""
     # cached numpy views of the keypoint arrays (host bookkeeping)
     xy: np.ndarray = None

@@ -38,12 +38,14 @@ class System:
         img_name: str = "",
         cost_map: Optional[np.ndarray] = None,
         frontend_handle=None,
+        gt_depth_map: Optional[np.ndarray] = None,
     ) -> Optional[np.ndarray]:
         """Returns the camera pose Tcw, or None while not initialized."""
         return self.tracking.track_stereo(
             img_left, img_right, timestamp,
             cost_map=cost_map, gt_pose=gt_pose, gt_cov=gt_cov,
             img_name=img_name, frontend_handle=frontend_handle,
+            gt_depth_map=gt_depth_map,
         )
 
     def submit_frontend(self, img_left, img_right, cost_map=None):

@@ -96,11 +96,16 @@ class Tracking:
         gt_cov: Optional[np.ndarray] = None,
         img_name: str = "",
         frontend_handle=None,
+        gt_depth_map: Optional[np.ndarray] = None,
     ) -> Optional[np.ndarray]:
         """Track one stereo pair. Pass `frontend_handle` from
         `submit_frontend` (called while the previous frame was tracking) to
         overlap the frontend's device work with host-side tracking — the
-        reference's I/O-vs-tracking thread overlap, jax-async style."""
+        reference's I/O-vs-tracking thread overlap, jax-async style.
+
+        gt_depth_map: optional full-resolution GT depth image (AirSim PFM
+        path, stereo_airsim.cc:339-360); sampled per keypoint as the
+        reference's mvKeysGTDepth (Frame.cc:152-191)."""
         if frontend_handle is not None:
             frame = self.frontend.collect(
                 frontend_handle, timestamp, gt_pose, gt_cov, img_name
@@ -109,6 +114,12 @@ class Tracking:
             frame = self.frontend.process(
                 img_left, img_right, timestamp, cost_map, gt_pose, gt_cov,
                 img_name,
+            )
+        if gt_depth_map is not None:
+            from .frame import sample_gt_depth
+
+            frame.kp_gt_depth = sample_gt_depth(
+                gt_depth_map, frame.xy, frame.valid
             )
         self.current = frame
         self._track()

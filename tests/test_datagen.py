@@ -125,3 +125,34 @@ def test_training_mode_matrix(tmp_path, rng):
     assert sel.sum() > 4
     # normalization shrinks the raw epipolar error (factor >= 4)
     assert np.median(e_norm[sel]) <= np.median(e_raw[sel]) + 1e-6
+
+
+@pytest.mark.slow
+def test_gt_depth_sampling_and_gate(rng):
+    """AirSim-style GT depth path (stereo_airsim.cc:339-360 + fe.cpp
+    GetGTReprojection gate): per-keypoint patch-min GT depth is sampled
+    into Frame.kp_gt_depth and the supervised scorer still accepts the
+    frame (plane depths ~10 m are far below the 600 m uncertainty cut)."""
+    from iv_slam_tpu.introspection.datagen import DataGenerator
+
+    world, frames, gt = synth_world.make_sequence(rng, n_frames=6, step=0.08)
+    cfg = make_config()
+    sys = System(cfg, 240, 320)
+    for i, (left, right) in enumerate(frames):
+        sys.track_stereo(
+            left, right, timestamp=i * 0.1, gt_pose=gt[i],
+            img_name=f"{i:06d}.png",
+            gt_depth_map=world.render_depth(gt[i]),
+        )
+    assert sys.state == State.OK
+    frame = sys.tracking.current
+    gtd = frame.kp_gt_depth
+    assert gtd is not None
+    have = gtd[frame.valid & (gtd > 0)]
+    assert len(have) > 50
+    # looking straight down from 10 m at a ground plane: depth ~ height
+    assert 8.0 < np.median(have) < 12.0
+
+    gen = DataGenerator(cfg, sys.tracking.map, None)
+    res = gen.process_frame_supervised(frame, (240, 320))
+    assert res is not None and res["n_scored"] > 4
