@@ -56,6 +56,9 @@ def parse_args():
     p.add_argument("--gt_pose_available", action="store_true")
     p.add_argument("--timestamps_file", default="",
                    help="EuRoC timestamp list")
+    p.add_argument("--fused_tracking", action="store_true",
+                   help="single-dispatch fused tracking step against the "
+                        "device-resident map mirror (slam/fused_track.py)")
     p.add_argument("--rectify_images", action="store_true",
                    help="rectify with the settings' LEFT./RIGHT. blocks "
                         "(stereo_kitti.cc:286-343)")
@@ -81,6 +84,7 @@ def main():
     cfg.iv.enabled = args.ivslam_enabled
     cfg.iv.inference_mode = args.inference_mode
     cfg.iv.create_dataset = args.create_ivslam_dataset
+    cfg.system.fused_tracking = args.fused_tracking
 
     if args.dataset == "kitti":
         seq = datasets.load_kitti_stereo(

@@ -48,6 +48,11 @@ class Frame:
     xy: np.ndarray = None
     octave: np.ndarray = None
     valid: np.ndarray = None
+    # defer=True keeps ALL host views on device (u_right/depth/qual_score
+    # stay jax arrays) so a downstream fused-tracking dispatch can launch
+    # first and ONE device_get later drains frame views + tracking results
+    # in a single link round-trip (see Tracking._track_fused)
+    defer: bool = False
     _angle: np.ndarray = None
     _desc: np.ndarray = None
 
@@ -57,14 +62,30 @@ class Frame:
             self.map_pt = np.full(n, -1, np.int32)
         if self.outlier is None:
             self.outlier = np.zeros(n, bool)
-        if self.xy is None:
-            # one batched device->host transfer for the always-needed views
-            # (each separate np.asarray pays a full link round-trip)
+        if self.xy is None and not self.defer:
+            self._materialize(())
+
+    def materialize(self, extras=()):
+        """Download the host views (once) plus any `extras` device arrays
+        in one batched transfer; returns the extras as numpy."""
+        if self.xy is not None:
+            if not extras:
+                return ()
             import jax
 
-            self.xy, self.octave, self.valid = jax.device_get(
-                (self.kp.xy, self.kp.octave, self.kp.valid)
-            )
+            return jax.device_get(tuple(extras))
+        return self._materialize(extras)
+
+    def _materialize(self, extras):
+        import jax
+
+        out = jax.device_get(
+            (self.kp.xy, self.kp.octave, self.kp.valid,
+             self.u_right, self.depth, self.qual_score) + tuple(extras)
+        )
+        self.xy, self.octave, self.valid = out[0], out[1], out[2]
+        self.u_right, self.depth, self.qual_score = out[3], out[4], out[5]
+        return out[6:]
 
     @property
     def desc(self) -> np.ndarray:
@@ -303,18 +324,22 @@ class StereoFrontend:
         gt_pose: Optional[np.ndarray] = None,
         gt_cov: Optional[np.ndarray] = None,
         img_name: str = "",
+        defer: bool = False,
     ) -> Frame:
         import jax
 
         kl, kr, u_right, depth, qual = handle
-        # one download for the small always-needed host fields; descriptors
-        # and angles stay on device (lazy Frame properties — only keyframes
-        # pull them)
-        (u_right, depth, qual, xy, octave, valid) = jax.device_get(
-            (u_right, depth, qual, kl.xy, kl.octave, kl.valid)
-        )
         fid = self._frame_count
         self._frame_count += 1
+        if not defer:
+            # one download for the small always-needed host fields;
+            # descriptors and angles stay on device (lazy Frame properties
+            # — only keyframes pull them)
+            (u_right, depth, qual, xy, octave, valid) = jax.device_get(
+                (u_right, depth, qual, kl.xy, kl.octave, kl.valid)
+            )
+        else:
+            xy = octave = valid = None
         return Frame(
             frame_id=fid,
             timestamp=timestamp,
@@ -326,6 +351,7 @@ class StereoFrontend:
             gt_cov=gt_cov,
             img_name=img_name,
             xy=xy, octave=octave, valid=valid,
+            defer=defer,
         )
 
     def process(

@@ -106,9 +106,23 @@ class Tracking:
         gt_depth_map: optional full-resolution GT depth image (AirSim PFM
         path, stereo_airsim.cc:339-360); sampled per keypoint as the
         reference's mvKeysGTDepth (Frame.cc:152-191)."""
+        # Defer the frontend host-view download when the fused step will
+        # run: the fused dispatch launches against device arrays first and
+        # one batched device_get then drains views + results together
+        # (halves the per-frame round-trips on a high-latency link).
+        defer = (
+            self.cfg.system.fused_tracking
+            and self.state == State.OK
+            and self.velocity is not None
+            and not self.only_tracking
+            and self.last_frame is not None
+            and self.last_frame.pose is not None
+            and gt_depth_map is None
+        )
         if frontend_handle is not None:
             frame = self.frontend.collect(
-                frontend_handle, timestamp, gt_pose, gt_cov, img_name
+                frontend_handle, timestamp, gt_pose, gt_cov, img_name,
+                defer=defer,
             )
         else:
             frame = self.frontend.process(
@@ -304,6 +318,10 @@ class Tracking:
 
     def _track(self):
         frame = self.current
+        if frame.defer and not (
+            self.cfg.system.fused_tracking and self.state == State.OK
+        ):
+            frame.materialize()  # safety: only the fused path defers
         if self.state in (State.NO_IMAGES_YET, State.NOT_INITIALIZED):
             self.state = State.NOT_INITIALIZED
             self._stereo_initialization()
@@ -398,6 +416,7 @@ class Tracking:
         frame = self.current
         last = self.last_frame
         if last is None or last.pose is None:
+            frame.materialize()  # classic fallback needs the host views
             return False
         if not hasattr(self, "_fused"):
             self._fused = FusedTracker(self.cfg, self.height, self.width)
@@ -408,13 +427,15 @@ class Tracking:
         self._update_last_frame()
         T_pred = self.velocity @ last.pose
         res = self._fused.track(frame, last, last.map_pt, T_pred, self._dmap)
-        n_motion = int(res.n_motion)
-        if n_motion < 20:
-            return False
-        assign, inlier, chi2, T = (
-            np.asarray(res.assign_map), np.asarray(res.inlier),
-            np.asarray(res.chi2), np.asarray(res.T),
+        # ONE batched readback for the fused results AND the deferred
+        # frontend host views: each separate np.asarray pays a full link
+        # round-trip (the n_motion gate alone was costing ~4 RTTs/frame)
+        n_motion, assign, inlier, chi2, T = frame.materialize(
+            extras=(res.n_motion, res.assign_map, res.inlier, res.chi2,
+                    res.T)
         )
+        if int(n_motion) < 20:
+            return False
         frame.set_pose(T)
         frame.map_pt[:] = assign
         frame.outlier[:] = False
