@@ -56,6 +56,10 @@ def parse_args():
     p.add_argument("--gt_pose_available", action="store_true")
     p.add_argument("--timestamps_file", default="",
                    help="EuRoC timestamp list")
+    p.add_argument("--rel_pose_uncertainty_path", default="",
+                   help="per-frame (translational, rotational) uncertainty "
+                        "rows (stereo_kitti.cc:73-84)")
+    p.add_argument("--load_rel_pose_uncertainty", action="store_true")
     p.add_argument("--fused_tracking", action="store_true",
                    help="single-dispatch fused tracking step against the "
                         "device-resident map mirror (slam/fused_track.py)")
@@ -140,6 +144,13 @@ def main():
             or os.path.join(args.out_visualization_path,
                             "generated_training_data")
         )
+        if args.load_rel_pose_uncertainty and args.rel_pose_uncertainty_path:
+            unc = np.loadtxt(
+                args.rel_pose_uncertainty_path, delimiter=",", ndmin=2
+            )
+            sys_.tracking.datagen.set_rel_pose_uncertainty(
+                unc, {n: i for i, n in enumerate(seq.names)}
+            )
 
     # introspection sources
     cost_fn = None

@@ -36,9 +36,19 @@ class DataGenerator:
         self.creator = DatasetCreator(out_path) if out_path else None
         self.n_saved = 0
         self._cap = cfg.gp.max_train_points
+        # loaded per-frame relative-pose uncertainty (stereo_kitti.cc
+        # load_rel_pose_uncertainty): (N, 2) table + img_name -> frame id
+        self.rel_pose_unc: Optional[object] = None
+        self.rel_pose_unc_ids: Optional[dict] = None
 
     def set_map(self, map_store):
         self.map = map_store
+
+    def set_rel_pose_uncertainty(self, unc, name_to_id: dict):
+        """SetRelativeCamPoseUncertainty (System.cc:779-784): per-frame
+        (translational, rotational) uncertainty rows + image-name index."""
+        self.rel_pose_unc = unc
+        self.rel_pose_unc_ids = dict(name_to_id)
 
     # ------------------------------------------------------- supervised
 
@@ -155,14 +165,29 @@ class DataGenerator:
         else:
             if ref_source == "prev":
                 ref_gt0 = prev_frame.gt_pose
+                ref_name = prev_frame.img_name
             else:
                 # one transform per call batched by the dominant ref KF
                 # (the reference computes this per keypoint)
                 ref_kf0 = int(m.pt_ref_kf[int(frame.map_pt[keep[0]])])
                 ref_gt0 = m.kf_gt_pose[ref_kf0]
+                ref_name = m.kf_frames[ref_kf0].img_name
             T_rel = np.asarray(fe.relative_transform(
                 jnp.asarray(frame.gt_pose), jnp.asarray(ref_gt0)
             ))
+            # loaded relative-pose uncertainty -> per-pair covariance
+            # (fe.cpp:1398-1407; disables the x4 no-cov normalization)
+            sigma_w = sigma_t = np.zeros((3, 3))
+            has_cov = False
+            if self.rel_pose_unc is not None:
+                ids = self.rel_pose_unc_ids
+                cov = fe.rel_pose_cov_from_uncertainty(
+                    self.rel_pose_unc,
+                    ids.get(ref_name, -1), ids.get(frame.img_name, -1),
+                )
+                if cov is not None:
+                    sigma_w, sigma_t = cov
+                    has_cov = True
             scores = fe.epipolar_scores(
                 jnp.asarray(kp_cur_a.astype(np.float32)),
                 jnp.asarray(kp_ref_a.astype(np.float32)),
@@ -170,7 +195,9 @@ class DataGenerator:
                 jnp.asarray(valid),
                 jnp.asarray(T_rel.astype(np.float32)),
                 jnp.asarray(K),
-                jnp.zeros((3, 3)), jnp.zeros((3, 3)), jnp.asarray(False),
+                jnp.asarray(sigma_w.astype(np.float32)),
+                jnp.asarray(sigma_t.astype(np.float32)),
+                jnp.asarray(has_cov),
             )
             norm_err = np.asarray(
                 scores.norm_err if err_type == "epipolar_normalized"

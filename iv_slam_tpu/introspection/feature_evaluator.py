@@ -212,6 +212,28 @@ def map_point_reprojection_errors(
     return jnp.where(valid & (zc != 0), err, -1.0)
 
 
+def rel_pose_cov_from_uncertainty(
+    unc: "np.ndarray", ref_id: int, cur_id: int
+):
+    """Per-frame-pair pose covariance from a loaded uncertainty table
+    (GetRelativePoseUncertainty, fe.cpp:2008-2063): take the max
+    translational / rotational uncertainty over the frame range, scale by
+    1/4.0 and 1/0.1, and build isotropic covariances from the 95% bounds.
+    unc: (N, 2) rows of (translational_unc, rotational_unc).
+    Returns (sigma_w (3,3), sigma_t (3,3)) or None if out of range."""
+    import numpy as np
+
+    lo, hi = min(ref_id, cur_id), max(ref_id, cur_id)
+    if lo < 0 or hi >= len(unc):
+        return None
+    seg = np.asarray(unc[lo:hi + 1], np.float64)
+    max_trans = float(seg[:, 0].max()) / 4.0    # tran_unc_scalar
+    max_rot = float(seg[:, 1].max()) / 0.1      # rot_unc_scalar
+    s_t = (max_trans / SCALE95) ** 2
+    s_w = (max_rot / (SCALE95 * np.sqrt(3.0))) ** 2
+    return s_w * np.eye(3), s_t * np.eye(3)
+
+
 def bad_match_stats(norm_err: jnp.ndarray, thresh: float = BAD_ERR_THRESH):
     """Fraction of scored matches above kBadFeatureErrThresh (fe.cpp:82-248)
     -> (bad_percent, n_scored). thresh: 1.0 for epipolar error types,

@@ -154,3 +154,47 @@ def test_tracking_accuracy_gate():
     # velocity gate: standing still -> not reliable
     still = np.eye(4)
     assert not unsup.evaluate_tracking_accuracy(good, still, 1.0)
+
+
+def test_rel_pose_cov_from_uncertainty():
+    """GetRelativePoseUncertainty semantics (fe.cpp:2008-2063): max over
+    the frame range, /4.0 and /0.1 scaling, 95%-bound isotropic covs."""
+    unc = np.array([[0.4, 0.02], [0.8, 0.01], [0.2, 0.05]], np.float32)
+    out = fe.rel_pose_cov_from_uncertainty(unc, 0, 2)
+    assert out is not None
+    sigma_w, sigma_t = out
+    s_t = (0.8 / 4.0 / fe.SCALE95) ** 2
+    s_w = (0.05 / 0.1 / (fe.SCALE95 * np.sqrt(3.0))) ** 2
+    np.testing.assert_allclose(np.diag(sigma_t), s_t, rtol=1e-6)
+    np.testing.assert_allclose(np.diag(sigma_w), s_w, rtol=1e-6)
+    assert fe.rel_pose_cov_from_uncertainty(unc, -1, 2) is None
+    assert fe.rel_pose_cov_from_uncertainty(unc, 0, 3) is None
+
+
+def test_epipolar_scores_with_pose_cov(rng):
+    """Supplying a pose covariance must widen the normalization (larger
+    variance -> smaller normalized error) and disable the x4 factor."""
+    K, T_rel, kp_ref, kp_cur = make_geometry(rng, noise=2.0)
+    n = kp_ref.shape[0]
+    base = fe.epipolar_scores(
+        jnp.asarray(kp_ref), jnp.asarray(kp_cur), jnp.ones(n),
+        jnp.ones(n, bool), jnp.asarray(T_rel), jnp.asarray(K),
+        jnp.zeros((3, 3)), jnp.zeros((3, 3)), jnp.asarray(False),
+    )
+    big = np.eye(3, dtype=np.float32) * 25.0
+    cov = fe.epipolar_scores(
+        jnp.asarray(kp_ref), jnp.asarray(kp_cur), jnp.ones(n),
+        jnp.ones(n, bool), jnp.asarray(T_rel), jnp.asarray(K),
+        jnp.asarray(big), jnp.asarray(big), jnp.asarray(True),
+    )
+    b = np.asarray(base.norm_err)
+    c = np.asarray(cov.norm_err)
+    sel = (b >= 0) & (c >= 0)
+    assert sel.sum() > 30
+    # raw errors identical; cov variances strictly larger
+    np.testing.assert_allclose(
+        np.asarray(base.raw_err)[sel], np.asarray(cov.raw_err)[sel],
+        rtol=1e-5,
+    )
+    assert (np.asarray(cov.variance)[sel]
+            > np.asarray(base.variance)[sel]).all()
