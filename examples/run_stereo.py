@@ -155,21 +155,13 @@ def main():
     # introspection sources
     cost_fn = None
     if args.introspection_func_enabled and args.introspection_model_path:
-        from iv_slam_tpu.models.introspection import (
-            IntrospectionNet, inference_cost_map,
-        )
         from iv_slam_tpu.train.trainer import Trainer, TrainConfig
 
         tr = Trainer(TrainConfig())
         tr.restore(args.introspection_model_path)
-        net = tr.net
-        variables = tr.variables()
-
-        def cost_fn(img):
-            rgb = np.stack([img] * 3, axis=-1)
-            return np.asarray(
-                inference_cost_map(net, variables, rgb, (h, w))
-            )
+        # FCN fused into the frontend program: cost-map inference +
+        # weighted extraction as one device dispatch per frame
+        sys_.tracking.frontend.attach_introspection(tr.net, tr.variables())
     elif args.img_qual_path:
         def cost_fn(img, _dir=args.img_qual_path, _seq=seq, _i=[0]):
             name = _seq.names[_i[0]]

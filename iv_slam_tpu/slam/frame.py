@@ -259,6 +259,26 @@ class StereoFrontend:
             lambda il, ir: self._step(il, ir, None)
         )
         self._jit_qual = jax.jit(self._step)
+        self._fcn = None
+
+    def attach_introspection(self, model, variables, net_hw=(512, 512)):
+        """Fuse FCN cost-map inference INTO the frontend program: raw
+        image -> MobileNetV2+C1-DeepSup cost map -> weighted extraction as
+        ONE dispatch (the reference runs the TorchScript forward as a
+        separate GPU round-trip per frame, stereo_kitti.cc:492-517, then
+        hands the byte map to TrackStereo)."""
+        import jax
+
+        from ..models.introspection import inference_cost_map
+
+        def step(il, ir, variables):
+            rgb = jnp.stack([il] * 3, axis=-1)
+            cost = inference_cost_map(
+                model, variables, rgb, (il.shape[0], il.shape[1]), net_hw
+            )
+            return self._step(il, ir, cost)
+
+        self._fcn = (jax.jit(step), variables)
 
     def _step(self, il, ir, cost_map):
         import jax
@@ -313,9 +333,12 @@ class StereoFrontend:
         pipelines uploads/compute against the link latency."""
         pair = jnp.asarray(np.stack([img_left, img_right]))
         il, ir = pair[0], pair[1]
-        if cost_map is None:
-            return self._jit_plain(il, ir)
-        return self._jit_qual(il, ir, jnp.asarray(cost_map))
+        if cost_map is not None:
+            return self._jit_qual(il, ir, jnp.asarray(cost_map))
+        if self._fcn is not None:
+            fn, variables = self._fcn
+            return fn(il, ir, variables)
+        return self._jit_plain(il, ir)
 
     def collect(
         self,

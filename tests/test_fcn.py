@@ -90,3 +90,42 @@ def test_normalize_image():
         x[0, 0], (1.0 - np.array([0.485, 0.456, 0.406]))
         / np.array([0.229, 0.224, 0.225]), rtol=1e-5,
     )
+
+
+def test_frontend_fused_fcn(net_and_state):
+    """attach_introspection fuses cost-map inference into the frontend
+    program: one submit yields quality-seeded keypoints (qual != 1) with
+    no host-side cost-map round-trip."""
+    from iv_slam_tpu.config import Config, CameraConfig, ORBConfig
+    from iv_slam_tpu.slam.frame import StereoFrontend
+
+    net, state, _ = net_and_state
+    cfg = Config()
+    cfg.camera = CameraConfig(fx=400, fy=400, cx=160, cy=120, bf=200,
+                              width=320, height=240)
+    cfg.orb = ORBConfig(n_features=400, n_levels=3)
+    fe_ = StereoFrontend(cfg, 240, 320)
+    fe_.attach_introspection(
+        net, {"params": state.params, "batch_stats": state.batch_stats},
+        net_hw=(64, 64),
+    )
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (240, 320), dtype=np.uint8)
+    frame = fe_.process(img, img, 0.0)
+    q = frame.qual_score[frame.valid]
+    assert len(q) > 50
+    assert (q >= -1.0 - 1e-6).all() and (q <= 1.0 + 1e-6).all()
+
+    # the fused path must match running the FCN separately and feeding the
+    # cost map in explicitly (the reference's two-step flow)
+    cost = np.asarray(inference_cost_map(
+        net, {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(np.stack([img] * 3, axis=-1)), out_hw=(240, 320),
+        net_hw=(64, 64),
+    ))
+    fe2 = StereoFrontend(cfg, 240, 320)
+    frame2 = fe2.process(img, img, 0.0, cost_map=cost)
+    np.testing.assert_array_equal(frame.xy, frame2.xy)
+    np.testing.assert_allclose(
+        frame.qual_score, frame2.qual_score, atol=1e-6
+    )
