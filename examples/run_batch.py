@@ -49,6 +49,7 @@ def main():
         if args.mode == "datagen":
             cmd += [
                 "--ivslam_enabled", "--create_ivslam_dataset",
+                "--gt_pose_available",
                 "--out_dataset_path",
                 os.path.join(out_dir, "generated_training_data"),
             ]

@@ -170,30 +170,57 @@ def main():
             return datasets.load_gray(path) if os.path.exists(path) else None
 
     os.makedirs(args.out_visualization_path, exist_ok=True)
+
+    # headless viewer (Viewer.HeadlessMode + SaveFramesToFile /
+    # SaveMapDrawingsToFile; src/{Viewer,FrameDrawer,MapDrawer}.cc)
+    frame_drawer = map_drawer = None
+    if args.enable_viewer:
+        from iv_slam_tpu.slam.viewer import FrameDrawer, MapDrawer
+
+        frame_drawer = FrameDrawer(
+            os.path.join(args.out_visualization_path, "frames"))
+        map_drawer = MapDrawer(
+            os.path.join(args.out_visualization_path, "map"))
+
     t_track = []
     # depth-1 frontend prefetch: frame i+1's extraction runs on device while
     # frame i's tracking occupies the host (stereo_kitti.cc overlaps I/O
     # with tracking via threads; here jax's async dispatch does it)
     handle = None
     next_cost = None
+    cur_left = None
     if len(seq) > 0:
         left, right, _, _, _ = seq[0]
         left, right = maybe_rectify(left, right)
         next_cost = cost_fn(left) if cost_fn else None
         handle = sys_.tracking.submit_frontend(left, right, next_cost)
+        cur_left = left
     for i in range(len(seq)):
         _, _, t, gt, name = seq[i]
         t0 = time.perf_counter()
         cur_handle = handle
+        this_left = cur_left
         if i + 1 < len(seq):
             nleft, nright, _, _, _ = seq[i + 1]
             nleft, nright = maybe_rectify(nleft, nright)
             next_cost = cost_fn(nleft) if cost_fn else None
             handle = sys_.tracking.submit_frontend(nleft, nright, next_cost)
+            cur_left = nleft
         sys_.track_stereo(None, None, t, gt_pose=gt, img_name=name,
                           frontend_handle=cur_handle,
                           gt_depth_map=gt_depth_for(i))
         t_track.append(time.perf_counter() - t0)
+        if frame_drawer is not None and sys_.tracking.current is not None:
+            frame = sys_.tracking.current
+            frame.materialize()
+            frame_drawer.draw(this_left, frame, sys_.state.name)
+            if i % 10 == 0:
+                map_drawer.draw(
+                    sys_.tracking.map, sys_.trajectory_twc(),
+                    gt_twc=list(seq.gt_poses[: i + 1])
+                    if seq.gt_poses is not None else None,
+                    frame_id=i,
+                )
         if i % 50 == 0:
             print(f"frame {i}/{len(seq)} state={sys_.state.name} "
                   f"median_track={np.median(t_track):.3f}s")

@@ -151,3 +151,36 @@ def test_torch_checkpoint_conversion(rng):
     out = net.apply(variables, jnp.zeros((1, 64, 64, 3)), train=False)
     assert out.shape == (1, 8, 8, 1)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.slow
+def test_run_stream_cli(kitti_dir, tmp_path):
+    """Streaming driver (the ROS-node analogue): frames tracked as they
+    appear in the watch dir; idle timeout flushes trajectories."""
+    root, _, settings = kitti_dir
+    watch = tmp_path / "live"
+    out = tmp_path / "stream_out"
+    (watch / "image_0").mkdir(parents=True)
+    (watch / "image_1").mkdir()
+    import shutil
+
+    for n in sorted(os.listdir(root / "image_0")):
+        shutil.copy(root / "image_0" / n, watch / "image_0" / n)
+        shutil.copy(root / "image_1" / n, watch / "image_1" / n)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    res = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "examples", "run_stream.py"),
+            "--watch_dir", str(watch),
+            "--settings_path", str(settings),
+            "--out_path", str(out),
+            "--idle_timeout", "5",
+            "--fps", "10",
+        ],
+        capture_output=True, text=True, env=env, timeout=3000,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    stats = json.loads(res.stdout.strip().splitlines()[-1])
+    assert stats["frames"] == 6
+    assert (out / "Trajectory_KITTI_000.txt").exists()
+    assert (out / "failure_log.txt").exists()
