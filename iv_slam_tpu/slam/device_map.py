@@ -13,49 +13,68 @@ once. Dead points are masked by `valid`.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _splice(packed, desc, valid, packed_rows, desc_rows, valid_rows):
+    """Write the first n rows of the persistent tables in place (donated
+    buffers: no reallocation of the 32k-capacity tables)."""
+    return (
+        jax.lax.dynamic_update_slice(packed, packed_rows, (0, 0)),
+        jax.lax.dynamic_update_slice(desc, desc_rows, (0, 0)),
+        jax.lax.dynamic_update_slice(valid, valid_rows, (0,)),
+    )
 
 
 class DeviceMap:
     def __init__(self, capacity: int = 32768):
         self.capacity = capacity
         self._version = -1
-        self.pos = jnp.zeros((capacity, 3), jnp.float32)
+        self._packed = jnp.zeros((capacity, 9), jnp.float32)
         self.desc = jnp.zeros((capacity, 32), jnp.uint8)
-        self.normal = jnp.zeros((capacity, 3), jnp.float32)
-        self.min_dist = jnp.zeros(capacity, jnp.float32)
-        self.max_dist = jnp.zeros(capacity, jnp.float32)
-        self.quality = jnp.ones(capacity, jnp.float32)
         self.valid = jnp.zeros(capacity, bool)
+        self._reslice()
 
-    def sync(self, m, force: bool = False):
-        """Upload the live point tables from the host MapStore. One stacked
-        transfer; call after keyframe insertion / BA / loop correction."""
-        n = min(m.n_points, self.capacity)
-        pos = np.zeros((self.capacity, 3), np.float32)
-        desc = np.zeros((self.capacity, 32), np.uint8)
-        normal = np.zeros((self.capacity, 3), np.float32)
-        mind = np.zeros(self.capacity, np.float32)
-        maxd = np.zeros(self.capacity, np.float32)
-        qual = np.ones(self.capacity, np.float32)
-        valid = np.zeros(self.capacity, bool)
-        pos[:n] = m.pt_pos[:n]
-        desc[:n] = m.pt_desc[:n]
-        normal[:n] = m.pt_normal[:n]
-        mind[:n] = m.pt_min_dist[:n]
-        maxd[:n] = m.pt_max_dist[:n]
-        qual[:n] = m.pt_quality[:n]
-        valid[:n] = m.pt_alive[:n]
-        # one stacked upload (pack the float tables together)
-        packed = np.concatenate(
-            [pos, normal, mind[:, None], maxd[:, None], qual[:, None]], axis=1
-        )
-        dev = jnp.asarray(packed)
+    def _reslice(self):
+        dev = self._packed
         self.pos = dev[:, 0:3]
         self.normal = dev[:, 3:6]
         self.min_dist = dev[:, 6]
         self.max_dist = dev[:, 7]
         self.quality = dev[:, 8]
-        self.desc = jnp.asarray(desc)
-        self.valid = jnp.asarray(valid)
+
+    def sync(self, m, force: bool = False):
+        """Upload the live point tables from the host MapStore after
+        keyframe insertion / BA / loop correction.
+
+        Only rows [0, n_points) change (the arena is append-only; dead
+        points flip `valid` in place), so the upload is bucketed to the
+        next power of two of the live count and spliced into the
+        persistent full-capacity tables on device — the fused-tracking
+        program keeps one static shape while early-session syncs ship
+        ~10-30x less than the 32k-capacity tables."""
+        n = min(m.n_points, self.capacity)
+        cap = 1024
+        while cap < n:
+            cap *= 2
+        cap = min(cap, self.capacity)
+        packed = np.zeros((cap, 9), np.float32)
+        desc = np.zeros((cap, 32), np.uint8)
+        valid = np.zeros(cap, bool)
+        packed[:n, 0:3] = m.pt_pos[:n]
+        packed[:n, 3:6] = m.pt_normal[:n]
+        packed[:n, 6] = m.pt_min_dist[:n]
+        packed[:n, 7] = m.pt_max_dist[:n]
+        packed[:n, 8] = m.pt_quality[:n]
+        desc[:n] = m.pt_desc[:n]
+        valid[:n] = m.pt_alive[:n]
+        self._packed, self.desc, self.valid = _splice(
+            self._packed, self.desc, self.valid,
+            jnp.asarray(packed), jnp.asarray(desc), jnp.asarray(valid),
+        )
+        self._reslice()
