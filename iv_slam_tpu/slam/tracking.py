@@ -560,11 +560,20 @@ class Tracking:
         frame.qual_score[idx] = updated
 
     def _track_reference_keyframe(self) -> bool:
-        """use_BoW=false variant (Tracking.cc:1177-1206): project local map
-        points with a th=5 window from the last pose."""
+        """Tracking::TrackReferenceKeyFrame (1154-1240). With a vocabulary
+        attached, the reference's primary use_BoW=true branch: windowless
+        SearchByBoW against the reference keyframe — the only matcher that
+        survives arbitrary inter-frame flow (no velocity model yet, or the
+        motion model failed). Falls back to the use_BoW=false projection
+        variant (th=5 window from the last pose) otherwise."""
         frame = self.current
         frame.set_pose(self.last_frame.pose)
         frame.map_pt[:] = -1
+        if self.cfg.system.use_bow and getattr(self, "voc", None) is not None:
+            if self._track_reference_keyframe_bow():
+                return True
+            frame.set_pose(self.last_frame.pose)
+            frame.map_pt[:] = -1
         swm = self.cfg.matcher.search_window_multiplier
         n = self._search_local_points(
             th=5.0 * swm, nn_ratio=0.7 * self.cfg.matcher.nn_ratio_multiplier
@@ -574,6 +583,43 @@ class Tracking:
         self._pose_optimize(frame)
         nmatches_map = self._discard_outliers(frame)
         return nmatches_map >= 10
+
+    def _feature_nodes(self, desc: np.ndarray, valid: np.ndarray) -> np.ndarray:
+        """DBoW2 FeatureVector node id per keypoint (-1 = invalid)."""
+        fv = self.voc.feature_vector(desc, valid)
+        nodes = np.full(desc.shape[0], -1, np.int64)
+        for node, feats in fv.items():
+            nodes[feats] = node
+        return nodes
+
+    def _track_reference_keyframe_bow(self) -> bool:
+        """SearchByBoW(ref KF, current) -> pose optimization
+        (ORBmatcher.cc SearchByBoW + Tracking.cc:1165-1175)."""
+        from ..ops import bow_match
+
+        frame = self.current
+        rf = self.map.kf_frames[self.ref_kf]
+        if rf is None:
+            return False
+        ref_has = (rf.map_pt >= 0) & rf.valid
+        if ref_has.sum() < 15:
+            return False
+        ref_nodes = self._feature_nodes(rf.desc, rf.valid)
+        cur_nodes = self._feature_nodes(frame.desc, frame.valid)
+        assign, n = bow_match.search_by_bow(
+            jnp.asarray(rf.desc), jnp.asarray(ref_nodes),
+            jnp.asarray(rf.angle), jnp.asarray(ref_has),
+            frame.kp.desc, jnp.asarray(cur_nodes),
+            frame.kp.angle, frame.kp.valid,
+            jnp.float32(0.7 * self.cfg.matcher.nn_ratio_multiplier),
+        )
+        if int(n) < 15:
+            return False
+        assign = np.asarray(assign)
+        ai = np.nonzero(assign >= 0)[0]        # ref features
+        frame.map_pt[assign[ai]] = rf.map_pt[ai]
+        self._pose_optimize(frame)
+        return self._discard_outliers(frame) >= 10
 
     def _discard_outliers(self, frame: Frame) -> int:
         out = frame.outlier & (frame.map_pt >= 0)

@@ -27,6 +27,7 @@ iteration budget, which can only improve the result.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -165,6 +166,7 @@ def _lm_round(
     return T_fin
 
 
+@functools.partial(jax.jit, static_argnames=("n_rounds", "n_iters"))
 def pose_optimization(
     T0: jnp.ndarray,          # (4, 4) initial Tcw
     Xw: jnp.ndarray,          # (N, 3) world points

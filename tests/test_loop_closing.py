@@ -126,3 +126,82 @@ def test_detect_loop_needs_temporal_consistency(scenario):
     for _ in range(3):
         cands = lc._detect_loop(kf1)
     assert kf0 in cands
+
+
+@pytest.mark.slow
+def test_loop_closure_end_to_end(rng):
+    """Full in-vivo loop closure: an out-and-back rectangle over a
+    landmark-stamped world revisits its first leg after ~17 m of travel;
+    the system must run DetectLoop -> ComputeSim3 -> CorrectLoop ->
+    essential graph -> global BA and land the final pose near ground
+    truth. (The BoW TrackReferenceKeyFrame path is load-bearing here: the
+    21 px/frame flow exceeds the projection search window, so the first
+    post-initialization frame can only be matched windowlessly.)"""
+    import cv2
+    import jax.numpy as jnp
+    import synth_world
+    from iv_slam_tpu.config import CameraConfig, ORBConfig
+    from iv_slam_tpu.ops.extractor import OrbExtractor
+    from iv_slam_tpu.slam.system import System
+    from iv_slam_tpu.slam.tracking import State
+
+    wrng = np.random.default_rng(23)
+    world = synth_world.TwoPlaneWorld(wrng, height2=2.0)
+    # unique high-contrast landmark stamps: repeatable corners -> stable
+    # BoW words -> place-distinctive histograms (random noise texture
+    # aliases every location and the detector rightly never fires)
+    for _ in range(150):
+        wx = wrng.uniform(-1.0, 11.0)
+        wy = wrng.uniform(-3.0, 6.0)
+        tx = int(wx * world.res + world.tex.shape[1] / 2)
+        ty = int(wy * world.res + world.tex.shape[0] / 2)
+        s = int(wrng.integers(24, 56))
+        patt = (wrng.random((wrng.integers(3, 6), wrng.integers(3, 6))) > 0.5)
+        patt = cv2.resize(patt.astype(np.uint8) * 255, (s, s),
+                          interpolation=cv2.INTER_NEAREST)
+        y0, x0 = ty - s // 2, tx - s // 2
+        if (0 <= y0 and y0 + s < world.tex.shape[0]
+                and 0 <= x0 and x0 + s < world.tex.shape[1]):
+            world.tex[y0:y0 + s, x0:x0 + s] = patt
+
+    cfg = Config()
+    cfg.camera = CameraConfig(fx=400, fy=400, cx=160, cy=120, bf=200,
+                              width=320, height=240, th_depth=35.0, fps=10.0)
+    cfg.orb = ORBConfig(n_features=600, n_levels=3)
+    cfg.system.use_bow = True
+    cfg.system.enable_loop_closing = True
+    # keep the number of DISTINCT compiled programs low: this CI's XLA:CPU
+    # leaks JIT memory per compilation (see pytest.ini); sparse local BA
+    # keeps solver window buckets few
+    cfg.iv.tracking_ba_rate = 4
+
+    step, height = 0.32, 6.0
+    L1, W1 = 30, 8
+    wp = [(k * step, 0.0) for k in range(L1)]
+    wp += [(L1 * step, k * step) for k in range(W1)]
+    wp += [((L1 - k) * step, W1 * step) for k in range(L1)]
+    wp += [(0.0, (W1 - k) * step) for k in range(W1)]
+    wp += [(k * step, 0.0) for k in range(L1)]   # revisit leg
+    poses = [synth_world.camera_pose(np.array([x, y, 0.0]), height=height)
+             for x, y in wp]
+
+    ex = OrbExtractor(cfg.orb, 240, 320)
+    descs = []
+    for T in poses[: 2 * (L1 + W1) : 2]:
+        left, _ = world.render_stereo(T)
+        kp = ex(jnp.asarray(left))
+        descs.append(np.asarray(kp.desc)[np.asarray(kp.valid)])
+    voc = Vocabulary.train(np.concatenate(descs), k=10, L=4, seed=5)
+
+    sys_ = System(cfg, 240, 320)
+    sys_.attach_vocabulary(voc)
+    for i, T in enumerate(poses):
+        left, right = world.render_stereo(T)
+        sys_.track_stereo(left, right, i * 0.1, img_name=f"{i:06d}.png")
+
+    assert sys_.state == State.OK
+    assert sys_.failure_count == 0
+    assert sys_.tracking.loop_closing.n_loops_closed >= 1
+    est = sys_.trajectory_twc()
+    end_err = np.linalg.norm(est[-1][:3, 3][:2] - np.array(wp[-1]))
+    assert end_err < 1.0, end_err
