@@ -98,6 +98,25 @@ def test_pnp_ransac(rng):
     assert not np.asarray(res.inliers)[:15].any()
 
 
+def test_epnp_minimal_sample(rng):
+    """The EPnP hypothesis solver (PnPsolver.cc compute_pose: beta cases +
+    Gauss-Newton + Horn) recovers a usable pose from a 4-point minimal
+    sample and a near-exact one from 8 points."""
+    xi = np.array([-0.2, 0.1, 0.25, -0.4, 0.6, 0.3], np.float32)
+    T = se3.se3_exp(jnp.asarray(xi))
+    n = 8
+    Xw = np.stack([rng.uniform(-8, 8, n), rng.uniform(-4, 4, n),
+                   rng.uniform(4, 30, n)], axis=1).astype(np.float32)
+    pc = np.asarray(se3.transform_points(T, jnp.asarray(Xw)))
+    uv_n = jnp.asarray((pc[:, :2] / pc[:, 2:3]).astype(np.float32))
+    T8 = pnp._epnp_pose(jnp.asarray(Xw), uv_n)
+    err8 = np.abs(np.asarray(se3.se3_log(T8 @ se3.inverse(T)))).max()
+    assert err8 < 5e-3, err8
+    T4 = pnp._epnp_pose(jnp.asarray(Xw[:4]), uv_n[:4])
+    err4 = np.abs(np.asarray(se3.se3_log(T4 @ se3.inverse(T)))).max()
+    assert err4 < 0.5, err4  # minimal samples are rough; RANSAC refines
+
+
 def test_essential_graph_closes_loop(rng):
     """Chain of 12 keyframes with drift; a loop edge from last to first
     pulls the chain back into consistency."""
