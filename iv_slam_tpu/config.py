@@ -74,6 +74,10 @@ class ORBConfig:
     # Static keypoint capacity per image for padded device arrays. Must be
     # >= n_features; data-dependent counts are handled by masking.
     max_keypoints: int = 2048
+    # BRIEF lookup formulation, all bit-identical (ops/brief.py):
+    # "flat" = one (N, 512) gather from the level image;
+    # "onehot" = patch rows + one-hot MXU matmuls (fewer gather elements).
+    desc_path: str = "flat"
 
     def scale_factors(self) -> np.ndarray:
         """Per-level scale factors [1, s, s^2, ...] (ORBextractor.cc:417-426)."""

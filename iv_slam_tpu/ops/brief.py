@@ -93,6 +93,42 @@ def descriptors_global_gather(
     )
 
 
+def descriptors_onehot_mxu(
+    blurred: jnp.ndarray, yx: jnp.ndarray, angles_deg: jnp.ndarray
+) -> jnp.ndarray:
+    """Descriptors with the 512 rotated-pattern lookups expressed as
+    one-hot matmuls instead of a flat gather: a (N, 512, 39) row-selector
+    batched-matmuls the (N, 39, 39) patches on the MXU, then a column
+    one-hot mask-reduce picks the element. Exactly one term of each
+    reduction is non-zero and uint8 pixel values are exact in bfloat16
+    (integers <= 256), so the result is bit-identical to `descriptors` /
+    `descriptors_global_gather`. Gather traffic per keypoint drops from
+    512 random elements to 39 contiguous rows (the patch slices)."""
+    pat = jnp.asarray(pattern(), dtype=jnp.float32)
+    ang = angles_deg.astype(jnp.float32) * _FACTOR_PI
+    a = jnp.cos(ang)[:, None]
+    b = jnp.sin(ang)[:, None]
+    px, py = pat[None, :, 0], pat[None, :, 1]
+    rows = jnp.rint(px * b + py * a).astype(jnp.int32) + PATCH_RADIUS
+    cols = jnp.rint(px * a - py * b).astype(jnp.int32) + PATCH_RADIUS
+    patches = extract_patches(blurred, yx, PATCH_RADIUS)  # (N, 39, 39)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, PATCH_SIZE), 2)
+    oh_r = (rows[:, :, None] == iota).astype(jnp.bfloat16)  # (N, 512, 39)
+    oh_c = (cols[:, :, None] == iota).astype(jnp.float32)
+    sel = jnp.einsum(
+        "nsr,nrc->nsc", oh_r, patches.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    vals = jnp.sum(sel * oh_c, axis=-1).astype(jnp.int32)  # (N, 512)
+    t0 = vals[:, 0::2]
+    t1 = vals[:, 1::2]
+    bits = (t0 < t1).astype(jnp.uint8)
+    weights = jnp.asarray(1 << np.arange(8, dtype=np.uint8), dtype=jnp.uint8)
+    return jnp.sum(
+        bits.reshape(-1, 32, 8) * weights[None, None, :], axis=-1, dtype=jnp.uint8
+    )
+
+
 def pack_u32(desc_u8: jnp.ndarray) -> jnp.ndarray:
     """(N, 32) uint8 -> (N, 8) uint32 little-endian words (for Hamming ops)."""
     d = desc_u8.astype(jnp.uint32).reshape(-1, 8, 4)

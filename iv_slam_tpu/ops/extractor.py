@@ -308,6 +308,11 @@ class OrbExtractor:
         self.shapes = [(l.h, l.w) for l in self.layouts]
         self.scale_factors = cfg.scale_factors()
         self.capacity = int(sum(l.n_desired for l in self.layouts))
+        self._desc_fn = (
+            brief.descriptors_onehot_mxu
+            if getattr(cfg, "desc_path", "flat") == "onehot"
+            else brief.descriptors_global_gather
+        )
         self._jit_plain = jax.jit(functools.partial(self._extract, with_quality=False))
         self._jit_qual = jax.jit(functools.partial(self._extract, with_quality=True))
 
@@ -357,9 +362,7 @@ class OrbExtractor:
             blurred = jax.vmap(
                 lambda im: image.gaussian_blur(im, 7, 2.0)
             )(imgs)
-            desc = jax.vmap(brief.descriptors_global_gather)(
-                blurred, yx, ang
-            )
+            desc = jax.vmap(self._desc_fn)(blurred, yx, ang)
             scale = jnp.float32(self.scale_factors[lvl])
             xy0 = jnp.stack([x, y], axis=-1).astype(jnp.float32) * scale
             outs.append(
@@ -400,7 +403,7 @@ class OrbExtractor:
             # lowers poorly for 1-channel 31x31 kernels)
             ang = orient.ic_angles_integral(img_l, yx)
             blurred = image.gaussian_blur(img_l, 7, 2.0)
-            desc = brief.descriptors_global_gather(blurred, yx, ang)
+            desc = self._desc_fn(blurred, yx, ang)
             scale = jnp.float32(self.scale_factors[lvl])
             xy0 = jnp.stack([x, y], axis=1).astype(jnp.float32) * scale
             outs.append(

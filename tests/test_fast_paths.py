@@ -37,3 +37,17 @@ def test_global_gather_brief_matches_patch_version(rng):
         brief.descriptors_global_gather(jnp.asarray(blurred), yx, ang)
     )
     np.testing.assert_array_equal(d1, d2)
+
+
+def test_onehot_mxu_brief_bit_identical(rng):
+    img = _img(rng)
+    blurred = np.asarray(image.gaussian_blur(jnp.asarray(img), 7, 2.0))
+    ys = rng.integers(19, img.shape[0] - 19, 48)
+    xs = rng.integers(19, img.shape[1] - 19, 48)
+    yx = jnp.asarray(np.stack([ys, xs], 1).astype(np.int32))
+    ang = jnp.asarray(rng.uniform(0, 360, 48).astype(np.float32))
+    d1 = np.asarray(brief.descriptors(jnp.asarray(blurred), yx, ang))
+    d2 = np.asarray(
+        brief.descriptors_onehot_mxu(jnp.asarray(blurred), yx, ang)
+    )
+    np.testing.assert_array_equal(d1, d2)
