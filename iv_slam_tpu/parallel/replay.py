@@ -62,7 +62,7 @@ class ShardedReplay:
             pad = n_dev - b % n_dev
             lefts = np.concatenate([lefts, lefts[-1:].repeat(pad, 0)])
             rights = np.concatenate([rights, rights[-1:].repeat(pad, 0)])
-        kl, kr, u_right, depth, qual = self._fn(
+        kl, kr, u_right, depth, qual, _pack = self._fn(
             jnp.asarray(lefts), jnp.asarray(rights)
         )
         # one batched download for the whole replay slab

@@ -50,9 +50,12 @@ class Frame:
     valid: np.ndarray = None
     # defer=True keeps ALL host views on device (u_right/depth/qual_score
     # stay jax arrays) so a downstream fused-tracking dispatch can launch
-    # first and ONE device_get later drains frame views + tracking results
+    # first and ONE download later drains frame views + tracking results
     # in a single link round-trip (see Tracking._track_fused)
     defer: bool = False
+    # (N, 7) device array [x, y, octave, valid, u_right, depth, qual] kept
+    # for deferred frames so a fallback materialize is one RPC
+    host_pack: object = None
     _angle: np.ndarray = None
     _desc: np.ndarray = None
 
@@ -79,6 +82,15 @@ class Frame:
     def _materialize(self, extras):
         import jax
 
+        if self.host_pack is not None:
+            pack = np.asarray(self.host_pack)  # one RPC
+            self.xy = np.ascontiguousarray(pack[:, 0:2])
+            self.octave = pack[:, 2].astype(np.int32)
+            self.valid = pack[:, 3] != 0.0
+            self.u_right = np.ascontiguousarray(pack[:, 4])
+            self.depth = np.ascontiguousarray(pack[:, 5])
+            self.qual_score = np.ascontiguousarray(pack[:, 6])
+            return jax.device_get(tuple(extras)) if extras else ()
         out = jax.device_get(
             (self.kp.xy, self.kp.octave, self.kp.valid,
              self.u_right, self.depth, self.qual_score) + tuple(extras)
@@ -320,7 +332,18 @@ class StereoFrontend:
             qual = 2.0 * (1.0 / (1.0 + cost / 256.0)) - 1.0
         else:
             qual = jnp.ones(kl.xy.shape[0], jnp.float32)
-        return kl, kr, u_right, depth, qual
+        # ALL host-bound per-frame fields as ONE array: the tunneled
+        # runtime pays a full RPC per materialized array (device_get of a
+        # tuple is a serial per-leaf fetch), so the 6 host views ship as a
+        # single (N, 7) download and are split on the host. int/bool
+        # columns are exact in float32 (values << 2^24).
+        host_pack = jnp.stack(
+            [kl.xy[:, 0], kl.xy[:, 1],
+             kl.octave.astype(jnp.float32),
+             kl.valid.astype(jnp.float32),
+             u_right, depth, qual], axis=1,
+        )
+        return kl, kr, u_right, depth, qual, host_pack
 
     def submit(
         self,
@@ -349,18 +372,20 @@ class StereoFrontend:
         img_name: str = "",
         defer: bool = False,
     ) -> Frame:
-        import jax
-
-        kl, kr, u_right, depth, qual = handle
+        kl, kr, u_right, depth, qual, host_pack = handle
         fid = self._frame_count
         self._frame_count += 1
         if not defer:
-            # one download for the small always-needed host fields;
-            # descriptors and angles stay on device (lazy Frame properties
-            # — only keyframes pull them)
-            (u_right, depth, qual, xy, octave, valid) = jax.device_get(
-                (u_right, depth, qual, kl.xy, kl.octave, kl.valid)
-            )
+            # ONE download (single RPC) for all small always-needed host
+            # fields; descriptors and angles stay on device (lazy Frame
+            # properties — only keyframes pull them)
+            pack = np.asarray(host_pack)
+            xy = np.ascontiguousarray(pack[:, 0:2])
+            octave = pack[:, 2].astype(np.int32)
+            valid = pack[:, 3] != 0.0
+            u_right = np.ascontiguousarray(pack[:, 4])
+            depth = np.ascontiguousarray(pack[:, 5])
+            qual = np.ascontiguousarray(pack[:, 6])
         else:
             xy = octave = valid = None
         return Frame(
@@ -375,6 +400,7 @@ class StereoFrontend:
             img_name=img_name,
             xy=xy, octave=octave, valid=valid,
             defer=defer,
+            host_pack=host_pack if defer else None,
         )
 
     def process(
@@ -386,7 +412,9 @@ class StereoFrontend:
         gt_pose: Optional[np.ndarray] = None,
         gt_cov: Optional[np.ndarray] = None,
         img_name: str = "",
+        defer: bool = False,
     ) -> Frame:
         """Synchronous submit + collect (the per-frame tracking path)."""
         handle = self.submit(img_left, img_right, cost_map)
-        return self.collect(handle, timestamp, gt_pose, gt_cov, img_name)
+        return self.collect(handle, timestamp, gt_pose, gt_cov, img_name,
+                            defer=defer)

@@ -63,6 +63,7 @@ class FusedTracker:
         def step(
             # current frame (device arrays from the frontend)
             cur_xy, cur_oct, cur_angle, cur_desc, cur_ur, cur_valid, cur_qual,
+            cur_depth,
             # last frame
             last_xy, last_oct, last_angle, last_valid,
             last_pt_ids,            # (N,) int32 map slots or -1
@@ -132,7 +133,7 @@ class FusedTracker:
             merged = jnp.where(slot1_in >= 0, slot1_in, assign2)
             res2 = run_pose_opt(res1.T, merged)
             final_assign = jnp.where(res2.inlier, merged, -1)
-            return FusedResult(
+            res = FusedResult(
                 T=res2.T,
                 assign_map=final_assign,
                 inlier=res2.inlier,
@@ -140,16 +141,36 @@ class FusedTracker:
                 n_motion=n1,
                 n_final=res2.n_inliers,
             )
+            # every host-bound value as ONE flat array (the tunneled
+            # runtime pays one RPC per materialized array): frame views
+            # (deferred frontend) + tracking results + pose + counters.
+            pack = jnp.stack(
+                [cur_xy[:, 0], cur_xy[:, 1],
+                 cur_oct.astype(jnp.float32),
+                 cur_valid.astype(jnp.float32),
+                 cur_ur, cur_depth, cur_qual,
+                 final_assign.astype(jnp.float32),
+                 res2.inlier.astype(jnp.float32),
+                 res2.chi2], axis=1,
+            )                                            # (N, 10)
+            small = jnp.concatenate(
+                [res2.T.reshape(16),
+                 jnp.stack([n1.astype(jnp.float32),
+                            res2.n_inliers.astype(jnp.float32)])]
+            )                                            # (18,)
+            flat = jnp.concatenate([pack.reshape(-1), small])
+            return res, flat
 
         return step
 
-    def track(self, frame, last_frame, last_pt_ids, T_pred, dmap) -> FusedResult:
+    def track(self, frame, last_frame, last_pt_ids, T_pred, dmap):
+        """Returns (FusedResult of device arrays, flat host-pack array)."""
         import numpy as np
 
         return self._step(
             frame.kp.xy, frame.kp.octave, frame.kp.angle, frame.kp.desc,
             jnp.asarray(frame.u_right), frame.kp.valid,
-            jnp.asarray(frame.qual_score),
+            jnp.asarray(frame.qual_score), jnp.asarray(frame.depth),
             last_frame.kp.xy, last_frame.kp.octave, last_frame.kp.angle,
             last_frame.kp.valid,
             jnp.asarray(last_pt_ids.astype(np.int32)),

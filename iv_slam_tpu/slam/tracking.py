@@ -127,7 +127,7 @@ class Tracking:
         else:
             frame = self.frontend.process(
                 img_left, img_right, timestamp, cost_map, gt_pose, gt_cov,
-                img_name,
+                img_name, defer=defer,
             )
         if gt_depth_map is not None:
             from .frame import sample_gt_depth
@@ -426,15 +426,30 @@ class Tracking:
             self._dmap_dirty = False
         self._update_last_frame()
         T_pred = self.velocity @ last.pose
-        res = self._fused.track(frame, last, last.map_pt, T_pred, self._dmap)
-        # ONE batched readback for the fused results AND the deferred
-        # frontend host views: each separate np.asarray pays a full link
-        # round-trip (the n_motion gate alone was costing ~4 RTTs/frame)
-        n_motion, assign, inlier, chi2, T = frame.materialize(
-            extras=(res.n_motion, res.assign_map, res.inlier, res.chi2,
-                    res.T)
+        res, flat = self._fused.track(
+            frame, last, last.map_pt, T_pred, self._dmap
         )
-        if int(n_motion) < 20:
+        # ONE readback (single RPC) for the fused results AND the deferred
+        # frontend host views: the tunneled runtime pays a full link
+        # round-trip per materialized array, so everything host-bound
+        # ships as one flat float32 vector packed on device
+        out = np.asarray(flat)
+        n = frame.u_right.shape[0]
+        pack = out[: 10 * n].reshape(n, 10)
+        small = out[10 * n:]
+        if frame.xy is None:  # deferred frontend views
+            frame.xy = np.ascontiguousarray(pack[:, 0:2])
+            frame.octave = pack[:, 2].astype(np.int32)
+            frame.valid = pack[:, 3] != 0.0
+            frame.u_right = np.ascontiguousarray(pack[:, 4])
+            frame.depth = np.ascontiguousarray(pack[:, 5])
+            frame.qual_score = np.ascontiguousarray(pack[:, 6])
+        assign = pack[:, 7].astype(np.int32)
+        inlier = pack[:, 8] != 0.0
+        chi2 = np.ascontiguousarray(pack[:, 9])
+        T = small[:16].reshape(4, 4).astype(np.float32)
+        n_motion = int(small[16])
+        if n_motion < 20:
             return False
         frame.set_pose(T)
         frame.map_pt[:] = assign
