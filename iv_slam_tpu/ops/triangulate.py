@@ -118,6 +118,56 @@ def search_for_triangulation_batched(
 
 
 @functools.partial(jax.jit, static_argnames=())
+def triangulate_event(
+    # current keyframe (N1, ...)
+    xy1, desc1, free1, ur1, depth1, sig2_1, scale1,
+    # stacked covisible neighbors (NB, N1, ...)
+    xy2_nb, desc2_nb, free2_nb, ur2_nb, depth2_nb, sig2_2_nb, scale2_nb,
+    F12_nb, epipole2_nb, ex_check_nb,
+    T1w, T2w_nb,
+    fx, fy, cx, cy, bf,
+) -> jnp.ndarray:
+    """The WHOLE keyframe triangulation event as one program: the
+    neighbor-batched epipolar search feeds straight into triangulation of
+    every (neighbor, feature) pair on device — no host compaction between
+    the two stages (the reference's per-neighbor loop is
+    LocalMapping.cc:295-525). Returns one host-bound (NB, N1, 5) pack
+    [assign, good, X_world] so the keyframe event costs a single dispatch
+    and a single download."""
+    assign, _ = jax.vmap(
+        search_for_triangulation,
+        in_axes=(None, None, None, 0, 0, 0, 0, 0, 0, 0, 0),
+    )(
+        xy1, desc1, free1, xy2_nb, desc2_nb, free2_nb, F12_nb,
+        sig2_2_nb, epipole2_nb, ex_check_nb, sig2_2_nb,
+    )                                               # (NB, N1)
+    nb, n1 = assign.shape
+    j = jnp.maximum(assign, 0)
+
+    def g(arr):
+        return jnp.take_along_axis(arr, j, axis=1).reshape(-1)
+
+    xy2 = jnp.take_along_axis(xy2_nb, j[:, :, None], axis=1).reshape(-1, 2)
+    T2_pairs = jnp.broadcast_to(
+        T2w_nb[:, None], (nb, n1, 4, 4)
+    ).reshape(-1, 4, 4)
+    X, good = triangulate_checked(
+        jnp.tile(xy1, (nb, 1)), xy2,
+        jnp.tile(ur1, nb), jnp.tile(depth1, nb),
+        g(ur2_nb), g(depth2_nb),
+        jnp.tile(sig2_1, nb), g(sig2_2_nb),
+        jnp.tile(scale1, nb), g(scale2_nb),
+        (assign >= 0).reshape(-1),
+        T1w, T2_pairs, fx, fy, cx, cy, bf,
+    )
+    return jnp.concatenate(
+        [assign.astype(jnp.float32)[:, :, None],
+         good.reshape(nb, n1, 1).astype(jnp.float32),
+         X.reshape(nb, n1, 3)], axis=-1,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=())
 def triangulate_checked(
     xy1: jnp.ndarray, xy2: jnp.ndarray,       # (N, 2) matched pixels
     ur1: jnp.ndarray, depth1: jnp.ndarray,    # stereo data of kf1 features

@@ -57,11 +57,12 @@ class LocalMapping:
         """LocalMapping::CreateNewMapPoints (273-525): triangulate new
         points against the best covisible keyframes.
 
-        Device shape: the reference's per-neighbor loop becomes TWO
-        launches per keyframe event — one neighbor-batched epipolar search
-        (NB stacked keyframes, one (NB, N1) assignment readback) and one
-        triangulation over all accepted pairs with per-pair neighbor poses
-        — instead of 2 x NB dispatch round-trips."""
+        Device shape: the reference's per-neighbor loop becomes ONE
+        launch per keyframe event — the neighbor-batched epipolar search
+        feeds triangulation of every (neighbor, feature) pair inside the
+        same program (ops/triangulate.py triangulate_event), one dispatch
+        + one (NB, N1, 5) download instead of 2 x NB round-trips with a
+        host compaction between the stages."""
         import jax.numpy as jnp
 
         from ..ops import triangulate as tri
@@ -126,7 +127,8 @@ class LocalMapping:
         if not cand:
             return
 
-        # ---- launch 1: neighbor-batched epipolar search (bucketed NB)
+        # ---- ONE launch: epipolar search + all-pair triangulation fused
+        # (bucketed NB so the program compiles once per bucket)
         nb_cap = 1
         while nb_cap < len(cand):
             nb_cap *= 2
@@ -139,68 +141,39 @@ class LocalMapping:
                 rows += [get(c0) if pad_value is None else pad_value] * pad_nb
             return np.stack(rows)
 
-        assign_nb, _ = tri.search_for_triangulation_batched(
+        pack = tri.triangulate_event(
             jnp.asarray(cur.xy), cur.kp.desc, jnp.asarray(free1),
+            jnp.asarray(cur.u_right), jnp.asarray(cur.depth),
+            jnp.asarray(sf2[cur.octave]), jnp.asarray(sf[cur.octave]),
             jnp.asarray(stack(lambda c: c["nf"].xy)),
             jnp.stack([c["nf"].kp.desc for c in cand]
                       + [c0["nf"].kp.desc] * pad_nb),
             # padded neighbor slots are all-False masks: zero matches
             jnp.asarray(stack(
                 lambda c: c["free2"], np.zeros_like(c0["free2"]))),
-            jnp.asarray(stack(lambda c: c["F12"])),
+            jnp.asarray(stack(lambda c: c["nf"].u_right)),
+            jnp.asarray(stack(lambda c: c["nf"].depth)),
             jnp.asarray(stack(lambda c: sf2[c["nf"].octave])),
+            jnp.asarray(stack(lambda c: sf[c["nf"].octave])),
+            jnp.asarray(stack(lambda c: c["F12"])),
             jnp.asarray(stack(lambda c: c["epipole2"])),
             jnp.asarray(np.full(nb_cap, is_mono)),
-            jnp.asarray(stack(lambda c: sf2[c["nf"].octave])),
-        )
-        assign_nb = np.asarray(assign_nb)[: len(cand)]
-
-        # ---- compact accepted pairs across neighbors
-        nbi_raw, i1_raw = np.nonzero(assign_nb >= 0)
-        if len(i1_raw) == 0:
-            return
-        i2_raw = assign_nb[nbi_raw, i1_raw]
-        cap = 512
-        while cap < len(i1_raw):
-            cap *= 2
-        n_valid = len(i1_raw)
-        i1 = np.zeros(cap, np.int64)
-        i2 = np.zeros(cap, np.int64)
-        nbi = np.zeros(cap, np.int64)
-        i1[:n_valid] = i1_raw
-        i2[:n_valid] = i2_raw
-        nbi[:n_valid] = nbi_raw
-        vmask = np.zeros(cap, bool)
-        vmask[:n_valid] = True
-
-        # per-pair neighbor-side gathers (host views into padded frames)
-        xy2 = np.stack([cand[n]["nf"].xy[j] for n, j in zip(nbi, i2)])
-        ur2 = np.array([cand[n]["nf"].u_right[j] for n, j in zip(nbi, i2)],
-                       np.float32)
-        dp2 = np.array([cand[n]["nf"].depth[j] for n, j in zip(nbi, i2)],
-                       np.float32)
-        oc2 = np.array([cand[n]["nf"].octave[j] for n, j in zip(nbi, i2)])
-        T2_pairs = np.stack([cand[n]["T2"] for n in nbi])
-
-        # ---- launch 2: triangulate all pairs with per-pair poses
-        pts, good = tri.triangulate_checked(
-            jnp.asarray(cur.xy[i1]), jnp.asarray(xy2.astype(np.float32)),
-            jnp.asarray(cur.u_right[i1]), jnp.asarray(cur.depth[i1]),
-            jnp.asarray(ur2), jnp.asarray(dp2),
-            jnp.asarray(sf2[cur.octave[i1]]), jnp.asarray(sf2[oc2]),
-            jnp.asarray(sf[cur.octave[i1]]), jnp.asarray(sf[oc2]),
-            jnp.asarray(vmask),
-            jnp.asarray(T1), jnp.asarray(T2_pairs.astype(np.float32)),
+            jnp.asarray(T1),
+            jnp.asarray(stack(lambda c: c["T2"]).astype(np.float32)),
             cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
         )
-        pts = np.asarray(pts)
-        good = np.asarray(good) & vmask
-        for k in np.nonzero(good)[0]:
-            f1, f2, c = int(i1[k]), int(i2[k]), cand[int(nbi[k])]
+        pack = np.asarray(pack)[: len(cand)]       # one download
+        assign_nb = pack[:, :, 0].astype(np.int64)
+        good_nb = pack[:, :, 1] != 0.0
+        pts_nb = pack[:, :, 2:5]
+        for nb_i, f1 in zip(*np.nonzero(good_nb)):
+            c = cand[int(nb_i)]
             nf = c["nf"]
+            f1 = int(f1)
+            f2 = int(assign_nb[nb_i, f1])
             if cur.map_pt[f1] >= 0 or nf.map_pt[f2] >= 0:
                 continue
-            pid = m.add_point(pts[k], kf_id)
+            pid = m.add_point(pts_nb[nb_i, f1], kf_id)
             m.add_observation(pid, kf_id, f1)
             m.add_observation(pid, c["nb"], f2)
             cur.map_pt[f1] = pid
