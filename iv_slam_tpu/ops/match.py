@@ -327,3 +327,77 @@ def search_by_projection_local_map(
         jnp.where(wins, jnp.arange(best_j.shape[0]), -1)
     )
     return assign, jnp.sum((assign >= 0).astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def fuse_into_keyframes(
+    # target keyframes, stacked (NB, ...)
+    kf_xy: jnp.ndarray,        # (NB, N, 2)
+    kf_oct: jnp.ndarray,       # (NB, N)
+    kf_desc: jnp.ndarray,      # (NB, N, 32)
+    kf_valid: jnp.ndarray,     # (NB, N)
+    kf_T: jnp.ndarray,         # (NB, 4, 4) Tcw
+    # candidate map points (P, ...)
+    pt_pos: jnp.ndarray, pt_desc: jnp.ndarray, pt_normal: jnp.ndarray,
+    pt_mind: jnp.ndarray, pt_maxd: jnp.ndarray,
+    pt_mask_nb: jnp.ndarray,   # (NB, P) point eligible for this target
+    scale_factors: jnp.ndarray,
+    log_scale: jnp.ndarray,
+    fx, fy, cx, cy, width, height,
+    radius_th: jnp.ndarray,    # 3.0 (ORBmatcher::Fuse th)
+) -> jnp.ndarray:
+    """ORBmatcher::Fuse batched over target keyframes AND points: the
+    whole LocalMapping::SearchInNeighbors projection pass (2-hop fuse,
+    LocalMapping.cc:527-607) as ONE program returning the best matching
+    feature per (target, point) or -1. The host applies the
+    add-observation / MapPoint::Replace bookkeeping from this assignment
+    (revalidating liveness, since batch decisions see one snapshot)."""
+    sf = scale_factors
+    sf2 = sf * sf
+    n_levels = sf.shape[0]
+    big = jnp.int32(1 << 20)
+
+    def one_target(xy, oct_, desc, valid, T, mask_p):
+        R, tvec = T[:3, :3], T[:3, 3]
+        O = -R.T @ tvec
+        pc = pt_pos @ R.T + tvec
+        z = pc[:, 2]
+        zs = jnp.maximum(z, 1e-9)
+        u = fx * pc[:, 0] / zs + cx
+        v = fy * pc[:, 1] / zs + cy
+        diff = pt_pos - O[None]
+        dist = jnp.linalg.norm(diff, axis=1)
+        vcos = jnp.sum(diff * pt_normal, axis=1) / jnp.maximum(dist, 1e-9)
+        visible = (
+            (z > 0)
+            & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+            & (dist >= 0.8 * pt_mind) & (dist <= 1.2 * pt_maxd)
+            & (vcos >= 0.5) & mask_p
+        )
+        pred = jnp.clip(
+            jnp.ceil(
+                jnp.log(jnp.maximum(pt_maxd / jnp.maximum(dist, 1e-9), 1e-9))
+                / log_scale
+            ),
+            0, n_levels - 1,
+        ).astype(jnp.int32)
+        r = radius_th * sf[pred]                      # (P,)
+        in_win = (
+            (jnp.abs(xy[None, :, 0] - u[:, None]) < r[:, None])
+            & (jnp.abs(xy[None, :, 1] - v[:, None]) < r[:, None])
+            & (jnp.abs(oct_[None, :] - pred[:, None]) <= 1)
+            & valid[None, :]
+        )                                             # (P, N)
+        dmat = hamming_matrix(pt_desc, desc)
+        masked = jnp.where(in_win & visible[:, None], dmat, big)
+        best = jnp.argmin(masked, axis=1)
+        bd = jnp.take_along_axis(masked, best[:, None], axis=1)[:, 0]
+        bx = xy[best, 0]
+        by = xy[best, 1]
+        e2 = (bx - u) ** 2 + (by - v) ** 2
+        ok = (bd <= TH_LOW) & (e2 <= 5.99 * sf2[oct_[best]])
+        return jnp.where(ok, best, -1)
+
+    return jax.vmap(one_target)(
+        kf_xy, kf_oct, kf_desc, kf_valid, kf_T, pt_mask_nb
+    )

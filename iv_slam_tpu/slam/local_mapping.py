@@ -199,8 +199,19 @@ class LocalMapping:
 
     def _search_in_neighbors(self, kf_id: int):
         """LocalMapping::SearchInNeighbors (527-607): fuse current-KF map
-        points into 2-hop covisible keyframes and vice versa."""
+        points into 2-hop covisible keyframes and vice versa.
+
+        Device shape: every (target keyframe x candidate point) projection
+        + window search + Hamming runs as ONE dispatch
+        (ops/match.py fuse_into_keyframes); the host then applies the
+        add-observation / Replace bookkeeping from the returned
+        assignment, revalidating liveness in sequence."""
+        import jax.numpy as jnp
+
+        from ..ops import match as match_ops
+
         m = self.map
+        cam = self.cfg.camera
         targets = []
         for nb, _w in m.covisible_keyframes(kf_id)[:10]:
             targets.append(nb)
@@ -210,9 +221,6 @@ class LocalMapping:
         cur = m.kf_frames[kf_id]
         cur_pts = [int(p) for p in cur.map_pt[cur.map_pt >= 0]
                    if m.pt_alive[p]]
-        touched = set()
-        for nb in targets:
-            touched |= self._fuse(nb, cur_pts)
         # reverse fuse: neighbors' points into the current keyframe
         fuse_pts = set()
         for nb in targets:
@@ -220,102 +228,100 @@ class LocalMapping:
             for p in nf.map_pt[nf.map_pt >= 0]:
                 if m.pt_alive[p]:
                     fuse_pts.add(int(p))
-        touched |= self._fuse(kf_id, sorted(fuse_pts))
+        fuse_pts = sorted(fuse_pts)
+        all_targets = targets + [kf_id]
+        union = sorted(set(cur_pts) | set(fuse_pts))
+        if not union or not targets:
+            return
+        pid_arr = np.asarray(union, np.int64)
+        slot = {p: i for i, p in enumerate(union)}
+        p_cap = 1024
+        while p_cap < len(union):
+            p_cap *= 2
+        nb_cap = 1
+        while nb_cap < len(all_targets):
+            nb_cap *= 2
+
+        # per-target eligibility: forward targets see cur_pts, the current
+        # keyframe sees the neighbors' points. The already-observed gate
+        # (`nb in pt_obs`) lives in the apply loop — per-point matches are
+        # independent, so pre-masking them changes nothing
+        mask = np.zeros((nb_cap, p_cap), bool)
+        fwd = np.zeros(p_cap, bool)
+        fwd[[slot[p] for p in cur_pts]] = True
+        rev = np.zeros(p_cap, bool)
+        rev[[slot[p] for p in fuse_pts]] = True
+        for t, nb in enumerate(all_targets):
+            mask[t] = rev if nb == kf_id else fwd
+
+        pos = np.zeros((p_cap, 3), np.float32)
+        desc = np.zeros((p_cap, 32), np.uint8)
+        normal = np.zeros((p_cap, 3), np.float32)
+        mind = np.ones(p_cap, np.float32)
+        maxd = np.ones(p_cap, np.float32)
+        pos[: len(union)] = m.pt_pos[pid_arr]
+        desc[: len(union)] = m.pt_desc[pid_arr]
+        normal[: len(union)] = m.pt_normal[pid_arr]
+        mind[: len(union)] = m.pt_min_dist[pid_arr]
+        maxd[: len(union)] = m.pt_max_dist[pid_arr]
+
+        frames = [m.kf_frames[nb] for nb in all_targets]
+        f0 = frames[0]
+        pad = nb_cap - len(all_targets)
+        sf = m.scale_factors
+        assign = match_ops.fuse_into_keyframes(
+            jnp.stack([f.kp.xy for f in frames] + [f0.kp.xy] * pad),
+            jnp.stack([f.kp.octave for f in frames] + [f0.kp.octave] * pad),
+            jnp.stack([f.kp.desc for f in frames] + [f0.kp.desc] * pad),
+            jnp.stack([f.kp.valid for f in frames] + [f0.kp.valid] * pad),
+            jnp.asarray(np.stack(
+                [m.kf_pose[nb] for nb in all_targets]
+                + [m.kf_pose[all_targets[0]]] * pad
+            ).astype(np.float32)),
+            jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(normal),
+            jnp.asarray(mind), jnp.asarray(maxd), jnp.asarray(mask),
+            jnp.asarray(sf), jnp.float32(np.log(sf[1] / sf[0])
+                                         if len(sf) > 1 else 1.0),
+            jnp.float32(cam.fx), jnp.float32(cam.fy),
+            jnp.float32(cam.cx), jnp.float32(cam.cy),
+            jnp.float32(cam.width), jnp.float32(cam.height),
+            jnp.float32(3.0),
+        )
+        assign = np.asarray(assign)[: len(all_targets)]  # one download
+
+        touched = set()
+        for t, nb in enumerate(all_targets):
+            frame = m.kf_frames[nb]
+            for i in np.nonzero(assign[t] >= 0)[0]:
+                pid = int(pid_arr[i])
+                if not m.pt_alive[pid] or nb in m.pt_obs[pid]:
+                    continue
+                feat = int(assign[t, i])
+                existing = int(frame.map_pt[feat])
+                if existing >= 0 and m.pt_alive[existing]:
+                    # keep the better-observed point (MapPoint::Replace)
+                    if m.n_observations(existing) >= m.n_observations(pid):
+                        keep, drop = existing, pid
+                    else:
+                        keep, drop = pid, existing
+                    for okf, ofeat in list(m.pt_obs[drop].items()):
+                        of = m.kf_frames[okf]
+                        if okf not in m.pt_obs[keep]:
+                            m.pt_obs[keep][okf] = ofeat
+                            of.map_pt[ofeat] = keep
+                        else:
+                            of.map_pt[ofeat] = -1
+                    m.pt_obs[drop].clear()
+                    m.pt_alive[drop] = False
+                    touched.add(keep)
+                else:
+                    m.add_observation(pid, nb, feat)
+                    frame.map_pt[feat] = pid
+                    touched.add(pid)
         for pid in touched:
             if m.pt_alive[pid]:
                 m.compute_distinctive_descriptor(pid)
                 m.update_normal_and_depth(pid)
-
-    def _fuse(self, kf_id: int, pids, radius_th: float = 3.0) -> set:
-        """ORBmatcher::Fuse: project points into the keyframe; matched
-        keypoints either gain an observation or resolve duplicates toward
-        the better-observed point."""
-        from .. import native
-
-        m = self.map
-        cam = self.cfg.camera
-        frame = m.kf_frames[kf_id]
-        if frame is None or not pids:
-            return set()
-        T = m.kf_pose[kf_id]
-        O = m.kf_camera_center(kf_id)
-        sf = m.scale_factors
-        sf2 = sf ** 2
-        pids = np.asarray(pids)
-        pos = m.pt_pos[pids]
-        pc = pos @ T[:3, :3].T + T[:3, 3]
-        z = pc[:, 2]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            u = cam.fx * pc[:, 0] / z + cam.cx
-            v = cam.fy * pc[:, 1] / z + cam.cy
-        dist = np.linalg.norm(pos - O, axis=1)
-        visible = (
-            (z > 0)
-            & (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
-            & (dist >= 0.8 * m.pt_min_dist[pids])
-            & (dist <= 1.2 * m.pt_max_dist[pids])
-        )
-        # viewing angle
-        with np.errstate(invalid="ignore"):
-            vcos = np.einsum(
-                "ij,ij->i", pos - O, m.pt_normal[pids]
-            ) / np.maximum(dist, 1e-9)
-        visible &= vcos >= 0.5
-        touched = set()
-        log_s = np.log(sf[1] / sf[0]) if len(sf) > 1 else 1.0
-        for idx in np.nonzero(visible)[0]:
-            pid = int(pids[idx])
-            if not m.pt_alive[pid] or kf_id in m.pt_obs[pid]:
-                continue
-            pred = int(np.clip(
-                np.ceil(np.log(max(m.pt_max_dist[pid] / max(dist[idx], 1e-9),
-                                   1e-9)) / log_s),
-                0, len(sf) - 1,
-            ))
-            r = radius_th * sf[pred]
-            cand = np.nonzero(
-                frame.valid
-                & (np.abs(frame.xy[:, 0] - u[idx]) < r)
-                & (np.abs(frame.xy[:, 1] - v[idx]) < r)
-                & (np.abs(frame.octave - pred) <= 1)
-            )[0]
-            if len(cand) == 0:
-                continue
-            d = native.hamming_matrix(
-                m.pt_desc[pid:pid + 1], frame.desc[cand]
-            )[0]
-            best = int(np.argmin(d))
-            if d[best] > 50:  # TH_LOW
-                continue
-            feat = int(cand[best])
-            # reprojection gate at the candidate's scale
-            e2 = (frame.xy[feat, 0] - u[idx]) ** 2 + (
-                frame.xy[feat, 1] - v[idx]
-            ) ** 2
-            if e2 > 5.99 * sf2[frame.octave[feat]]:
-                continue
-            existing = int(frame.map_pt[feat])
-            if existing >= 0 and m.pt_alive[existing]:
-                # keep the better-observed point (MapPoint::Replace)
-                if m.n_observations(existing) >= m.n_observations(pid):
-                    keep, drop = existing, pid
-                else:
-                    keep, drop = pid, existing
-                for okf, ofeat in list(m.pt_obs[drop].items()):
-                    of = m.kf_frames[okf]
-                    if okf not in m.pt_obs[keep]:
-                        m.pt_obs[keep][okf] = ofeat
-                        of.map_pt[ofeat] = keep
-                    else:
-                        of.map_pt[ofeat] = -1
-                m.pt_obs[drop].clear()
-                m.pt_alive[drop] = False
-                touched.add(keep)
-            else:
-                m.add_observation(pid, kf_id, feat)
-                frame.map_pt[feat] = pid
-                touched.add(pid)
-        return touched
 
     # ------------------------------------------------------------- culling
 
