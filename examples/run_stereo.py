@@ -60,6 +60,9 @@ def parse_args():
                    help="per-frame (translational, rotational) uncertainty "
                         "rows (stereo_kitti.cc:73-84)")
     p.add_argument("--load_rel_pose_uncertainty", action="store_true")
+    p.add_argument("--profile_stages", action="store_true",
+                   help="per-stage wall-clock report (frontend / track / "
+                        "keyframe events / datagen) printed at shutdown")
     p.add_argument("--fused_tracking", action="store_true",
                    help="single-dispatch fused tracking step against the "
                         "device-resident map mirror (slam/fused_track.py)")
@@ -182,6 +185,11 @@ def main():
         map_drawer = MapDrawer(
             os.path.join(args.out_visualization_path, "map"))
 
+    if args.profile_stages:
+        from iv_slam_tpu.utils.profiling import StageTimer
+
+        sys_.tracking.stage_timer = StageTimer()
+
     t_track = []
     # depth-1 frontend prefetch: frame i+1's extraction runs on device while
     # frame i's tracking occupies the host (stereo_kitti.cc overlaps I/O
@@ -244,6 +252,8 @@ def main():
     if seq.gt_poses is not None:
         est = sys_.trajectory_twc()
         stats["ate_rmse"] = trajectory.ate_rmse(est, list(seq.gt_poses))
+    if args.profile_stages and sys_.tracking.stage_timer is not None:
+        print(sys_.tracking.stage_timer.report())
     print(json.dumps(stats))
     with open(os.path.join(out, "stats.json"), "w") as f:
         json.dump(stats, f)

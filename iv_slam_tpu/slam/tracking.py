@@ -83,6 +83,17 @@ class Tracking:
         self._finalized_twc: List[np.ndarray] = []  # frames of closed sub-sessions
         self._session_start = 0
         self.datagen = None  # introspection DataGenerator (training mode)
+        # optional per-stage wall-clock tracing (utils/profiling.StageTimer;
+        # the reference's only instrumentation is whole-TrackStereo timing,
+        # stereo_kitti.cc:437-441 — this is the stage-level superset)
+        self.stage_timer = None
+
+    def _stage(self, name: str):
+        import contextlib
+
+        if self.stage_timer is None:
+            return contextlib.nullcontext()
+        return self.stage_timer.time(name)
 
     # ------------------------------------------------------------------ API
 
@@ -119,16 +130,17 @@ class Tracking:
             and self.last_frame.pose is not None
             and gt_depth_map is None
         )
-        if frontend_handle is not None:
-            frame = self.frontend.collect(
-                frontend_handle, timestamp, gt_pose, gt_cov, img_name,
-                defer=defer,
-            )
-        else:
-            frame = self.frontend.process(
-                img_left, img_right, timestamp, cost_map, gt_pose, gt_cov,
-                img_name, defer=defer,
-            )
+        with self._stage("frontend"):
+            if frontend_handle is not None:
+                frame = self.frontend.collect(
+                    frontend_handle, timestamp, gt_pose, gt_cov, img_name,
+                    defer=defer,
+                )
+            else:
+                frame = self.frontend.process(
+                    img_left, img_right, timestamp, cost_map, gt_pose,
+                    gt_cov, img_name, defer=defer,
+                )
         if gt_depth_map is not None:
             from .frame import sample_gt_depth
 
@@ -136,7 +148,8 @@ class Tracking:
                 gt_depth_map, frame.xy, frame.valid
             )
         self.current = frame
-        self._track()
+        with self._stage("track"):
+            self._track()
         return frame.pose
 
     def submit_frontend(self, img_left, img_right, cost_map=None):
@@ -210,9 +223,11 @@ class Tracking:
                         frame.map_pt[i] = -1
                 self._delete_temporal_points()
             elif self._need_new_keyframe():
-                self._create_new_keyframe()
+                with self._stage("keyframe_event"):
+                    self._create_new_keyframe()
             self._record_trajectory(lost=False)
-            self._run_datagen(frame)
+            with self._stage("datagen"):
+                self._run_datagen(frame)
         else:
             self.state = State.LOST
             self._record_trajectory(lost=True)

@@ -36,28 +36,57 @@ def _run_ba(
 ):
     all_kfs = list(local_kfs) + list(fixed_kfs)
     kf_slot = {k: i for i, k in enumerate(all_kfs)}
-    pt_slot = {p: i for i, p in enumerate(pts)}
     if len(pts) == 0 or len(all_kfs) < 2:
         return
 
-    e_kf, e_pt, e_obs, e_inv, e_qual, e_feat = [], [], [], [], [], []
+    # Edge assembly, vectorized per keyframe: each window frame's map_pt
+    # array IS its observation list (kept in lockstep with pt_obs by the
+    # map store), so the per-point dict loops collapse into numpy gathers.
+    pt_lookup = np.full(m.n_points, -1, np.int32)
+    pt_lookup[np.asarray(pts)] = np.arange(len(pts), dtype=np.int32)
     inv_sigma2 = 1.0 / (m.scale_factors ** 2)
-    for pid in pts:
-        for k, feat in m.pt_obs[pid].items():
-            if k not in kf_slot:
-                continue
-            frame = m.kf_frames[k]
-            u, v = frame.xy[feat]
-            ur = frame.u_right[feat]
-            e_kf.append(kf_slot[k])
-            e_pt.append(pt_slot[pid])
-            e_obs.append((u, v, ur))
-            e_inv.append(inv_sigma2[frame.octave[feat]])
-            if cfg.iv.propagate_keyptqual:
-                e_qual.append(m.pt_quality[pid])
-            else:
-                e_qual.append(frame.qual_score[feat])
-            e_feat.append((pid, k, feat))
+    cols_kf, cols_pt, cols_obs, cols_inv, cols_qual = [], [], [], [], []
+    e_feat = []
+    for k in all_kfs:
+        frame = m.kf_frames[k]
+        feats = np.nonzero(frame.map_pt >= 0)[0]
+        pids = frame.map_pt[feats]
+        sl = pt_lookup[pids]
+        keep = sl >= 0
+        # exact-semantics gate: only edges the observation dicts confirm
+        # (cheap single dict get per candidate edge)
+        if keep.any():
+            idx = np.nonzero(keep)[0]
+            confirm = np.fromiter(
+                (m.pt_obs[int(pids[i])].get(k) == int(feats[i])
+                 for i in idx),
+                bool, len(idx),
+            )
+            keep[idx] = confirm
+        feats, pids, sl = feats[keep], pids[keep], sl[keep]
+        if len(feats) == 0:
+            continue
+        cols_kf.append(np.full(len(feats), kf_slot[k], np.int32))
+        cols_pt.append(sl.astype(np.int32))
+        cols_obs.append(np.stack(
+            [frame.xy[feats, 0], frame.xy[feats, 1],
+             frame.u_right[feats]], axis=1,
+        ).astype(np.float32))
+        cols_inv.append(inv_sigma2[frame.octave[feats]].astype(np.float32))
+        if cfg.iv.propagate_keyptqual:
+            cols_qual.append(m.pt_quality[pids].astype(np.float32))
+        else:
+            cols_qual.append(frame.qual_score[feats].astype(np.float32))
+        e_feat.extend(
+            (int(p), k, int(f)) for p, f in zip(pids, feats)
+        )
+    if not cols_kf:
+        return
+    e_kf = np.concatenate(cols_kf)
+    e_pt = np.concatenate(cols_pt)
+    e_obs = np.concatenate(cols_obs)
+    e_inv = np.concatenate(cols_inv)
+    e_qual = np.concatenate(cols_qual)
     if len(e_kf) < 10:
         return
 
