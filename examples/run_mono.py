@@ -59,8 +59,23 @@ def main():
     sys_ = System(cfg, h, w)
 
     os.makedirs(args.out_visualization_path, exist_ok=True)
+
+    # SIGINT -> stop but flush outputs (ShutdownMinimal, stereo_kitti.cc:185-196)
+    import signal
+
+    interrupted = []
+
+    def _on_sigint(sig, frm):
+        interrupted.append(True)
+        signal.signal(signal.SIGINT, signal.SIG_DFL)
+
+    signal.signal(signal.SIGINT, _on_sigint)
+
     t_track = []
     for i in range(len(seq)):
+        if interrupted:
+            print(f"SIGINT at frame {i}: flushing outputs")
+            break
         left, _, t, gt, name = seq[i]
         t0 = time.perf_counter()
         sys_.track_mono(left, t, gt_pose=gt, img_name=name)
@@ -73,8 +88,9 @@ def main():
     sys_.save_trajectory_tum(os.path.join(out, "KeyFrameTrajectory_TUM_000.txt"))
     sys_.save_failure_log(os.path.join(out, "failure_log.txt"))
     stats = dict(
-        frames=len(seq), failures=sys_.failure_count,
-        median_track_s=float(np.median(t_track)),
+        frames=len(t_track), failures=sys_.failure_count,
+        median_track_s=float(np.median(t_track)) if t_track else 0.0,
+        interrupted=bool(interrupted),
     )
     print(json.dumps(stats))
 

@@ -57,8 +57,23 @@ def main():
     sys_ = System(cfg, h, w)
 
     os.makedirs(args.out_visualization_path, exist_ok=True)
+
+    # SIGINT -> stop but flush outputs (ShutdownMinimal, stereo_kitti.cc:185-196)
+    import signal
+
+    interrupted = []
+
+    def _on_sigint(sig, frm):
+        interrupted.append(True)
+        signal.signal(signal.SIGINT, signal.SIG_DFL)
+
+    signal.signal(signal.SIGINT, _on_sigint)
+
     t_track = []
     for i in range(len(rgb_paths)):
+        if interrupted:
+            print(f"SIGINT at frame {i}: flushing outputs")
+            break
         img = datasets.load_gray(rgb_paths[i])
         depth = iio.imread(depth_paths[i]).astype(np.float32)
         t0 = time.perf_counter()

@@ -190,6 +190,19 @@ def main():
 
         sys_.tracking.stage_timer = StageTimer()
 
+    # SIGINT -> stop the frame loop but still flush trajectories/dataset
+    # (the reference's handler calls ShutdownMinimal for the same effect,
+    # stereo_kitti.cc:185-196); second Ctrl-C falls through to the default.
+    import signal
+
+    interrupted = []
+
+    def _on_sigint(sig, frm):
+        interrupted.append(True)
+        signal.signal(signal.SIGINT, signal.SIG_DFL)
+
+    signal.signal(signal.SIGINT, _on_sigint)
+
     t_track = []
     # depth-1 frontend prefetch: frame i+1's extraction runs on device while
     # frame i's tracking occupies the host (stereo_kitti.cc overlaps I/O
@@ -204,6 +217,9 @@ def main():
         handle = sys_.tracking.submit_frontend(left, right, next_cost)
         cur_left = left
     for i in range(len(seq)):
+        if interrupted:
+            print(f"SIGINT at frame {i}: flushing outputs (ShutdownMinimal)")
+            break
         _, _, t, gt, name = seq[i]
         t0 = time.perf_counter()
         cur_handle = handle
@@ -243,13 +259,14 @@ def main():
     )
     sys_.save_failure_log(os.path.join(out, "failure_log.txt"))
     stats = dict(
-        frames=len(seq),
+        frames=len(t_track),
         failures=sys_.failure_count,
-        median_track_s=float(np.median(t_track)),
-        mean_track_s=float(np.mean(t_track)),
-        fps=1.0 / float(np.median(t_track)),
+        median_track_s=float(np.median(t_track)) if t_track else 0.0,
+        mean_track_s=float(np.mean(t_track)) if t_track else 0.0,
+        fps=1.0 / float(np.median(t_track)) if t_track else 0.0,
+        interrupted=bool(interrupted),
     )
-    if seq.gt_poses is not None:
+    if seq.gt_poses is not None and not interrupted:
         est = sys_.trajectory_twc()
         stats["ate_rmse"] = trajectory.ate_rmse(est, list(seq.gt_poses))
     if args.profile_stages and sys_.tracking.stage_timer is not None:

@@ -380,6 +380,76 @@ class OrbExtractor:
             *[jnp.concatenate(parts, axis=1) for parts in zip(*outs)]
         )
 
+    def extract_octtree(self, img) -> Keypoints:
+        """Quadtree-distributed extraction (ComputeKeyPointsOctTree +
+        DistributeOctTree, ORBextractor.cc:545-878) — the reference's
+        alternative selection path, present there but inactive (call site
+        commented out at ORBextractor.cc:1247). Ported for completeness.
+
+        Split: dense FAST scoring and orientation/BRIEF run as two jitted
+        device programs; the quadtree recursion (data-dependent pointer
+        chasing) runs on the host (ops/octtree.py). If distribution retains
+        more than a level's budget (it may overshoot by ~2, see
+        ops/octtree.py), the best-response extras are kept to preserve the
+        padded layout."""
+        from . import octtree
+
+        if not hasattr(self, "_jit_scores"):
+            def scores(im):
+                levels = pyramid.build_pyramid(im, self.shapes)
+                return [
+                    fast.fast_score(levels[l], self.cfg.min_th_fast)
+                    for l, lay in enumerate(self.layouts) if lay.active
+                ]
+            self._jit_scores = jax.jit(scores)
+
+            def describe(im, yx_list):
+                levels = pyramid.build_pyramid(im, self.shapes)
+                angs, descs = [], []
+                i = 0
+                for l, lay in enumerate(self.layouts):
+                    if not lay.active:
+                        continue
+                    ang = orient.ic_angles_integral(levels[l], yx_list[i])
+                    blurred = image.gaussian_blur(levels[l], 7, 2.0)
+                    descs.append(self._desc_fn(blurred, yx_list[i], ang))
+                    angs.append(ang)
+                    i += 1
+                return jnp.concatenate(angs), jnp.concatenate(descs, axis=0)
+            self._jit_describe = jax.jit(describe)
+
+        active = [(l, lay) for l, lay in enumerate(self.layouts) if lay.active]
+        score_maps = jax.device_get(self._jit_scores(img))
+        yx_list, xy0, resp, octv, valid = [], [], [], [], []
+        for (l, lay), smap in zip(active, score_maps):
+            y, x, r = octtree.compute_keypoints_octtree(
+                np.asarray(smap), self.cfg.ini_th_fast, lay.n_desired
+            )
+            if y.size > lay.n_desired:  # overshoot: keep best-response
+                order = np.argsort(-r)[: lay.n_desired]
+                y, x, r = y[order], x[order], r[order]
+            n, cap = y.size, lay.n_desired
+            yx = np.full((cap, 2), EDGE_THRESHOLD, np.int32)
+            yx[:n, 0], yx[:n, 1] = y, x
+            rr = np.zeros(cap, np.float32)
+            rr[:n] = r
+            yx_list.append(jnp.asarray(yx))
+            scale = float(self.scale_factors[l])
+            xy0.append(np.stack([yx[:, 1], yx[:, 0]], axis=1).astype(np.float32) * scale)
+            resp.append(rr)
+            octv.append(np.full(cap, l, np.int32))
+            valid.append(np.arange(cap) < n)
+        ang, desc = self._jit_describe(img, yx_list)
+        return Keypoints(
+            xy=jnp.asarray(np.concatenate(xy0)),
+            response=jnp.asarray(np.concatenate(resp)),
+            octave=jnp.asarray(np.concatenate(octv)),
+            angle=ang,
+            desc=desc,
+            valid=jnp.asarray(np.concatenate(valid)),
+            yx_level=jnp.concatenate(yx_list, axis=0),
+        )
+
     def extract_from_pyramid(self, levels, qlevels=None):
         """Extraction given prebuilt pyramid levels (lets callers share one
         pyramid between extraction and stereo matching in a single jit)."""
