@@ -63,8 +63,10 @@ def main():
     def window(n_iter=25):
         t0 = time.perf_counter()
         pending = fe.submit(left, right)
+        fe.prefetch_host(pending)
         for i in range(n_iter):
             nxt = fe.submit(left, right)
+            fe.prefetch_host(nxt)
             fe.collect(pending, float(i))
             pending = nxt
         fe.collect(pending, 0.0)

@@ -48,6 +48,10 @@ def parse_args():
     p.add_argument("--start_frame", type=int, default=0)
     p.add_argument("--end_frame", type=int, default=-1)
     p.add_argument("--run_single_threaded", action="store_true", default=True)
+    p.add_argument("--real_time_pacing", action="store_true",
+                   help="pace frames at dataset timestamps (the reference's "
+                        "sleep-to-timestamp loop when not single-threaded, "
+                        "stereo_kitti.cc:577-585)")
     p.add_argument("--create_ivslam_dataset", action="store_true")
     p.add_argument("--ivslam_enabled", action="store_true")
     p.add_argument("--inference_mode", action="store_true")
@@ -234,6 +238,13 @@ def main():
                           frontend_handle=cur_handle,
                           gt_depth_map=gt_depth_for(i))
         t_track.append(time.perf_counter() - t0)
+        if args.real_time_pacing and i + 1 < len(seq):
+            # pace frames at dataset timestamps, exactly the reference's
+            # sleep(T - ttrack) when not single-threaded
+            # (stereo_kitti.cc:577-585)
+            budget = float(seq[i + 1][2]) - float(t)
+            if t_track[-1] < budget:
+                time.sleep(budget - t_track[-1])
         if frame_drawer is not None and sys_.tracking.current is not None:
             frame = sys_.tracking.current
             frame.materialize()

@@ -363,6 +363,20 @@ class StereoFrontend:
             return fn(il, ir, variables)
         return self._jit_plain(il, ir)
 
+    def prefetch_host(self, handle) -> None:
+        """Enqueue the async device→host copy of the handle's host pack.
+
+        On a tunneled/high-latency link, `np.asarray` in collect() pays a
+        host-initiated request + response round-trip; prefetching right
+        after submit() turns that into a device-initiated push that
+        overlaps the next frame's upload/compute, leaving collect() a
+        local cache hit. Safe to call multiple times; no-op on failure
+        (older jax Array implementations)."""
+        try:
+            handle[-1].copy_to_host_async()
+        except Exception:
+            pass
+
     def collect(
         self,
         handle,

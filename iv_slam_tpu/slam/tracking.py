@@ -153,7 +153,14 @@ class Tracking:
         return frame.pose
 
     def submit_frontend(self, img_left, img_right, cost_map=None):
-        return self.frontend.submit(img_left, img_right, cost_map)
+        handle = self.frontend.submit(img_left, img_right, cost_map)
+        # classic path downloads the host pack in collect(); start the
+        # device->host copy now so it overlaps tracking of the current
+        # frame (fused tracking defers the pack and drains views in its
+        # own batched readback instead — don't push bytes it won't read)
+        if not self.cfg.system.fused_tracking:
+            self.frontend.prefetch_host(handle)
+        return handle
 
     def track_mono(
         self,
