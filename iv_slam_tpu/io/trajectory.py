@@ -66,12 +66,51 @@ def ate_rmse(est: Sequence[np.ndarray], gt: Sequence[np.ndarray]) -> float:
     return float(np.sqrt(np.mean(np.sum((aligned - Q) ** 2, axis=1))))
 
 
-def rpe(est: Sequence[np.ndarray], gt: Sequence[np.ndarray], delta: int = 1):
-    """Relative pose error (translation) over frame pairs delta apart."""
+def _metric_pairs(gt: Sequence[np.ndarray], delta_m: float):
+    """Frame-index pairs (i, j) spaced ~delta_m meters apart along the GT
+    path — evo's ``--delta ... --delta_unit m`` pairing (consecutive, not
+    all-pairs), the reference's protocol with Δ = 2 m Jackal / 20 m AirSim /
+    1 m EuRoC (scripts/evaluation/evaluate_batch.py:43-55)."""
+    pts = np.stack([T[:3, 3] for T in gt])
+    arc = np.concatenate(
+        [[0.0], np.cumsum(np.linalg.norm(np.diff(pts, axis=0), axis=1))]
+    )
+    pairs = []
+    i = 0
+    for j in range(1, len(gt)):
+        if arc[j] - arc[i] >= delta_m:
+            pairs.append((i, j))
+            i = j
+    return pairs
+
+
+def rpe(
+    est: Sequence[np.ndarray],
+    gt: Sequence[np.ndarray],
+    delta: int = 1,
+    kind: str = "trans",
+    delta_m: float = None,
+):
+    """Relative pose error over frame pairs, RMSE.
+
+    kind="trans" → meters; kind="rot" → degrees (the reference evaluates
+    both splits, rot_/trans_ result prefixes in evaluate_batch.py:43-55 and
+    evaluate_batch_viz.py:28). Pairs are `delta` frames apart, or ~delta_m
+    meters apart along the GT path when delta_m is given."""
+    if delta_m is not None:
+        pairs = _metric_pairs(gt, delta_m)
+    else:
+        pairs = [(i, i + delta) for i in range(len(est) - delta)]
     errs = []
-    for i in range(len(est) - delta):
-        de = np.linalg.inv(est[i]) @ est[i + delta]
-        dg = np.linalg.inv(gt[i]) @ gt[i + delta]
+    for i, j in pairs:
+        de = np.linalg.inv(est[i]) @ est[j]
+        dg = np.linalg.inv(gt[i]) @ gt[j]
         err = np.linalg.inv(dg) @ de
-        errs.append(np.linalg.norm(err[:3, 3]))
+        if kind == "rot":
+            c = (np.trace(err[:3, :3]) - 1.0) / 2.0
+            errs.append(np.degrees(np.arccos(np.clip(c, -1.0, 1.0))))
+        else:
+            errs.append(np.linalg.norm(err[:3, 3]))
+    if not errs:
+        return 0.0
     return float(np.sqrt(np.mean(np.square(errs))))
