@@ -52,6 +52,9 @@ def parse_args():
                    help="pace frames at dataset timestamps (the reference's "
                         "sleep-to-timestamp loop when not single-threaded, "
                         "stereo_kitti.cc:577-585)")
+    p.add_argument("--sync_loader", action="store_true",
+                   help="decode images synchronously in the frame loop "
+                        "instead of the decode-ahead loader")
     p.add_argument("--create_ivslam_dataset", action="store_true")
     p.add_argument("--ivslam_enabled", action="store_true")
     p.add_argument("--inference_mode", action="store_true")
@@ -132,12 +135,34 @@ def main():
             rectify.load_rectification_from_yaml(doc, "RIGHT"),
         )
 
-    def maybe_rectify(left, right):
-        if rect_maps[0] is not None:
-            left = rectify.remap(left, rect_maps[0])
-        if rect_maps[1] is not None:
-            right = rectify.remap(right, rect_maps[1])
-        return left, right
+    # decode-ahead stereo loader: the native C++ worker pool (or a Python
+    # thread fallback) decodes + rectifies upcoming frames off the
+    # tracking thread (the reference does both synchronously per frame,
+    # stereo_kitti.cc:444-468); --sync_loader restores in-loop decoding
+    from iv_slam_tpu.io.prefetch import StereoPrefetcher
+
+    def make_loader():
+        if args.sync_loader:
+            class _Sync:
+                def __init__(self):
+                    self._i = 0
+
+                def next(self):
+                    i = self._i
+                    self._i += 1
+                    left = datasets.load_gray(seq.left_paths[i])
+                    right = datasets.load_gray(seq.right_paths[i])
+                    if rect_maps[0] is not None:
+                        left = rectify.remap(left, rect_maps[0])
+                    if rect_maps[1] is not None:
+                        right = rectify.remap(right, rect_maps[1])
+                    return left, right
+
+                def close(self):
+                    pass
+            return _Sync()
+        return StereoPrefetcher(seq.left_paths, seq.right_paths,
+                                rect_maps=rect_maps)
 
     left0 = datasets.load_gray(seq.left_paths[0])
     h, w = left0.shape
@@ -214,9 +239,9 @@ def main():
     handle = None
     next_cost = None
     cur_left = None
+    loader = make_loader()
     if len(seq) > 0:
-        left, right, _, _, _ = seq[0]
-        left, right = maybe_rectify(left, right)
+        left, right = loader.next()
         next_cost = cost_fn(left) if cost_fn else None
         handle = sys_.tracking.submit_frontend(left, right, next_cost)
         cur_left = left
@@ -224,13 +249,12 @@ def main():
         if interrupted:
             print(f"SIGINT at frame {i}: flushing outputs (ShutdownMinimal)")
             break
-        _, _, t, gt, name = seq[i]
+        t, gt, name = seq.meta(i)
         t0 = time.perf_counter()
         cur_handle = handle
         this_left = cur_left
         if i + 1 < len(seq):
-            nleft, nright, _, _, _ = seq[i + 1]
-            nleft, nright = maybe_rectify(nleft, nright)
+            nleft, nright = loader.next()
             next_cost = cost_fn(nleft) if cost_fn else None
             handle = sys_.tracking.submit_frontend(nleft, nright, next_cost)
             cur_left = nleft
@@ -242,7 +266,7 @@ def main():
             # pace frames at dataset timestamps, exactly the reference's
             # sleep(T - ttrack) when not single-threaded
             # (stereo_kitti.cc:577-585)
-            budget = float(seq[i + 1][2]) - float(t)
+            budget = float(seq.timestamps[i + 1]) - float(t)
             if t_track[-1] < budget:
                 time.sleep(budget - t_track[-1])
         if frame_drawer is not None and sys_.tracking.current is not None:
@@ -260,6 +284,7 @@ def main():
             print(f"frame {i}/{len(seq)} state={sys_.state.name} "
                   f"median_track={np.median(t_track):.3f}s")
 
+    loader.close()
     if args.create_ivslam_dataset and sys_.tracking.datagen is not None:
         sys_.tracking.datagen.finalize()
 

@@ -52,6 +52,11 @@ class StereoSequence:
         return (
             load_gray(self.left_paths[i]),
             load_gray(self.right_paths[i]),
+        ) + self.meta(i)
+
+    def meta(self, i):
+        """(timestamp, gt_pose, name) without decoding the images."""
+        return (
             float(self.timestamps[i]),
             None if self.gt_poses is None else self.gt_poses[i],
             self.names[i] if self.names else os.path.basename(self.left_paths[i]),
