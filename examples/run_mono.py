@@ -71,18 +71,25 @@ def main():
 
     signal.signal(signal.SIGINT, _on_sigint)
 
+    # decode-ahead loader (native C++ pool when built; right side skipped)
+    from iv_slam_tpu.io.prefetch import StereoPrefetcher
+
+    loader = StereoPrefetcher(seq.left_paths, seq.left_paths,
+                              right_mode="skip")
     t_track = []
     for i in range(len(seq)):
         if interrupted:
             print(f"SIGINT at frame {i}: flushing outputs")
             break
-        left, _, t, gt, name = seq[i]
+        left, _ = loader.next()
+        t, gt, name = seq.meta(i)
         t0 = time.perf_counter()
         sys_.track_mono(left, t, gt_pose=gt, img_name=name)
         t_track.append(time.perf_counter() - t0)
         if i % 50 == 0:
             print(f"frame {i}/{len(seq)} state={sys_.state.name}")
 
+    loader.close()
     out = args.out_visualization_path
     sys_.save_trajectory_kitti(os.path.join(out, "Trajectory_KITTI_000.txt"))
     sys_.save_trajectory_tum(os.path.join(out, "KeyFrameTrajectory_TUM_000.txt"))

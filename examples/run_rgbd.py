@@ -33,8 +33,6 @@ def main():
     if jax.default_backend() != "cpu":
         jax.config.update("jax_compilation_cache_dir", "/root/.jax_tpu_cache")
 
-    import imageio.v3 as iio
-
     from iv_slam_tpu.config import Config, load_reference_yaml
     from iv_slam_tpu.io import datasets
     from iv_slam_tpu.slam.system import System
@@ -69,13 +67,19 @@ def main():
 
     signal.signal(signal.SIGINT, _on_sigint)
 
+    # decode-ahead loader: grayscale RGB + 16-bit depth PNGs decoded off
+    # the tracking thread (native C++ pool when built)
+    from iv_slam_tpu.io.prefetch import StereoPrefetcher
+
+    loader = StereoPrefetcher(rgb_paths, depth_paths,
+                              right_mode="unchanged")
     t_track = []
     for i in range(len(rgb_paths)):
         if interrupted:
             print(f"SIGINT at frame {i}: flushing outputs")
             break
-        img = datasets.load_gray(rgb_paths[i])
-        depth = iio.imread(depth_paths[i]).astype(np.float32)
+        img, depth = loader.next()
+        depth = np.asarray(depth).astype(np.float32)
         t0 = time.perf_counter()
         sys_.track_rgbd(img, depth, float(times[i]),
                         depth_scale=args.depth_scale,
@@ -84,6 +88,7 @@ def main():
         if i % 50 == 0:
             print(f"frame {i}/{len(rgb_paths)} state={sys_.state.name}")
 
+    loader.close()
     out = args.out_visualization_path
     sys_.save_trajectory_tum(os.path.join(out, "CameraTrajectory.txt"))
     sys_.save_failure_log(os.path.join(out, "failure_log.txt"))

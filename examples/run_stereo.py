@@ -52,6 +52,10 @@ def parse_args():
                    help="pace frames at dataset timestamps (the reference's "
                         "sleep-to-timestamp loop when not single-threaded, "
                         "stereo_kitti.cc:577-585)")
+    p.add_argument("--logging_level", type=int, default=0,
+                   help=">=1 saves the training-data debug visualizations "
+                        "(bad_region_heatmap_vis/, epipolar_err_vec/, ... — "
+                        "SaveImagesToFile, Tracking.cc:722-726)")
     p.add_argument("--sync_loader", action="store_true",
                    help="decode images synchronously in the frame loop "
                         "instead of the decode-ahead loader")
@@ -219,6 +223,14 @@ def main():
 
         sys_.tracking.stage_timer = StageTimer()
 
+    # iLoggingLevel >= 1 -> per-frame heatmap/error-vector debug images
+    # (FeatureEvaluator::SaveImagesToFile via Tracking.cc:722-726)
+    eval_vis = None
+    if args.logging_level >= 1 and sys_.tracking.datagen is not None:
+        from iv_slam_tpu.introspection.vis import FeatureEvalVisualizer
+
+        eval_vis = FeatureEvalVisualizer(args.out_visualization_path)
+
     # SIGINT -> stop the frame loop but still flush trajectories/dataset
     # (the reference's handler calls ShutdownMinimal for the same effect,
     # stereo_kitti.cc:185-196); second Ctrl-C falls through to the default.
@@ -262,6 +274,10 @@ def main():
                           frontend_handle=cur_handle,
                           gt_depth_map=gt_depth_for(i))
         t_track.append(time.perf_counter() - t0)
+        if (eval_vis is not None
+                and sys_.tracking.datagen.last_result is not None):
+            eval_vis.save_frame(this_left, name,
+                                sys_.tracking.datagen.last_result)
         if args.real_time_pacing and i + 1 < len(seq):
             # pace frames at dataset timestamps, exactly the reference's
             # sleep(T - ttrack) when not single-threaded

@@ -35,6 +35,9 @@ class DataGenerator:
         self.map = map_store
         self.creator = DatasetCreator(out_path) if out_path else None
         self.n_saved = 0
+        # most recent process_frame_* result (vis.py debug images pull
+        # their inputs from here; cleared when a frame is skipped)
+        self.last_result = None
         self._cap = cfg.gp.max_train_points
         # loaded per-frame relative-pose uncertainty (stereo_kitti.cc
         # load_rel_pose_uncertainty): (N, 2) table + img_name -> frame id
@@ -63,6 +66,7 @@ class DataGenerator:
         reference keyframe, or prev-with-ref-fallback; the error is
         reprojection (fe.cpp:2115-2266), raw epipolar (2268-2411), or
         uncertainty-normalized epipolar (2413-2752, the default)."""
+        self.last_result = None
         if frame.gt_pose is None or frame.pose is None:
             return None
         spec = fe.TRAINING_MODES[self.cfg.iv.training_mode]
@@ -143,10 +147,11 @@ class DataGenerator:
         valid[: min(n, cap)] = True
         K = self.cfg.camera.K()
 
+        vis_feet = vis_reproj = None
         if err_type == "reproj":
             # zero-padded transforms are fine: padded slots are masked by
             # `valid` and guarded against z = 0 inside the kernel
-            err = np.asarray(fe.map_point_reprojection_errors(
+            err, vis_reproj = fe.map_point_reprojection_errors(
                 jnp.asarray(kp_cur_a.astype(np.float32)),
                 jnp.asarray(np.pad(
                     np.stack(pt_w)[:cap], ((0, pad), (0, 0))
@@ -159,8 +164,9 @@ class DataGenerator:
                 ).astype(np.float32)),
                 jnp.asarray(valid),
                 jnp.asarray(K),
-            ))
-            norm_err = err
+            )
+            norm_err = np.asarray(err)
+            vis_reproj = np.asarray(vis_reproj)
             thresh = fe.BAD_ERR_THRESH_REPROJ
         else:
             if ref_source == "prev":
@@ -203,6 +209,7 @@ class DataGenerator:
                 scores.norm_err if err_type == "epipolar_normalized"
                 else scores.raw_err
             )
+            vis_feet = np.asarray(scores.foot)
             thresh = fe.BAD_ERR_THRESH
         # GT-depth uncertainty gate (GetGTReprojection, fe.cpp:1256-1340 +
         # its `continue` at 2352-2358): backproject the ref keypoint with
@@ -245,6 +252,13 @@ class DataGenerator:
         result = dict(
             heatmap=heatmap, good=good, bad_percent=float(pct),
             n_scored=int(cnt), norm_err=norm_err, keep=np.array(keep),
+            # debug-visualization inputs (SaveImagesToFile, vis.py)
+            vis_keypoints=kp_cur_a[: min(n, cap)],
+            vis_errs=norm_err[: min(n, cap)],
+            vis_feet=None if vis_feet is None else vis_feet[: min(n, cap)],
+            vis_reproj=(None if vis_reproj is None
+                        else vis_reproj[: min(n, cap)]),
+            vis_thresh=float(thresh),
         )
         if self.creator is not None and good:
             self.creator.save_bad_region_heatmap(frame.img_name, heatmap)
@@ -259,6 +273,7 @@ class DataGenerator:
                 frame.desc[kept], frame.desc[kept], frame.img_name
             )
             self.n_saved += 1
+        self.last_result = result
         return result
 
     # ----------------------------------------------------- unsupervised
@@ -266,6 +281,7 @@ class DataGenerator:
     def process_frame_unsupervised(
         self, frame, chi2, chi2_dof, found, reliable, img_hw
     ) -> Optional[dict]:
+        self.last_result = None
         qual, active = unsup.compute_keypt_qual_scores(chi2, chi2_dof, found)
         idx = np.nonzero(active)[0]
         if len(idx) < 4:
@@ -294,7 +310,9 @@ class DataGenerator:
             self.creator.save_bad_region_heatmap(frame.img_name, heatmap)
             self.creator.save_bad_region_heatmap_mask(frame.img_name, mask)
             self.n_saved += 1
-        return dict(heatmap=heatmap, mask=mask, good=good, qual=qual)
+        self.last_result = dict(heatmap=heatmap, mask=mask, good=good,
+                                qual=qual)
+        return self.last_result
 
     def finalize(self):
         if self.creator is not None:

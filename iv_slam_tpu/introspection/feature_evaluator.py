@@ -50,6 +50,9 @@ class EpipolarScores(NamedTuple):
     norm_err: jnp.ndarray   # (N,) normalized epipolar error; -1 = invalid
     raw_err: jnp.ndarray    # (N,) pixel distance to the epipolar line
     variance: jnp.ndarray   # (N,) propagated error variance
+    foot: jnp.ndarray       # (N, 2) perpendicular foot on the epipolar
+                            # line (epipolar_projections_, fe.cpp:2785-2815
+                            # — used by DrawEpipolarErrVec)
 
 
 def _hat(v):
@@ -138,10 +141,15 @@ def epipolar_scores(
 
     ok = valid & baseline_ok
     norm_err = jnp.where(ok, raw_err / norm, -1.0)
+    # perpendicular foot of the current keypoint on the epipolar line:
+    # p - (x^T l)/(lx^2+ly^2) * (lx, ly)
+    Ln2 = jnp.maximum(l[:, 0] ** 2 + l[:, 1] ** 2, 1e-12)
+    foot = kp_cur - (xl / Ln2)[:, None] * l[:, :2]
     return EpipolarScores(
         norm_err=norm_err,
         raw_err=jnp.where(ok, raw_err, -1.0),
         variance=jnp.where(ok, var, -1.0),
+        foot=foot,
     )
 
 
@@ -199,7 +207,8 @@ def map_point_reprojection_errors(
     position in the reference camera carried over by the GT relative
     transform — X_cur = T_gt(ref->cur) . Tcw_ref . X_w — and the error is
     the pixel distance between its projection and the observed keypoint.
-    -1 where invalid."""
+    -1 where invalid. Also returns the (N, 2) projections (reproj2_select_,
+    consumed by DrawReprojectionErrVec fe.cpp:816-848)."""
     fx, fy = Kmat[0, 0], Kmat[1, 1]
     cx, cy = Kmat[0, 2], Kmat[1, 2]
     ph = jnp.concatenate([pt_world, jnp.ones_like(pt_world[:, :1])], axis=-1)
@@ -209,7 +218,8 @@ def map_point_reprojection_errors(
     u = fx * p_cur[:, 0] / jnp.where(zc != 0, zc, 1.0) + cx
     v = fy * p_cur[:, 1] / jnp.where(zc != 0, zc, 1.0) + cy
     err = jnp.sqrt((u - kp_cur[:, 0]) ** 2 + (v - kp_cur[:, 1]) ** 2)
-    return jnp.where(valid & (zc != 0), err, -1.0)
+    proj = jnp.stack([u, v], axis=-1)
+    return jnp.where(valid & (zc != 0), err, -1.0), proj
 
 
 def rel_pose_cov_from_uncertainty(

@@ -62,9 +62,13 @@ class StereoPrefetcher:
         prefetch: int = 4,
         threads: int = 2,
         use_native: Optional[bool] = None,
+        right_mode: str = "gray",
     ):
+        """right_mode: "gray" (stereo right image), "unchanged" (16-bit
+        RGB-D depth PNGs), or "skip" (monocular — next() yields None)."""
         if len(left_paths) != len(right_paths):
             raise ValueError("left/right path counts differ")
+        mode_id = {"gray": 0, "unchanged": 1, "skip": 2}[right_mode]
         self._n = len(left_paths)
         self._emitted = 0
         maps_l = maps_r = None
@@ -77,7 +81,8 @@ class StereoPrefetcher:
         self._native = use_native
         if use_native:
             self._id = _io_native.open(
-                list(left_paths), list(right_paths), prefetch, threads
+                list(left_paths), list(right_paths), prefetch, threads,
+                mode_id,
             )
             if maps_l is not None or maps_r is not None:
                 def f32(m):
@@ -95,10 +100,17 @@ class StereoPrefetcher:
 
             def job(i):
                 l = load_gray(left_paths[i])
-                r = load_gray(right_paths[i])
+                if right_mode == "skip":
+                    r = None
+                elif right_mode == "unchanged":
+                    import imageio.v3 as iio
+
+                    r = iio.imread(right_paths[i])
+                else:
+                    r = load_gray(right_paths[i])
                 if maps_l is not None:
                     l = _rect.remap(l, maps_l)
-                if maps_r is not None:
+                if r is not None and maps_r is not None:
                     r = _rect.remap(r, maps_r)
                 return l, r
 

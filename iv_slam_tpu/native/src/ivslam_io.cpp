@@ -34,6 +34,7 @@ namespace {
 
 struct Loader {
   std::vector<std::string> left, right;
+  int right_mode = 0;  // 0=grayscale, 1=unchanged (16-bit depth), 2=skip
   cv::Mat m1x, m1y, m2x, m2y;  // empty = no rectification
   size_t prefetch = 4;
   size_t next_emit = 0;    // frame index the consumer will ask for next
@@ -60,7 +61,11 @@ struct Loader {
         idx = next_job++;
       }
       cv::Mat l = cv::imread(left[idx], cv::IMREAD_GRAYSCALE);
-      cv::Mat r = cv::imread(right[idx], cv::IMREAD_GRAYSCALE);
+      cv::Mat r;
+      if (right_mode == 0)
+        r = cv::imread(right[idx], cv::IMREAD_GRAYSCALE);
+      else if (right_mode == 1)
+        r = cv::imread(right[idx], cv::IMREAD_UNCHANGED);
       if (!l.empty() && !m1x.empty()) {
         cv::Mat t;  // remap cannot run in-place (src/dst alias)
         cv::remap(l, t, m1x, m1y, cv::INTER_LINEAR);
@@ -124,8 +129,9 @@ bool ListToStrings(PyObject* list, std::vector<std::string>* out) {
 
 PyObject* loader_open(PyObject*, PyObject* args) {
   PyObject *llist, *rlist;
-  int prefetch = 4, threads = 2;
-  if (!PyArg_ParseTuple(args, "OO|ii", &llist, &rlist, &prefetch, &threads))
+  int prefetch = 4, threads = 2, right_mode = 0;
+  if (!PyArg_ParseTuple(args, "OO|iii", &llist, &rlist, &prefetch, &threads,
+                        &right_mode))
     return nullptr;
   auto ld = std::make_unique<Loader>();
   if (!ListToStrings(llist, &ld->left) || !ListToStrings(rlist, &ld->right))
@@ -135,6 +141,7 @@ PyObject* loader_open(PyObject*, PyObject* args) {
     return nullptr;
   }
   ld->prefetch = prefetch > 0 ? prefetch : 1;
+  ld->right_mode = right_mode;
   long id;
   {
     std::lock_guard<std::mutex> lk(g_mu);
@@ -198,10 +205,21 @@ PyObject* loader_set_rectify(PyObject*, PyObject* args) {
 
 PyObject* MatToArray(const cv::Mat& m) {
   if (m.empty()) Py_RETURN_NONE;
-  npy_intp dims[2] = {m.rows, m.cols};
-  PyObject* arr = PyArray_SimpleNew(2, dims, NPY_UINT8);
+  int npy_type;
+  switch (m.type()) {
+    case CV_8UC1:  npy_type = NPY_UINT8; break;
+    case CV_16UC1: npy_type = NPY_UINT16; break;  // TUM RGB-D depth PNGs
+    case CV_8UC3:  npy_type = NPY_UINT8; break;
+    default: {
+      PyErr_Format(PyExc_TypeError, "unsupported cv type %d", m.type());
+      return nullptr;
+    }
+  }
+  int nd = m.channels() == 1 ? 2 : 3;
+  npy_intp dims[3] = {m.rows, m.cols, m.channels()};
+  PyObject* arr = PyArray_SimpleNew(nd, dims, npy_type);
   if (!arr) return nullptr;
-  cv::Mat dst(m.rows, m.cols, CV_8UC1,
+  cv::Mat dst(m.rows, m.cols, m.type(),
               PyArray_DATA((PyArrayObject*)arr));
   m.copyTo(dst);
   return arr;
@@ -277,7 +295,8 @@ PyObject* loader_close(PyObject*, PyObject* args) {
 
 PyMethodDef methods[] = {
     {"open", loader_open, METH_VARARGS,
-     "open(left_paths, right_paths, prefetch=4, threads=2) -> id"},
+     "open(left_paths, right_paths, prefetch=4, threads=2, right_mode=0)"
+     " -> id; right_mode: 0 grayscale, 1 unchanged (depth), 2 skip"},
     {"set_rectify", loader_set_rectify, METH_VARARGS,
      "set_rectify(id, m1x, m1y, m2x, m2y) - float32 maps, None to skip"},
     {"next", loader_next, METH_VARARGS,

@@ -76,6 +76,33 @@ def test_prefetch_rectified(png_seq, use_native):
     pf.close()
 
 
+@pytest.mark.parametrize("use_native", [False, True])
+def test_prefetch_right_modes(png_seq, tmp_path, use_native):
+    """mono (right skipped) and RGB-D (16-bit depth PNG) modes."""
+    if use_native and not prefetch.native_available():
+        pytest.skip("_ivslam_io not built")
+    import imageio.v3 as iio
+
+    lp, rp = png_seq
+    pf = prefetch.StereoPrefetcher(lp[:2], lp[:2], right_mode="skip",
+                                   use_native=use_native)
+    l, r = pf.next()
+    np.testing.assert_array_equal(l, load_gray(lp[0]))
+    assert r is None
+    pf.close()
+
+    depth = (np.arange(48 * 64, dtype=np.uint16) * 7 % 40000).reshape(48, 64)
+    dpath = tmp_path / f"depth16_{use_native}.png"
+    iio.imwrite(dpath, depth)
+    pf = prefetch.StereoPrefetcher([lp[0]], [str(dpath)],
+                                   right_mode="unchanged",
+                                   use_native=use_native)
+    l, d = pf.next()
+    assert d.dtype == np.uint16
+    np.testing.assert_array_equal(d, depth)
+    pf.close()
+
+
 def test_prefetch_missing_file_yields_none(png_seq, tmp_path):
     if not prefetch.native_available():
         pytest.skip("_ivslam_io not built")
