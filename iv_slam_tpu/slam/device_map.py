@@ -39,6 +39,12 @@ class DeviceMap:
         self.desc = jnp.zeros((capacity, 32), jnp.uint8)
         self.valid = jnp.zeros(capacity, bool)
         self._reslice()
+        self.live_cap = 1024
+        self._views = (
+            self.pos[:1024], self.desc[:1024], self.normal[:1024],
+            self.min_dist[:1024], self.max_dist[:1024], self.quality[:1024],
+            self.valid[:1024],
+        )
 
     def _reslice(self):
         dev = self._packed
@@ -78,3 +84,19 @@ class DeviceMap:
             jnp.asarray(packed), jnp.asarray(desc), jnp.asarray(valid),
         )
         self._reslice()
+        # bucketed live views: downstream fused-tracking programs run on
+        # the pow-2 slice that covers the live arena instead of the full
+        # capacity — compute + HBM traffic scale with the real map size
+        # (a handful of compile variants over the session). Slot indices
+        # into the slice equal full-table indices (append-only arena).
+        self.live_cap = cap
+        self._views = (
+            self.pos[:cap], self.desc[:cap], self.normal[:cap],
+            self.min_dist[:cap], self.max_dist[:cap], self.quality[:cap],
+            self.valid[:cap],
+        )
+
+    def live_views(self):
+        """(pos, desc, normal, min_dist, max_dist, quality, valid) sliced
+        to the current pow-2 live bucket."""
+        return self._views

@@ -72,10 +72,14 @@ class FusedTracker:
             map_pos, map_desc, map_normal, map_mind, map_maxd, map_qual,
             map_valid,
         ):
+            cap = map_pos.shape[0]
             ids = jnp.maximum(last_pt_ids, 0)
             pt_pos = map_pos[ids]
             pt_desc = map_desc[ids]
-            pt_ok = map_valid[ids] & (last_pt_ids >= 0) & last_valid
+            # slots >= cap can only appear transiently after a map reset
+            # (jnp gather clips, so gate them out explicitly)
+            pt_ok = (map_valid[ids] & (last_pt_ids >= 0)
+                     & (last_pt_ids < cap) & last_valid)
 
             def motion_search(th):
                 return match_ops.search_by_projection_last_frame(
@@ -176,6 +180,5 @@ class FusedTracker:
             jnp.asarray(last_pt_ids.astype(np.int32)),
             jnp.asarray(T_pred.astype(np.float32)),
             jnp.asarray(last_frame.pose.astype(np.float32)),
-            dmap.pos, dmap.desc, dmap.normal, dmap.min_dist, dmap.max_dist,
-            dmap.quality, dmap.valid,
+            *dmap.live_views(),
         )
