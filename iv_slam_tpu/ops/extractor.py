@@ -330,55 +330,85 @@ class OrbExtractor:
         )
         return self.extract_from_pyramid(levels, qlevels)
 
-    def extract_from_pyramid_batched(self, levels, qlevels=None):
+    def extract_from_pyramid_batched(self, levels, qlevels=None,
+                                     return_canvas=False):
         """Batched extraction over B images at once (levels[l]: (B, H, W)).
 
         The reference extracts left/right on two CPU threads
-        (Frame.cc:116-124); here the pair is ONE batch axis: selection,
-        orientation, blur, and BRIEF run as (B, ...) ops, halving kernel
-        launches and doubling gather widths. A missing quality map is an
-        all-zeros cost map, which reproduces the unweighted path exactly
-        (cost 0 -> cell weight 1 -> uniform budgets, response x 1.0)."""
+        (Frame.cc:116-124); here the pair is ONE batch axis. Selection runs
+        per level, but the gather-bound finishing stage (IC orientation +
+        rBRIEF) runs ONCE over the flattened pyramid canvas of ALL batch
+        elements: per-keypoint gathers pay a large fixed per-op cost on
+        TPU (~3 ms each, measured), and the per-level formulation issued
+        ~24 of them per image; the canvas formulation issues ~3 per FRAME.
+        Pixels are identical (levels are blurred before flattening, patches
+        never cross level boundaries thanks to the 19 px EDGE_THRESHOLD
+        margin), so results are bit-identical to the per-level path.
+
+        return_canvas=True additionally returns the (B, sum_h, w0) raw
+        canvas so callers (stereo matching) can reuse it."""
+        from . import stereo as stereo_ops
+
         B = levels[0].shape[0]
         outs = []
         for lvl, lay in enumerate(self.layouts):
             if not lay.active:
                 continue
             imgs = levels[lvl]
-            qual = (
-                qlevels[lvl] if qlevels is not None
-                else jnp.zeros_like(imgs)
-            )
             score_min = jnp.stack(
                 [_fast_score(imgs[b], self.cfg.min_th_fast) for b in range(B)]
             )
-            y, x, resp, valid = jax.vmap(
-                lambda sm, q: _select_level_keypoints(
-                    sm, q, lay, self.cfg.ini_th_fast
-                )
-            )(score_min, qual)
-            yx = jnp.stack([y, x], axis=-1)                    # (B, N, 2)
-            ang = jax.vmap(orient.ic_angles_integral)(imgs, yx)
-            blurred = jax.vmap(
-                lambda im: image.gaussian_blur(im, 7, 2.0)
-            )(imgs)
-            desc = jax.vmap(self._desc_fn)(blurred, yx, ang)
+            if qlevels is not None:
+                y, x, resp, valid = jax.vmap(
+                    lambda sm, q: _select_level_keypoints(
+                        sm, q, lay, self.cfg.ini_th_fast
+                    )
+                )(score_min, qlevels[lvl])
+            else:
+                y, x, resp, valid = jax.vmap(
+                    lambda sm: _select_level_keypoints(
+                        sm, None, lay, self.cfg.ini_th_fast
+                    )
+                )(score_min)
+            yx = jnp.stack([y, x], axis=-1)                    # (B, n_l, 2)
             scale = jnp.float32(self.scale_factors[lvl])
             xy0 = jnp.stack([x, y], axis=-1).astype(jnp.float32) * scale
-            outs.append(
-                Keypoints(
-                    xy=xy0,
-                    response=resp,
-                    octave=jnp.full(y.shape, lvl, jnp.int32),
-                    angle=ang,
-                    desc=desc,
-                    valid=valid,
-                    yx_level=yx,
-                )
-            )
-        return Keypoints(
-            *[jnp.concatenate(parts, axis=1) for parts in zip(*outs)]
+            outs.append((lvl, lay, yx, resp, valid, xy0))
+
+        # ---- canvas finishing: one orientation + one BRIEF for the batch
+        offsets = np.cumsum([0] + [s[0] for s in self.shapes[:-1]])
+        canvas_raw, _ = stereo_ops.flatten_pyramid(levels)     # (B, sumH, w0)
+        blurred = [image.gaussian_blur(l, 7, 2.0) for l in levels]
+        canvas_blur, _ = stereo_ops.flatten_pyramid(blurred)
+        sum_h = canvas_raw.shape[-2]
+
+        yx_canvas = jnp.concatenate(
+            [o[2] + jnp.asarray([int(offsets[o[0]]), 0], jnp.int32)
+             for o in outs], axis=1,
+        )                                                       # (B, N, 2)
+        N = yx_canvas.shape[1]
+        brow = jax.lax.broadcasted_iota(jnp.int32, (B, N), 0) * sum_h
+        yx_flat = yx_canvas.reshape(B * N, 2).at[:, 0].add(brow.reshape(-1))
+
+        flat_raw = canvas_raw.reshape(B * sum_h, -1)
+        flat_blur = canvas_blur.reshape(B * sum_h, -1)
+        ang = orient.ic_angles_integral(flat_raw, yx_flat)      # ONE gather set
+        desc = self._desc_fn(flat_blur, yx_flat, ang)           # ONE patch set
+        kp = Keypoints(
+            xy=jnp.concatenate([o[5] for o in outs], axis=1),
+            response=jnp.concatenate([o[3] for o in outs], axis=1),
+            octave=jnp.concatenate(
+                [jnp.full(o[2].shape[:2], o[0], jnp.int32) for o in outs],
+                axis=1,
+            ),
+            angle=ang.reshape(B, N),
+            desc=desc.reshape(B, N, 32),
+            valid=jnp.concatenate([o[4] for o in outs], axis=1),
+            yx_level=jnp.concatenate([o[2] for o in outs], axis=1),
         )
+        if return_canvas:
+            return kp, canvas_raw
+        return kp
 
     def extract_octtree(self, img) -> Keypoints:
         """Quadtree-distributed extraction (ComputeKeyPointsOctTree +
@@ -452,39 +482,11 @@ class OrbExtractor:
 
     def extract_from_pyramid(self, levels, qlevels=None):
         """Extraction given prebuilt pyramid levels (lets callers share one
-        pyramid between extraction and stereo matching in a single jit)."""
-        with_quality = qlevels is not None
-        outs = []
-        for lvl, lay in enumerate(self.layouts):
-            if not lay.active:
-                continue
-            img_l = levels[lvl]
-            y, x, resp, valid = _extract_level(
-                img_l,
-                qlevels[lvl] if with_quality else None,
-                lay,
-                self.cfg.ini_th_fast,
-                self.cfg.min_th_fast,
-            )
-            yx = jnp.stack([y, x], axis=1)
-            # prefix-sum orientation (124 gathered elements/keypoint,
-            # bit-identical to the 961-pixel patch gather) + flat-gather
-            # BRIEF (measured fastest on v5e; the conv-moment variant
-            # lowers poorly for 1-channel 31x31 kernels)
-            ang = orient.ic_angles_integral(img_l, yx)
-            blurred = image.gaussian_blur(img_l, 7, 2.0)
-            desc = self._desc_fn(blurred, yx, ang)
-            scale = jnp.float32(self.scale_factors[lvl])
-            xy0 = jnp.stack([x, y], axis=1).astype(jnp.float32) * scale
-            outs.append(
-                Keypoints(
-                    xy=xy0,
-                    response=resp,
-                    octave=jnp.full(y.shape, lvl, jnp.int32),
-                    angle=ang,
-                    desc=desc,
-                    valid=valid,
-                    yx_level=yx,
-                )
-            )
-        return Keypoints(*[jnp.concatenate(parts, axis=0) for parts in zip(*outs)])
+        pyramid between extraction and stereo matching in a single jit).
+        Thin B=1 wrapper over the batched canvas path (bit-identical to the
+        historical per-level formulation; see extract_from_pyramid_batched)."""
+        kb = self.extract_from_pyramid_batched(
+            [l[None] for l in levels],
+            [q[None] for q in qlevels] if qlevels is not None else None,
+        )
+        return jax.tree.map(lambda a: a[0], kb)

@@ -33,14 +33,19 @@ _STRIP = 2 * (_W + _L) + 1  # 21
 
 
 def flatten_pyramid(levels: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, np.ndarray]:
-    """Stack variable-size levels into one (sum_h, w0) canvas.
+    """Stack variable-size levels into one (..., sum_h, w0) canvas.
 
     Returns (canvas, row_offsets[n_levels]) — a keypoint at native-level
-    (y, x), octave l lives at canvas row offsets[l] + y.
+    (y, x), octave l lives at canvas row offsets[l] + y. Levels may carry
+    leading batch dims.
     """
     w0 = levels[0].shape[-1]
     padded = [
-        jnp.pad(lv, ((0, 0), (0, w0 - lv.shape[-1]))) for lv in levels
+        jnp.pad(
+            lv,
+            [(0, 0)] * (lv.ndim - 1) + [(0, w0 - lv.shape[-1])],
+        )
+        for lv in levels
     ]
     offsets = np.cumsum([0] + [lv.shape[-2] for lv in levels[:-1]])
     return jnp.concatenate(padded, axis=-2), offsets

@@ -307,11 +307,12 @@ class StereoFrontend:
             qlevels = [jnp.stack([q, jnp.zeros_like(q)]) for q in ql]
         else:
             qlevels = None
-        kb = self.extractor.extract_from_pyramid_batched(levels, qlevels)
+        kb, canvas = self.extractor.extract_from_pyramid_batched(
+            levels, qlevels, return_canvas=True
+        )
         kl = jax.tree.map(lambda a: a[0], kb)
         kr = jax.tree.map(lambda a: a[1], kb)
-        canvas_l, _ = stereo.flatten_pyramid(pl)
-        canvas_r, _ = stereo.flatten_pyramid(prr)
+        canvas_l, canvas_r = canvas[0], canvas[1]
         u_right, depth = stereo.match_stereo(
             kl.xy, kl.octave, kl.desc, kl.valid,
             kr.xy, kr.octave, kr.desc, kr.valid,
