@@ -80,6 +80,10 @@ class ORBConfig:
     # Measured on the dev v5e: onehot 81.1 ms/frame vs flat 97.1 (same
     # tunneled-link conditions, identical descriptors).
     desc_path: str = "onehot"
+    # Finishing stage (orientation + BRIEF over the pyramid canvas):
+    # "pallas" = fused VMEM kernel on TPU (ops/finish_pallas.py; XLA
+    # elsewhere); "xla" = prefix-sum orientation + desc_path BRIEF always.
+    finish_path: str = "pallas"
 
     def scale_factors(self) -> np.ndarray:
         """Per-level scale factors [1, s, s^2, ...] (ORBextractor.cc:417-426)."""

@@ -129,6 +129,37 @@ def descriptors_onehot_mxu(
     )
 
 
+def descriptors_from_patches(
+    patches: jnp.ndarray, angles_deg: jnp.ndarray
+) -> jnp.ndarray:
+    """Descriptors from pre-gathered (N, 39, 39) blurred patches (any float
+    dtype holding uint8 pixel values exactly) — the one-hot MXU lookup of
+    `descriptors_onehot_mxu` with the patch gather factored out (the Pallas
+    finish kernel produces the patches; ops/finish_pallas.py)."""
+    pat = jnp.asarray(pattern(), dtype=jnp.float32)
+    ang = angles_deg.astype(jnp.float32) * _FACTOR_PI
+    a = jnp.cos(ang)[:, None]
+    b = jnp.sin(ang)[:, None]
+    px, py = pat[None, :, 0], pat[None, :, 1]
+    rows = jnp.rint(px * b + py * a).astype(jnp.int32) + PATCH_RADIUS
+    cols = jnp.rint(px * a - py * b).astype(jnp.int32) + PATCH_RADIUS
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, PATCH_SIZE), 2)
+    oh_r = (rows[:, :, None] == iota).astype(jnp.bfloat16)  # (N, 512, 39)
+    oh_c = (cols[:, :, None] == iota).astype(jnp.float32)
+    sel = jnp.einsum(
+        "nsr,nrc->nsc", oh_r, patches.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    vals = jnp.sum(sel * oh_c, axis=-1).astype(jnp.int32)  # (N, 512)
+    t0 = vals[:, 0::2]
+    t1 = vals[:, 1::2]
+    bits = (t0 < t1).astype(jnp.uint8)
+    weights = jnp.asarray(1 << np.arange(8, dtype=np.uint8), dtype=jnp.uint8)
+    return jnp.sum(
+        bits.reshape(-1, 32, 8) * weights[None, None, :], axis=-1, dtype=jnp.uint8
+    )
+
+
 def pack_u32(desc_u8: jnp.ndarray) -> jnp.ndarray:
     """(N, 32) uint8 -> (N, 8) uint32 little-endian words (for Hamming ops)."""
     d = desc_u8.astype(jnp.uint32).reshape(-1, 8, 4)

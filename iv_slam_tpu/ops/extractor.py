@@ -392,8 +392,19 @@ class OrbExtractor:
 
         flat_raw = canvas_raw.reshape(B * sum_h, -1)
         flat_blur = canvas_blur.reshape(B * sum_h, -1)
-        ang = orient.ic_angles_integral(flat_raw, yx_flat)      # ONE gather set
-        desc = self._desc_fn(flat_blur, yx_flat, ang)           # ONE patch set
+        use_pallas = (
+            getattr(self.cfg, "finish_path", "pallas") == "pallas"
+            and jax.default_backend() != "cpu"
+        )
+        if use_pallas:
+            from . import finish_pallas
+
+            ang, desc = finish_pallas.orient_brief_pallas(
+                flat_raw, flat_blur, yx_flat
+            )
+        else:
+            ang = orient.ic_angles_integral(flat_raw, yx_flat)  # ONE gather set
+            desc = self._desc_fn(flat_blur, yx_flat, ang)       # ONE patch set
         kp = Keypoints(
             xy=jnp.concatenate([o[5] for o in outs], axis=1),
             response=jnp.concatenate([o[3] for o in outs], axis=1),
