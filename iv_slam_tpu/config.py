@@ -84,6 +84,20 @@ class ORBConfig:
     # "pallas" = fused VMEM kernel on TPU (ops/finish_pallas.py; XLA
     # elsewhere); "xla" = prefix-sum orientation + desc_path BRIEF always.
     finish_path: str = "pallas"
+    # Stereo SAD sub-pixel stage: "pallas" = VMEM window kernel on TPU
+    # (ops/stereo_pallas.py; the XLA path's vmapped dynamic slices lower
+    # to two sequential 2000-iteration loops, ~3.5 ms/frame on v5e);
+    # "xla" = dynamic-slice formulation always. Bit-identical.
+    sad_path: str = "pallas"
+    # Keypoint selection (per-cell retain-best + per-level retain-best):
+    # "hist" = integer-score threshold search (binary search on counts) +
+    # one small ordering sort — exact same keypoints/order as "topk"
+    # (FAST scores are integers; tie-break reproduced; fuzz-asserted in
+    # tests/test_extractor.py). "topk" = lax.top_k per cell + per level,
+    # which lowers to large sorts (~6 ms/frame of the fused frontend on
+    # v5e — the single hottest op). Quality-weighted extraction always
+    # uses the top_k path (responses are floats there).
+    select_path: str = "hist"
 
     def scale_factors(self) -> np.ndarray:
         """Per-level scale factors [1, s, s^2, ...] (ORBextractor.cc:417-426)."""

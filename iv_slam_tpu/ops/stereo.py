@@ -51,7 +51,9 @@ def flatten_pyramid(levels: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, np.ndar
     return jnp.concatenate(padded, axis=-2), offsets
 
 
-@functools.partial(jax.jit, static_argnames=("max_disparity_is_fx",))
+@functools.partial(
+    jax.jit, static_argnames=("max_disparity_is_fx", "use_pallas_sad")
+)
 def match_stereo(
     kpL_xy: jnp.ndarray,      # (N, 2) level-0 float (u, v)
     kpL_oct: jnp.ndarray,     # (N,) int32
@@ -69,6 +71,7 @@ def match_stereo(
     bf: jnp.ndarray,              # scalar: baseline * fx
     min_z: jnp.ndarray,           # scalar: baseline (minZ = mb)
     max_disparity_is_fx: bool = True,
+    use_pallas_sad: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     n = kpL_xy.shape[0]
     th_orb = (TH_HIGH + TH_LOW) // 2
@@ -110,26 +113,36 @@ def match_stereo(
     xl = jnp.clip(su_l, _W, canvasL.shape[1] - _W - 1)
     xr = jnp.clip(su_r0, _W + _L, canvasR.shape[1] - _W - _L - 1)
 
-    def patchL(y, x):
-        return jax.lax.dynamic_slice(
-            canvasL, (y - _W, x - _W), (_WIN, _WIN)
-        ).astype(jnp.float32)
+    if use_pallas_sad:
+        # fused VMEM window kernel (ops/stereo_pallas.py) — the vmapped
+        # dynamic slices below lower to two 2000-iteration while loops on
+        # TPU (~3.5 ms/frame); identical f32 integer arithmetic
+        from .stereo_pallas import sad_windows_pallas
 
-    def stripR(y, x):
-        return jax.lax.dynamic_slice(
-            canvasR, (y - _W, x - _W - _L), (_WIN, _STRIP)
-        ).astype(jnp.float32)
+        dists = sad_windows_pallas(canvasL, canvasR, yc, xl, xr)
+    else:
+        def patchL(y, x):
+            return jax.lax.dynamic_slice(
+                canvasL, (y - _W, x - _W), (_WIN, _WIN)
+            ).astype(jnp.float32)
 
-    IL = jax.vmap(patchL)(yc, xl)            # (N, 11, 11)
-    IR = jax.vmap(stripR)(yc, xr)            # (N, 11, 21)
-    IL = IL - IL[:, _W, _W][:, None, None]
+        def stripR(y, x):
+            return jax.lax.dynamic_slice(
+                canvasR, (y - _W, x - _W - _L), (_WIN, _STRIP)
+            ).astype(jnp.float32)
 
-    def sad_at(inc):
-        win = jax.lax.dynamic_slice_in_dim(IR, inc, _WIN, axis=2)
-        win = win - win[:, _W, _W + 0][:, None, None]
-        return jnp.sum(jnp.abs(IL - win), axis=(1, 2))
+        IL = jax.vmap(patchL)(yc, xl)            # (N, 11, 11)
+        IR = jax.vmap(stripR)(yc, xr)            # (N, 11, 21)
+        IL = IL - IL[:, _W, _W][:, None, None]
 
-    dists = jnp.stack([sad_at(i) for i in range(2 * _L + 1)], axis=1)  # (N, 11)
+        def sad_at(inc):
+            win = jax.lax.dynamic_slice_in_dim(IR, inc, _WIN, axis=2)
+            win = win - win[:, _W, _W + 0][:, None, None]
+            return jnp.sum(jnp.abs(IL - win), axis=(1, 2))
+
+        dists = jnp.stack(
+            [sad_at(i) for i in range(2 * _L + 1)], axis=1
+        )  # (N, 11)
     best_inc = jnp.argmin(dists, axis=1)
     interior = (best_inc > 0) & (best_inc < 2 * _L)
     bi = jnp.clip(best_inc, 1, 2 * _L - 1)

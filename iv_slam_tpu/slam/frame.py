@@ -313,11 +313,16 @@ class StereoFrontend:
         kl = jax.tree.map(lambda a: a[0], kb)
         kr = jax.tree.map(lambda a: a[1], kb)
         canvas_l, canvas_r = canvas[0], canvas[1]
+        use_pallas_sad = (
+            getattr(self.cfg.orb, "sad_path", "pallas") == "pallas"
+            and jax.default_backend() != "cpu"
+        )
         u_right, depth = stereo.match_stereo(
             kl.xy, kl.octave, kl.desc, kl.valid,
             kr.xy, kr.octave, kr.desc, kr.valid,
             canvas_l, canvas_r, self.level_offsets, self.level_widths,
             self.scale_factors, jnp.float32(cam.bf), jnp.float32(cam.baseline),
+            use_pallas_sad=use_pallas_sad,
         )
         if cost_map is not None:
             # seed per-keypoint quality from the cost map at the keypoint

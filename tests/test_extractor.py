@@ -194,3 +194,69 @@ def test_extractor_quality_weighting_shifts_budget(img):
     frac_right_w = (xs_w > img.shape[1] / 2).mean()
     frac_right_p = (xs_p > img.shape[1] / 2).mean()
     assert frac_right_w < frac_right_p * 0.6
+
+
+def test_hist_selection_matches_topk():
+    """The integer-threshold ("hist") selection must reproduce the top_k
+    path exactly — same keypoints, same slot order, same tie-breaking —
+    on sparse synthetic score maps and on dense FAST maps of all levels."""
+    import jax
+
+    from iv_slam_tpu.ops.extractor import (
+        _select_level_keypoints, _select_level_keypoints_hist, make_layouts)
+    from iv_slam_tpu.ops import fast
+
+    cfg = ORBConfig(n_features=800, n_levels=4)
+    lays = make_layouts(cfg, 240, 320)
+    rng = np.random.default_rng(0)
+    for seed in range(3):
+        r = np.random.default_rng(seed)
+        for lay in lays:
+            if not lay.active:
+                continue
+            smap = np.zeros((lay.h, lay.w), np.int16)
+            n_pts = int(r.integers(30, 1500))
+            ys = r.integers(0, lay.h, n_pts)
+            xs = r.integers(0, lay.w, n_pts)
+            smap[ys, xs] = r.integers(7, 255, n_pts)  # many duplicate scores
+            sj = jnp.asarray(smap)
+            ref = jax.jit(
+                lambda s, lay=lay: _select_level_keypoints(s, None, lay, 20)
+            )(sj)
+            new = jax.jit(
+                lambda s, lay=lay: _select_level_keypoints_hist(s, lay, 20)
+            )(sj)
+            rv = [np.asarray(v) for v in ref]
+            nv = [np.asarray(v) for v in new]
+            assert np.array_equal(rv[3], nv[3])
+            m = rv[3]
+            assert np.array_equal(rv[0][m], nv[0][m])
+            assert np.array_equal(rv[1][m], nv[1][m])
+            assert np.array_equal(rv[2][m], nv[2][m])
+    # dense map through real FAST scoring
+    img = rng.integers(0, 255, (240, 320)).astype(np.float32)
+    lay = lays[0]
+    smap = jax.jit(lambda x: fast.fast_score(x, 7))(jnp.asarray(img))
+    ref = jax.jit(lambda s: _select_level_keypoints(s, None, lay, 20))(smap)
+    new = jax.jit(lambda s: _select_level_keypoints_hist(s, lay, 20))(smap)
+    for a, b in zip(ref[:2] + (ref[3],), new[:2] + (new[3],)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_batched_hist_equals_topk_extraction():
+    """Full batched extraction: hist vs topk select_path give identical
+    Keypoints (the batched path also batches the redistribution scan)."""
+    import dataclasses
+    import jax
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (240, 320)).astype(np.uint8)
+    cfg_h = ORBConfig(n_features=500, n_levels=4, select_path="hist")
+    cfg_t = ORBConfig(n_features=500, n_levels=4, select_path="topk")
+    eh = extractor.OrbExtractor(cfg_h, *img.shape)
+    et = extractor.OrbExtractor(cfg_t, *img.shape)
+    kh = eh(jnp.asarray(img))
+    kt = et(jnp.asarray(img))
+    for f in ("xy", "response", "octave", "angle", "desc", "valid"):
+        a, b = np.asarray(getattr(kh, f)), np.asarray(getattr(kt, f))
+        assert np.array_equal(a, b), f
