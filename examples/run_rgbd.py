@@ -22,6 +22,9 @@ def main():
     p.add_argument("--data_path", required=True)
     p.add_argument("--association_file", required=True)
     p.add_argument("--settings_path", default="")
+    p.add_argument("--vocab_path", default="",
+                   help="ORB vocabulary (.npz or DBoW2 .txt); enables "
+                        "BoW relocalization")
     p.add_argument("--depth_scale", type=float, default=0.0,
                    help="depth-image scale; 0 = 1/DepthMapFactor from the "
                         "settings YAML (TUM PNGs store depth * 5000)")
@@ -53,6 +56,10 @@ def main():
     h, w = img0.shape
     cfg.camera.height, cfg.camera.width = h, w
     sys_ = System(cfg, h, w)
+    if args.vocab_path:
+        from iv_slam_tpu.slam.vocabulary import Vocabulary
+
+        sys_.attach_vocabulary(Vocabulary.load(args.vocab_path))
 
     os.makedirs(args.out_visualization_path, exist_ok=True)
 

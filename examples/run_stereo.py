@@ -38,6 +38,10 @@ def parse_args():
                         "sample per-keypoint GT depth "
                         "(stereo_airsim.cc:339-360)")
     p.add_argument("--data_path", required=True)
+    p.add_argument("--vocab_path", default="",
+                   help="ORB vocabulary (.npz from tools/train_vocab.py or "
+                        "DBoW2 .txt); enables BoW relocalization + loop "
+                        "closing (stereo_kitti.cc vocab_path flag)")
     p.add_argument("--settings_path", default="")
     p.add_argument("--ground_truth_path", default="")
     p.add_argument("--img_qual_path", default="",
@@ -172,6 +176,11 @@ def main():
     h, w = left0.shape
     cfg.camera.height, cfg.camera.width = h, w
     sys_ = System(cfg, h, w)
+
+    if args.vocab_path:
+        from iv_slam_tpu.slam.vocabulary import Vocabulary
+
+        sys_.attach_vocabulary(Vocabulary.load(args.vocab_path))
 
     if args.create_ivslam_dataset:
         cfg.iv.enabled = True

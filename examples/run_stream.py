@@ -33,6 +33,9 @@ def parse_args():
     p.add_argument("--watch_dir", required=True,
                    help="directory with growing image_0/ and image_1/")
     p.add_argument("--settings_path", default="")
+    p.add_argument("--vocab_path", default="",
+                   help="ORB vocabulary (.npz or DBoW2 .txt); enables "
+                        "BoW relocalization + loop closing")
     p.add_argument("--out_path", default="stream_out")
     p.add_argument("--poll_interval", type=float, default=0.02,
                    help="seconds between directory polls")
@@ -102,6 +105,10 @@ def main():
                 h, w = left.shape
                 cfg.camera.height, cfg.camera.width = h, w
                 sys_ = System(cfg, h, w)
+                if args.vocab_path:
+                    from iv_slam_tpu.slam.vocabulary import Vocabulary
+                    sys_.attach_vocabulary(
+                        Vocabulary.load(args.vocab_path))
             if args.fps > 0:
                 t = n_frames / args.fps
             else:

@@ -163,6 +163,23 @@ def load_gt_depth_pfm(path: str) -> Optional[np.ndarray]:
     return read_pfm(path) if os.path.exists(path) else None
 
 
+def load_tum_mono(data_path: str) -> StereoSequence:
+    """TUM monocular layout: rgb.txt with `timestamp path` rows
+    (mono_tum.cc LoadImages). Returns a StereoSequence whose right side
+    mirrors the left (mono drivers ignore it)."""
+    paths, times, names = [], [], []
+    with open(os.path.join(data_path, "rgb.txt")) as f:
+        for ln in f:
+            if ln.startswith("#"):
+                continue
+            parts = ln.split()
+            if len(parts) >= 2:
+                times.append(float(parts[0]))
+                paths.append(os.path.join(data_path, parts[1]))
+                names.append(os.path.basename(parts[1]))
+    return StereoSequence(paths, paths, np.array(times), None, names=names)
+
+
 def load_tum_rgbd(data_path: str, association_file: str):
     """TUM RGB-D associations: timestamp rgb_path timestamp depth_path
     (rgbd_tum.cc LoadImages)."""

@@ -50,19 +50,28 @@ def load_kitti(path: str) -> List[np.ndarray]:
     return out
 
 
-def ate_rmse(est: Sequence[np.ndarray], gt: Sequence[np.ndarray]) -> float:
+def ate_rmse(
+    est: Sequence[np.ndarray], gt: Sequence[np.ndarray],
+    align_scale: bool = False,
+) -> float:
     """Absolute trajectory error after SE3 (Umeyama, no scale) alignment —
     the evo_ape protocol the reference's evaluation scripts use
-    (scripts/evaluation/evaluate_batch.py:43-55)."""
+    (scripts/evaluation/evaluate_batch.py:43-55). align_scale=True adds
+    the Umeyama scale term (evo's ``-as``, the monocular protocol)."""
     P = np.stack([T[:3, 3] for T in est])
     Q = np.stack([T[:3, 3] for T in gt])
     mu_p, mu_q = P.mean(0), Q.mean(0)
     Pc, Qc = P - mu_p, Q - mu_q
-    U, _, Vt = np.linalg.svd(Pc.T @ Qc)
+    U, D, Vt = np.linalg.svd(Pc.T @ Qc)
     S = np.diag([1.0, 1.0, np.sign(np.linalg.det(U @ Vt))])
     R = (U @ S @ Vt).T
-    t = mu_q - R @ mu_p
-    aligned = P @ R.T + t
+    s = 1.0
+    if align_scale:
+        var_p = np.mean(np.sum(Pc ** 2, axis=1))
+        if var_p > 1e-12:
+            s = float(np.trace(np.diag(D) @ S)) / (var_p * len(P))
+    t = mu_q - s * (R @ mu_p)
+    aligned = s * (P @ R.T) + t
     return float(np.sqrt(np.mean(np.sum((aligned - Q) ** 2, axis=1))))
 
 

@@ -60,10 +60,11 @@ class System:
         gt_pose: Optional[np.ndarray] = None,
         img_name: str = "",
         cost_map: Optional[np.ndarray] = None,
+        gt_depth_map: Optional[np.ndarray] = None,
     ) -> Optional[np.ndarray]:
         return self.tracking.track_mono(
             img, timestamp, cost_map=cost_map, gt_pose=gt_pose,
-            img_name=img_name,
+            img_name=img_name, gt_depth_map=gt_depth_map,
         )
 
     def track_rgbd(

@@ -169,10 +169,15 @@ class Tracking:
         cost_map: Optional[np.ndarray] = None,
         gt_pose: Optional[np.ndarray] = None,
         img_name: str = "",
+        gt_depth_map: Optional[np.ndarray] = None,
     ) -> Optional[np.ndarray]:
         """Monocular tracking (Tracking::GrabImageMonocular). Uses the
         H/F-RANSAC initializer for the first map; the per-frame loop is
-        shared with stereo (mono frames simply carry no depth)."""
+        shared with stereo (mono frames simply carry no depth).
+
+        gt_depth_map: optional GT depth image sampled per keypoint
+        (mono_airsim.cc supports PFM GT depth for the feature evaluator's
+        reprojection path, same as stereo_airsim.cc:339-360)."""
         from .frame import MonoFrontend
 
         if not hasattr(self, "mono_frontend"):
@@ -180,6 +185,12 @@ class Tracking:
         frame = self.mono_frontend.process(
             img, timestamp, cost_map, gt_pose, img_name
         )
+        if gt_depth_map is not None:
+            from .frame import sample_gt_depth
+
+            frame.kp_gt_depth = sample_gt_depth(
+                gt_depth_map, frame.xy, frame.valid
+            )
         self.current = frame
         self._track_mono_flow()
         return frame.pose

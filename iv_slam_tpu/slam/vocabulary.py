@@ -117,6 +117,28 @@ class Vocabulary:
         voc.weights[voc.node_of_word] = idf.astype(np.float32)
         return voc
 
+    # --------------------------------------------------------- persistence
+
+    def save(self, path: str) -> None:
+        """Save as .npz (this framework's native vocabulary format; the
+        DBoW2 text format stays readable via load_dbow2_text)."""
+        np.savez_compressed(
+            path, children=self.children, node_desc=self.node_desc,
+            weights=self.weights, is_leaf=self.is_leaf,
+            k=np.int32(self.k), L=np.int32(self.L),
+        )
+
+    @staticmethod
+    def load(path: str) -> "Vocabulary":
+        """Load a vocabulary: .npz (native) or DBoW2 text by extension."""
+        if path.endswith(".txt"):
+            return Vocabulary.load_dbow2_text(path)
+        z = np.load(path)
+        return Vocabulary(
+            z["children"], z["node_desc"], z["weights"],
+            z["is_leaf"].astype(bool), int(z["k"]), int(z["L"]),
+        )
+
     @staticmethod
     def load_dbow2_text(path: str) -> "Vocabulary":
         k, L, _scoring, _weighting, parents, descs, weights, leaves = (

@@ -61,6 +61,30 @@ def test_rpe_metric_delta_pairs():
     assert trajectory.rpe(est, gt, kind="trans", delta_m=100.0) == 0.0
 
 
+def test_ate_sim3_alignment_recovers_scale():
+    # a mono trajectory off by a global scale factor aligns to ~0 error
+    # under Sim3 (evo -as) but not under SE3
+    gt = straight_line(10)
+    est = straight_line(10, step=0.4)
+    assert trajectory.ate_rmse(est, gt, align_scale=True) < 1e-9
+    assert trajectory.ate_rmse(est, gt) > 0.5
+
+
+def test_load_tum_mono(tmp_path):
+    from iv_slam_tpu.io import datasets
+
+    (tmp_path / "rgb").mkdir()
+    lines = ["# comment line"]
+    for i in range(3):
+        lines.append(f"{1000.0 + i * 0.1:.4f} rgb/{i:04d}.png")
+    (tmp_path / "rgb.txt").write_text("\n".join(lines) + "\n")
+    seq = datasets.load_tum_mono(str(tmp_path))
+    assert len(seq) == 3
+    assert seq.left_paths[1].endswith("rgb/0001.png")
+    assert seq.names == ["0000.png", "0001.png", "0002.png"]
+    np.testing.assert_allclose(seq.timestamps[2], 1000.2)
+
+
 def test_evaluate_batch_cli_and_viz(tmp_path):
     gt = straight_line(20, step=0.5)
     est_good = straight_line(20, step=0.5)

@@ -90,6 +90,20 @@ def test_dbow2_text_roundtrip(tmp_path, corpus):
     np.testing.assert_array_equal(w1, w2)
 
 
+def test_npz_save_load_roundtrip(tmp_path, corpus):
+    descs, _ = corpus
+    voc = Vocabulary.train(descs[:300], k=3, L=2, seed=4)
+    path = str(tmp_path / "voc.npz")
+    voc.save(path)
+    voc2 = Vocabulary.load(path)
+    assert voc2.n_words == voc.n_words
+    assert (voc2.k, voc2.L) == (voc.k, voc.L)
+    w1 = voc.word_of_node[voc.transform_words(descs[:40])]
+    w2 = voc2.word_of_node[voc2.transform_words(descs[:40])]
+    np.testing.assert_array_equal(w1, w2)
+    np.testing.assert_allclose(voc2.weights, voc.weights)
+
+
 class _MiniMap:
     def covisible_keyframes(self, kf_id, min_weight=15):
         return []
