@@ -1,0 +1,71 @@
+"""Vocabulary-tree descent on device — the TPU-native DBoW2 transform.
+
+The reference transforms descriptors into BoW words by walking the
+vocabulary tree one descriptor at a time on the CPU
+(Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h transform: per level,
+Hamming-argmin over the node's k children). Here the whole frame — or a
+whole batch of frames — descends the tree together: one `lax.scan` over
+the L levels, each step a batched (N, k) XOR+popcount Hamming argmin.
+The host C++ extension (iv_slam_tpu/native) remains the low-latency
+single-frame path; this op serves fused/batched pipelines (offline
+replay, keyframe-event programs) where the descriptors are already
+device-resident and a host round-trip would cost more than the math.
+
+Semantics match native.vocab_transform exactly: descent stops at nodes
+with no children (children[node, 0] < 0), ties pick the first minimal
+child (valid children are stored at the front of each row).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INF = jnp.int32(1 << 30)
+
+
+def _hamming_to_children(desc: jnp.ndarray, kid_desc: jnp.ndarray) -> jnp.ndarray:
+    """(N, 32) u8 vs (N, k, 32) u8 -> (N, k) int32 popcount Hamming."""
+    x = jnp.bitwise_xor(desc[:, None, :], kid_desc)
+    pc = jax.lax.population_count(x)
+    return jnp.sum(pc.astype(jnp.int32), axis=-1)
+
+
+def transform_words(
+    children: jnp.ndarray,   # (nodes, k) int32, -1 = none, valid at front
+    node_desc: jnp.ndarray,  # (nodes, 32) uint8
+    desc: jnp.ndarray,       # (N, 32) uint8
+    depth: int,              # tree depth L (static)
+) -> jnp.ndarray:
+    """(N,) int32 leaf node ids (jittable; == native.vocab_transform)."""
+
+    def step(node, _):
+        kids = children[node]                       # (N, k)
+        kd = node_desc[jnp.maximum(kids, 0)]        # (N, k, 32)
+        dist = _hamming_to_children(desc, kd)
+        dist = jnp.where(kids >= 0, dist, INF)
+        best = jnp.take_along_axis(
+            kids, jnp.argmin(dist, axis=1)[:, None], axis=1
+        )[:, 0]
+        at_leaf = kids[:, 0] < 0
+        return jnp.where(at_leaf, node, best), None
+
+    node0 = jnp.zeros(desc.shape[0], jnp.int32)
+    node, _ = jax.lax.scan(step, node0, None, length=depth)
+    return node
+
+
+def transform_batch(vocabulary, desc, valid=None):
+    """Host convenience: device tree descent for (N, 32) or (B, N, 32)
+    descriptor arrays -> leaf node ids as np.ndarray; invalid rows -> -1."""
+    children = jnp.asarray(vocabulary.children)
+    node_desc = jnp.asarray(vocabulary.node_desc)
+    d = jnp.asarray(desc)
+    batched = d.ndim == 3
+    flat = d.reshape(-1, d.shape[-1])
+    words = transform_words(children, node_desc, flat, int(vocabulary.L))
+    words = np.asarray(words)
+    if valid is not None:
+        words = np.where(np.asarray(valid).reshape(-1), words, -1)
+    return words.reshape(d.shape[:-1]) if batched else words

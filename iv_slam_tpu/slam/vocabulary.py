@@ -159,6 +159,14 @@ class Vocabulary:
         """(N, 32) u8 -> (N,) leaf node ids (host tree descent)."""
         return native.vocab_transform(self.children, self.node_desc, descriptors)
 
+    def transform_words_device(self, descriptors, valid=None) -> np.ndarray:
+        """Device tree descent (ops/bow.py): batched per-level Hamming
+        argmin under jit — for pipelines whose descriptors are already
+        device-resident. Accepts (N, 32) or (B, N, 32)."""
+        from ..ops import bow
+
+        return bow.transform_batch(self, descriptors, valid)
+
     def bow_vector(
         self, descriptors: np.ndarray, valid: np.ndarray = None
     ) -> Dict[int, float]:

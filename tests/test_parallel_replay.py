@@ -52,3 +52,31 @@ def test_sharded_replay_matches_single(rng):
     outs5 = rep.process_batch(lefts[:5], rights[:5])
     assert len(outs5) == 5
     np.testing.assert_array_equal(outs5[2]["xy"], outs[2]["xy"])
+
+
+@pytest.mark.slow
+def test_sharded_replay_with_vocabulary(rng):
+    """BoW words computed inside the sharded program must equal the host
+    tree walk on the same descriptors."""
+    from iv_slam_tpu.slam.vocabulary import Vocabulary
+
+    cfg = Config()
+    cfg.camera = CameraConfig(fx=400, fy=400, cx=160, cy=120, bf=200,
+                              width=320, height=240)
+    cfg.orb = ORBConfig(n_features=200, n_levels=3)
+
+    world, frames, _gt = synth_world.make_sequence(rng, n_frames=8)
+    lefts = np.stack([f[0] for f in frames])
+    rights = np.stack([f[1] for f in frames])
+
+    corpus = np.random.default_rng(3).integers(
+        0, 256, (2000, 32)).astype(np.uint8)
+    voc = Vocabulary.train(corpus, k=5, L=2, seed=1)
+
+    rep = ShardedReplay(cfg, 240, 320, make_replay_mesh(), vocabulary=voc)
+    outs = rep.process_batch(lefts, rights)
+    for i in (0, 3):
+        valid = outs[i]["valid"]
+        host = voc.transform_words(outs[i]["desc"][valid])
+        np.testing.assert_array_equal(outs[i]["bow_nodes"][valid], host)
+        assert (outs[i]["bow_nodes"][~valid] == -1).all()

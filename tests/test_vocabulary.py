@@ -90,6 +90,38 @@ def test_dbow2_text_roundtrip(tmp_path, corpus):
     np.testing.assert_array_equal(w1, w2)
 
 
+def test_device_transform_matches_host(corpus):
+    descs, _ = corpus
+    voc = Vocabulary.train(descs, k=5, L=3, seed=1)
+    host = voc.transform_words(descs[:300])
+    dev = voc.transform_words_device(descs[:300])
+    np.testing.assert_array_equal(host, dev)
+    # batched (B, N, 32) form
+    batch = descs[:300].reshape(3, 100, 32)
+    dev_b = voc.transform_words_device(batch)
+    np.testing.assert_array_equal(dev_b.reshape(-1), host)
+    # valid mask -> -1
+    valid = np.zeros(300, bool)
+    valid[::2] = True
+    dev_m = voc.transform_words_device(descs[:300], valid=valid)
+    np.testing.assert_array_equal(dev_m[::2], host[::2])
+    assert (dev_m[1::2] == -1).all()
+
+
+def test_device_transform_ragged_tree(corpus):
+    """Trees with under-full nodes (k-medians on small subsets leaves
+    children rows padded with -1) must still match the host walk."""
+    descs, _ = corpus
+    rng = np.random.default_rng(11)
+    small = descs[rng.choice(len(descs), 60, replace=False)]
+    voc = Vocabulary.train(small, k=7, L=3, seed=5)
+    assert (voc.children == -1).any()  # the tree really is ragged
+    probe = descs[:200]
+    np.testing.assert_array_equal(
+        voc.transform_words(probe), voc.transform_words_device(probe)
+    )
+
+
 def test_npz_save_load_roundtrip(tmp_path, corpus):
     descs, _ = corpus
     voc = Vocabulary.train(descs[:300], k=3, L=2, seed=4)
