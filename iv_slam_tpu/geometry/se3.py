@@ -45,10 +45,15 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
-    """(..., 3, 3) -> (..., 3) axis-angle. Accurate for angles < pi."""
+    """(..., 3, 3) -> (..., 3) axis-angle. Accurate for angles < pi.
+
+    Differentiation-safe at the identity: theta comes from
+    arctan2(|vee|/2, cos) rather than arccos, whose derivative is infinite
+    at cos=1 — with arccos, jacfwd/jacrev of any residual sitting exactly
+    at zero (e.g. an essential-graph edge whose measurement equals the
+    current relative pose) is NaN and poisons the whole normal system."""
     trace = jnp.trace(R, axis1=-2, axis2=-1)
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     vee = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -57,10 +62,14 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    sin_t = jnp.sin(theta)
-    small = jnp.abs(sin_t) < 1e-6
+    sin2 = 0.25 * jnp.sum(vee * vee, axis=-1)
+    sin_t = jnp.sqrt(sin2 + _EPS)  # grad wrt vee is 0 at the identity
+    theta = jnp.arctan2(sin_t, cos_t)
+    small = sin2 < 1e-12
     scale = jnp.where(
-        small, 0.5 + theta * theta / 12.0, theta / (2.0 * jnp.where(small, 1.0, sin_t))
+        small,
+        0.5 + theta * theta / 12.0,
+        theta / (2.0 * jnp.where(small, 1.0, sin_t)),
     )
     return vee * scale[..., None]
 

@@ -46,6 +46,9 @@ class LoopClosing:
         self.kf_nodes: Dict[int, np.ndarray] = {}
         self.kf_bow: Dict[int, dict] = {}
         self.n_loops_closed = 0
+        # persistent loop-closure edges (KeyFrame::GetLoopEdges): past
+        # closures stay as normal edges in later essential graphs
+        self.loop_edges: set = set()
 
     # ------------------------------------------------------------- helpers
 
@@ -74,8 +77,8 @@ class LoopClosing:
         match = self._compute_sim3(kf_id, candidates, fix_scale)
         if match is None:
             return False
-        loop_kf, S_corr = match
-        self._correct_loop(kf_id, loop_kf, S_corr)
+        loop_kf, S_corr, matched = match
+        self._correct_loop(kf_id, loop_kf, S_corr, matched)
         self.last_loop_kf = kf_id
         self.n_loops_closed += 1
         return True
@@ -214,12 +217,28 @@ class LoopClosing:
             S_rel = np.eye(4, dtype=np.float32)
             S_rel[:3, :3] = np.asarray(opt.R) * float(opt.s)
             S_rel[:3, 3] = np.asarray(opt.t)
-            return cand, (S_rel, float(opt.s))
+            # the verified loop matches (mvpCurrentMatchedPoints): BoW
+            # pairs first, the Sim3 window search fills empty slots
+            # (LoopClosing.cc:345-396 SearchByProjection extends in place)
+            matched: Dict[int, int] = {}
+            ext = np.asarray(ext_assign)
+            for cand_feat, cur_feat in zip(ai, bi):
+                pid = int(cf.map_pt[cand_feat])
+                if pid >= 0 and self.map.pt_alive[pid]:
+                    matched[int(cur_feat)] = pid
+            for cand_feat in np.nonzero(ext >= 0)[0]:
+                cur_feat = int(ext[cand_feat])
+                pid = int(cf.map_pt[cand_feat])
+                if (cur_feat not in matched and pid >= 0
+                        and self.map.pt_alive[pid]):
+                    matched[cur_feat] = pid
+            return cand, (S_rel, float(opt.s)), matched
         return None
 
     # ------------------------------------------------------------- correct
 
-    def _correct_loop(self, kf_id: int, loop_kf: int, S_corr):
+    def _correct_loop(self, kf_id: int, loop_kf: int, S_corr,
+                      matched: Optional[Dict[int, int]] = None):
         """Propagate the loop correction and run the essential graph."""
         S_rel, scale = S_corr
         m = self.map
@@ -227,9 +246,6 @@ class LoopClosing:
         T_cand = m.kf_pose[loop_kf]
         # corrected current pose: sRt maps cand-cam -> cur-cam; so corrected
         # T_cur_w = S_rel * T_cand_w (with rotation scaled part normalized)
-        T_corr = np.eye(4, dtype=np.float32)
-        T_corr[:3, :3] = S_rel[:3, :3] / scale
-        T_corr[:3, 3] = S_rel[:3, 3] / scale
         T_cur_new = (np.vstack([S_rel[:3], [0, 0, 0, 1]]) @ T_cand)
         T_cur_new[:3, :] /= scale if scale != 0 else 1.0
         # neighborhood correction: apply delta = T_cur_new * T_cur_old^-1
@@ -237,57 +253,291 @@ class LoopClosing:
         corrected = {kf_id} | {
             k for k, _ in m.covisible_keyframes(kf_id)
         }
-        moved_pts = set()
+        # pre-correction poses: the essential graph's normal-edge
+        # measurements must come from these (the reference's
+        # NonCorrectedSim3, LoopClosing.cc:438-447 / Optimizer.cc:1869-1886
+        # — measuring them from the corrected poses would make every
+        # residual zero and the graph a no-op)
+        uncorrected = {k: m.kf_pose[k].copy() for k in corrected}
+        # which points each corrected KF moves (the reference's
+        # mnCorrectedByKF/mnCorrectedReference bookkeeping, used by the
+        # essential graph's point correction)
+        corrected_ref: Dict[int, int] = {}
         for k in corrected:
-            T_old = m.kf_pose[k]
+            T_old = uncorrected[k]
             T_new = (delta @ T_old).astype(np.float32)
             m.set_kf_pose(k, T_new)
+            Twc_new = np.linalg.inv(T_new)
             frame = m.kf_frames[k]
             for pid in frame.map_pt[frame.map_pt >= 0]:
-                if pid in moved_pts or not m.pt_alive[pid]:
+                pid = int(pid)
+                if pid in corrected_ref or not m.pt_alive[pid]:
                     continue
-                moved_pts.add(int(pid))
+                corrected_ref[pid] = k
                 p = m.pt_pos[pid]
                 pc = T_old[:3, :3] @ p + T_old[:3, 3]
-                Twc_new = np.linalg.inv(T_new)
                 m.pt_pos[pid] = Twc_new[:3, :3] @ pc + Twc_new[:3, 3]
 
+        # snapshot covisibility before any fusion: new connections created
+        # by fusing loop-side points are the loop edges of the essential
+        # graph (LoopClosing.cc:553-571 — vpPreviousNeighbors is the cache
+        # refreshed during pose correction, before the loop fusion)
+        prev_nb = {
+            k: {nb for nb, _ in m.covisible_keyframes(k)} for k in corrected
+        }
+
+        # "Start Loop Fusion" (LoopClosing.cc:523-541): the Sim3-verified
+        # matches replace the current keyframe's duplicates directly — the
+        # loop point wins
+        cur_frame = m.kf_frames[kf_id]
+        for cur_feat, loop_pid in (matched or {}).items():
+            if not m.pt_alive[loop_pid]:
+                continue
+            existing = int(cur_frame.map_pt[cur_feat])
+            if existing >= 0 and m.pt_alive[existing]:
+                if existing != loop_pid:
+                    self._replace_point(loop_pid, existing)
+                    m.compute_distinctive_descriptor(loop_pid)
+                    m.update_normal_and_depth(loop_pid)
+            elif kf_id not in m.pt_obs[loop_pid]:
+                m.add_observation(loop_pid, kf_id, cur_feat)
+                cur_frame.map_pt[cur_feat] = loop_pid
+                m.compute_distinctive_descriptor(loop_pid)
+        # fuse the loop side's map points into the corrected neighborhood
+        # (LoopClosing::SearchAndFuse, LoopClosing.cc:547-582)
+        self._search_and_fuse(sorted(corrected), loop_kf)
+        loop_connections: Dict[int, Dict[int, int]] = {}
+        for k in corrected:
+            new_nb = {
+                nb: w for nb, w in m.covisible_keyframes(k)
+                if nb not in prev_nb[k] and nb not in corrected
+            }
+            if new_nb:
+                loop_connections[k] = new_nb
+
         # essential graph over all alive keyframes
-        self._run_essential_graph(kf_id, loop_kf)
+        self._run_essential_graph(
+            kf_id, loop_kf, uncorrected, loop_connections, corrected_ref
+        )
         # full map refinement (the reference spawns RunGlobalBundleAdjustment
-        # on a thread, LoopClosing.cc:584; inline here)
+        # on a thread, LoopClosing.cc:584; inline here). 40 LM iterations,
+        # not the reference's 10: after SearchAndFuse merges the two loop
+        # populations their residual offset is the whole loop drift, and an
+        # under-converged GBA leaves the merged landmark field internally
+        # inconsistent — subsequent local BAs then ratchet the fresh
+        # keyframes away (measured on the loop e2e: median KF error 1.8 at
+        # 10 iters vs 0.39 at 40). The reference hides this by running GBA
+        # asynchronously while the map keeps evolving; inline the cost is
+        # one-time per closure.
         from ..solvers.local_ba import global_bundle_adjustment
 
-        global_bundle_adjustment(self.cfg, self.map, n_iters=10)
+        global_bundle_adjustment(self.cfg, self.map, n_iters=40)
 
-    def _run_essential_graph(self, kf_id: int, loop_kf: int):
+    def _replace_point(self, keep: int, kill: int):
+        """MapPoint::Replace (the loop point `keep` wins): absorb `kill`'s
+        observations, rewire every observing frame's feature slot, and
+        retire `kill`."""
         m = self.map
+        for okf, ofeat in list(m.pt_obs[kill].items()):
+            of = m.kf_frames[okf]
+            if okf not in m.pt_obs[keep]:
+                m.pt_obs[keep][okf] = ofeat
+                of.map_pt[ofeat] = keep
+            else:
+                of.map_pt[ofeat] = -1
+        m.pt_obs[kill].clear()
+        m.pt_alive[kill] = False
+        m.pt_found[keep] += m.pt_found[kill]
+        m.pt_visible[keep] += m.pt_visible[kill]
+
+    def _search_and_fuse(self, corrected_kfs, loop_kf: int):
+        """LoopClosing::SearchAndFuse (547-582): project the loop side's
+        map points (loop KF + its covisibles) into every corrected
+        keyframe with the already-corrected poses; radius 4 (ORBmatcher::
+        Fuse(Scw, ...) th=4). On conflict the LOOP point wins — the
+        reference calls pRep->Replace(pLoopMP) unconditionally.
+
+        Device shape: all (corrected KF x loop point) projections +
+        window searches + Hamming as ONE dispatch (the same
+        fuse_into_keyframes program local mapping uses); host applies
+        the Replace bookkeeping."""
+        from ..ops import match as match_ops
+
+        m = self.map
+        cam = self.cfg.camera
+
+        loop_side = [loop_kf] + [k for k, _ in m.covisible_keyframes(loop_kf)]
+        loop_pts = set()
+        for k in loop_side:
+            if not m.kf_alive[k]:
+                continue
+            lf = m.kf_frames[k]
+            for p in lf.map_pt[lf.map_pt >= 0]:
+                if m.pt_alive[p]:
+                    loop_pts.add(int(p))
+        targets = [k for k in corrected_kfs if m.kf_alive[k]]
+        loop_pts = sorted(loop_pts)
+        if not loop_pts or not targets:
+            return
+        pid_arr = np.asarray(loop_pts, np.int64)
+        p_cap = 1024
+        while p_cap < len(loop_pts):
+            p_cap *= 2
+        nb_cap = 1
+        while nb_cap < len(targets):
+            nb_cap *= 2
+
+        mask = np.zeros((nb_cap, p_cap), bool)
+        mask[: len(targets), : len(loop_pts)] = True
+        pos = np.zeros((p_cap, 3), np.float32)
+        desc = np.zeros((p_cap, 32), np.uint8)
+        normal = np.zeros((p_cap, 3), np.float32)
+        mind = np.ones(p_cap, np.float32)
+        maxd = np.ones(p_cap, np.float32)
+        pos[: len(loop_pts)] = m.pt_pos[pid_arr]
+        desc[: len(loop_pts)] = m.pt_desc[pid_arr]
+        normal[: len(loop_pts)] = m.pt_normal[pid_arr]
+        mind[: len(loop_pts)] = m.pt_min_dist[pid_arr]
+        maxd[: len(loop_pts)] = m.pt_max_dist[pid_arr]
+
+        frames = [m.kf_frames[k] for k in targets]
+        f0 = frames[0]
+        pad = nb_cap - len(targets)
+        sf = m.scale_factors
+        assign = match_ops.fuse_into_keyframes(
+            jnp.stack([f.kp.xy for f in frames] + [f0.kp.xy] * pad),
+            jnp.stack([f.kp.octave for f in frames] + [f0.kp.octave] * pad),
+            jnp.stack([f.kp.desc for f in frames] + [f0.kp.desc] * pad),
+            jnp.stack([f.kp.valid for f in frames] + [f0.kp.valid] * pad),
+            jnp.asarray(np.stack(
+                [m.kf_pose[k] for k in targets]
+                + [m.kf_pose[targets[0]]] * pad
+            ).astype(np.float32)),
+            jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(normal),
+            jnp.asarray(mind), jnp.asarray(maxd), jnp.asarray(mask),
+            jnp.asarray(sf), jnp.float32(np.log(sf[1] / sf[0])
+                                         if len(sf) > 1 else 1.0),
+            jnp.float32(cam.fx), jnp.float32(cam.fy),
+            jnp.float32(cam.cx), jnp.float32(cam.cy),
+            jnp.float32(cam.width), jnp.float32(cam.height),
+            jnp.float32(4.0),
+        )
+        assign = np.asarray(assign)[: len(targets)]  # one download
+
+        touched = set()
+        n_replaced = n_added = 0
+        merge_dists = []
+        for t, nb in enumerate(targets):
+            frame = m.kf_frames[nb]
+            for i in np.nonzero(assign[t] >= 0)[0]:
+                pid = int(pid_arr[i])
+                if not m.pt_alive[pid] or nb in m.pt_obs[pid]:
+                    continue
+                feat = int(assign[t, i])
+                existing = int(frame.map_pt[feat])
+                if existing >= 0 and m.pt_alive[existing]:
+                    if existing == pid:
+                        continue
+                    n_replaced += 1
+                    merge_dists.append(float(np.linalg.norm(
+                        m.pt_pos[pid] - m.pt_pos[existing])))
+                    self._replace_point(pid, existing)
+                    touched.add(pid)
+                else:
+                    m.add_observation(pid, nb, feat)
+                    frame.map_pt[feat] = pid
+                    touched.add(pid)
+                    n_added += 1
+        for pid in touched:
+            if m.pt_alive[pid]:
+                m.compute_distinctive_descriptor(pid)
+                m.update_normal_and_depth(pid)
+        self.last_fuse_stats = {
+            "targets": len(targets), "loop_pts": len(loop_pts),
+            "replaced": n_replaced, "added": n_added,
+            "merge_dist_med": float(np.median(merge_dists))
+            if merge_dists else 0.0,
+            "merge_dist_p90": float(np.percentile(merge_dists, 90))
+            if merge_dists else 0.0,
+        }
+
+    def _run_essential_graph(
+        self,
+        kf_id: int,
+        loop_kf: int,
+        uncorrected: Optional[Dict[int, "np.ndarray"]] = None,
+        loop_connections: Optional[Dict[int, Dict[int, int]]] = None,
+        corrected_ref: Optional[Dict[int, int]] = None,
+    ):
+        """Optimizer::OptimizeEssentialGraph (Optimizer.cc:1753-2016).
+
+        Vertex init = current (corrected) poses; the loop keyframe is the
+        fixed gauge. Edge measurements follow the reference exactly:
+
+        * loop edges — the new covisibility connections created by the
+          fuse (weight >= 100; the cur<->loop pair always) — are measured
+          from the CORRECTED poses: they encode the loop constraint;
+        * normal edges (sequential spanning-tree surrogate, covisibility
+          >= 100, past loop closures) are measured from the PRE-correction
+          poses (`uncorrected`, the reference's NonCorrectedSim3): they
+          encode the odometry, so optimizing distributes the loop
+          discontinuity around the whole cycle.
+
+        Afterwards every map point is moved by its reference keyframe's
+        pose delta (points already moved by CorrectLoop use the keyframe
+        that corrected them, per mnCorrectedReference).
+        """
+        m = self.map
+        uncorrected = uncorrected or {}
+        loop_connections = loop_connections or {}
+        corrected_ref = corrected_ref or {}
         alive = [k for k in range(m.n_keyframes) if m.kf_alive[k]]
         slot = {k: i for i, k in enumerate(alive)}
         K = len(alive)
-        edges = set()
-        for k in alive:
-            for nb, w in m.covisible_keyframes(k):
-                if w >= 100 and nb in slot:
-                    edges.add((min(k, nb), max(k, nb)))
-            # sequential (spanning-tree surrogate) edges
-            if k - 1 in slot:
-                edges.add((k - 1, k))
-        edges.add((min(kf_id, loop_kf), max(kf_id, loop_kf)))
+
+        def rel(b, a, poses_cur):
+            if poses_cur:
+                Tb, Ta = m.kf_pose[b], m.kf_pose[a]
+            else:
+                Tb = uncorrected.get(b, m.kf_pose[b])
+                Ta = uncorrected.get(a, m.kf_pose[a])
+            return Tb @ np.linalg.inv(Ta)
+
+        inserted = set()
         e_i, e_j, e_R, e_t = [], [], [], []
-        for a, b in sorted(edges):
-            Sji = m.kf_pose[b] @ np.linalg.inv(m.kf_pose[a])
+
+        def add_edge(a, b, corrected_meas):
+            key = (min(a, b), max(a, b))
+            if key in inserted or a not in slot or b not in slot:
+                return
+            inserted.add(key)
+            Sji = rel(b, a, corrected_meas)
             e_i.append(slot[a])
             e_j.append(slot[b])
             e_R.append(Sji[:3, :3])
             e_t.append(Sji[:3, 3])
+
+        # loop edges first (corrected measurements)
+        add_edge(kf_id, loop_kf, True)
+        for a, nbs in loop_connections.items():
+            for b, w in nbs.items():
+                if w >= 100:
+                    add_edge(a, b, True)
+        # normal edges (pre-correction measurements)
+        for a, b in self.loop_edges:
+            add_edge(a, b, False)
+        for k in alive:
+            if k - 1 in slot:
+                add_edge(k - 1, k, False)
+            for nb, w in m.covisible_keyframes(k):
+                if w >= 100:
+                    add_edge(k, nb, False)
+
         prob = eg.EGProblem(
             R=jnp.asarray(m.kf_pose[alive][:, :3, :3]),
             t=jnp.asarray(m.kf_pose[alive][:, :3, 3]),
             s=jnp.ones(K),
-            fixed=jnp.asarray(
-                np.array([k == m.origin_kf for k in alive])
-            ),
+            fixed=jnp.asarray(np.array([k == loop_kf for k in alive])),
             e_i=jnp.asarray(np.array(e_i, np.int32)),
             e_j=jnp.asarray(np.array(e_j, np.int32)),
             e_R=jnp.asarray(np.stack(e_R).astype(np.float32)),
@@ -299,16 +549,25 @@ class LoopClosing:
         R_opt = np.asarray(R_opt)
         t_opt = np.asarray(t_opt)
         s_opt = np.asarray(s_opt)
+        self.loop_edges.add((min(kf_id, loop_kf), max(kf_id, loop_kf)))
+
+        # per-KF delta (old -> optimized), then move each point by its
+        # reference keyframe's delta (Optimizer.cc:1964-2014)
+        deltas = {}
         for i, k in enumerate(alive):
             T_old = m.kf_pose[k].copy()
             T_new = np.eye(4, dtype=np.float32)
             T_new[:3, :3] = R_opt[i]
             T_new[:3, 3] = t_opt[i] / max(s_opt[i], 1e-9)
-            # move this KF's reference points with the pose change
-            frame = m.kf_frames[k]
-            delta = np.linalg.inv(T_new) @ T_old
-            for pid in frame.map_pt[frame.map_pt >= 0]:
-                if m.pt_alive[pid] and m.pt_ref_kf[pid] == k:
-                    p = m.pt_pos[pid]
-                    m.pt_pos[pid] = delta[:3, :3] @ p + delta[:3, 3]
+            deltas[k] = np.linalg.inv(T_new) @ T_old
             m.set_kf_pose(k, T_new)
+        for pid in range(m.n_points):
+            if not m.pt_alive[pid]:
+                continue
+            ref = corrected_ref.get(pid, int(m.pt_ref_kf[pid]))
+            d = deltas.get(ref)
+            if d is None:
+                continue
+            p = m.pt_pos[pid]
+            m.pt_pos[pid] = d[:3, :3] @ p + d[:3, 3]
+            m.update_normal_and_depth(pid)

@@ -39,8 +39,7 @@ def _make_frame(fid, xy, desc, pose, n_cap=256):
     return f
 
 
-@pytest.fixture(scope="module")
-def scenario(tmp_path_factory):
+def _build_scenario():
     rng = np.random.default_rng(17)
     cfg = Config()
     cfg.camera = CameraConfig(fx=400, fy=400, cx=160, cy=120, bf=200,
@@ -95,6 +94,11 @@ def scenario(tmp_path_factory):
     return cfg, m, voc, kf0, kf1
 
 
+@pytest.fixture(scope="module")
+def scenario(tmp_path_factory):
+    return _build_scenario()
+
+
 def test_compute_sim3_finds_relative_pose(scenario):
     cfg, m, voc, kf0, kf1 = scenario
     kfdb = KeyFrameDatabase(voc)
@@ -103,9 +107,16 @@ def test_compute_sim3_finds_relative_pose(scenario):
     lc._ensure_bow(kf1)
     match = lc._compute_sim3(kf1, [kf0], fix_scale=True)
     assert match is not None
-    loop_kf, (S_rel, scale) = match
+    loop_kf, (S_rel, scale), matched = match
     assert loop_kf == kf0
     assert abs(scale - 1.0) < 0.05
+    # the verified matches pair each current feature with its loop-side
+    # duplicate landmark (mvpCurrentMatchedPoints)
+    assert len(matched) >= 20
+    f0, f1b = m.kf_frames[kf0], m.kf_frames[kf1]
+    good = sum(1 for cur_feat, pid in matched.items()
+               if int(f0.map_pt[cur_feat]) == pid)
+    assert good >= 0.9 * len(matched)
     # relative translation recovered: S_rel maps kf0-cam -> kf1-cam
     t_rel = S_rel[:3, 3] / scale
     expected = m.kf_pose[kf1][:3, 3] - m.kf_pose[kf0][:3, 3]
@@ -126,6 +137,104 @@ def test_detect_loop_needs_temporal_consistency(scenario):
     for _ in range(3):
         cands = lc._detect_loop(kf1)
     assert kf0 in cands
+
+
+def test_search_and_fuse_replaces_duplicates():
+    """LoopClosing::SearchAndFuse (LoopClosing.cc:547-582): projecting the
+    loop side's map points into a corrected keyframe must Replace the
+    corrected side's duplicate landmarks with the loop points — the loop
+    point wins unconditionally — leaving the two keyframes covisible."""
+    cfg, m, voc, kf0, kf1 = _build_scenario()
+    kfdb = KeyFrameDatabase(voc)
+    lc = LoopClosing(cfg, m, voc, kfdb)
+
+    f1 = m.kf_frames[kf1]
+    dup_pids = [int(p) for p in f1.map_pt if p >= 0]
+    loop_pids = [int(p) for p in m.kf_frames[kf0].map_pt
+                 if p >= 0 and m.pt_alive[p]]
+    # the revisit is unrecognized: no covisibility, disjoint landmark sets
+    assert not m.covisible_keyframes(kf1)
+    assert not (set(dup_pids) & set(loop_pids))
+
+    lc._search_and_fuse([kf1], kf0)
+
+    # the loop points absorbed kf1's duplicates (pRep->Replace(pLoopMP))
+    # 98 of the 120 duplicates project in-bounds at kf1's pose; all of
+    # those must fuse
+    n_fused = sum(1 for p in dup_pids if not m.pt_alive[p])
+    assert n_fused > 90, n_fused
+    for i, old in enumerate(dup_pids):
+        if m.pt_alive[old]:
+            continue
+        pid = int(f1.map_pt[i])
+        assert pid in loop_pids
+        assert m.pt_obs[pid][kf1] == i
+        assert kf1 in m.pt_obs[pid] and kf0 in m.pt_obs[pid]
+    # the fused landmarks make the pair covisible (>= 15 shared points)
+    assert kf0 in {k for k, _ in m.covisible_keyframes(kf1)}
+
+
+def test_essential_graph_distributes_correction():
+    """OptimizeEssentialGraph semantics (Optimizer.cc:1753-2016): normal
+    edges measured from PRE-correction poses (NonCorrectedSim3), the loop
+    edge from the corrected ones, loop KF fixed. A linearly-drifted chain
+    whose last keyframe is snapped back to ground truth must spread that
+    correction over the middle of the chain — and map points must ride
+    their reference keyframe's pose delta."""
+    cfg = Config()
+    cfg.camera = CameraConfig(fx=400, fy=400, cx=160, cy=120, bf=200,
+                              width=320, height=240)
+    m = MapStore(n_levels=8, scale_factor=1.2)
+    K, d = 12, 0.06
+
+    def tcw(center):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = -np.asarray(center, np.float32)
+        return T
+
+    gt_centers = [np.array([k, 0.0, 0.0]) for k in range(K)]
+    drift_centers = [c + np.array([0.0, d * k, 0.0]) for k, c in
+                     enumerate(gt_centers)]
+    frames = []
+    pids = []
+    for k in range(K):
+        f = _make_frame(k, np.zeros((1, 2)), np.zeros((1, 32), np.uint8),
+                        tcw(drift_centers[k]))
+        kf = m.add_keyframe(f)
+        frames.append(f)
+        # one landmark per KF, drifted with its keyframe
+        pid = m.add_point(
+            (drift_centers[k] + np.array([0, 0, 5.0])).astype(np.float32),
+            kf)
+        m.add_observation(pid, kf, 0)
+        pids.append(pid)
+    # the "CorrectLoop" state: last KF snapped to ground truth, the rest
+    # still drifted; pre-correction pose recorded
+    uncorrected = {K - 1: m.kf_pose[K - 1].copy()}
+    m.set_kf_pose(K - 1, tcw(gt_centers[K - 1]))
+
+    voc = Vocabulary.train(
+        np.random.default_rng(0).integers(0, 256, (40, 32)).astype(np.uint8),
+        k=4, L=2, seed=0)
+    lc = LoopClosing(cfg, m, voc, KeyFrameDatabase(voc))
+    lc._run_essential_graph(K - 1, 0, uncorrected, {}, {})
+
+    def center(k):
+        T = m.kf_pose[k]
+        return -T[:3, :3].T @ T[:3, 3]
+
+    mid = K // 2
+    mid_err = np.linalg.norm(center(mid) - gt_centers[mid])
+    end_err = np.linalg.norm(center(K - 1) - gt_centers[K - 1])
+    # the Sim3 optimum tilts rotations slightly to satisfy both the
+    # odometry and the loop constraint, so the centers don't land exactly
+    # on ground truth — but the drift must be substantially distributed
+    assert mid_err < 0.45 * d * mid, mid_err   # was d*mid before the EG
+    assert end_err < 0.45 * d * (K - 1), end_err  # was snapped, stays near
+    # the landmark anchored at the mid KF rode the same delta: it stays
+    # 5m in front of (and level with) its corrected keyframe
+    rel = m.pt_pos[pids[mid]] - center(mid).astype(np.float32)
+    np.testing.assert_allclose(rel, [0, 0, 5.0], atol=1e-2)
 
 
 @pytest.mark.slow
