@@ -78,7 +78,8 @@ class LoopClosing:
         if match is None:
             return False
         loop_kf, S_corr, matched = match
-        self._correct_loop(kf_id, loop_kf, S_corr, matched)
+        self._correct_loop(kf_id, loop_kf, S_corr, matched,
+                           fix_scale=fix_scale)
         self.last_loop_kf = kf_id
         self.n_loops_closed += 1
         return True
@@ -237,19 +238,26 @@ class LoopClosing:
 
     # ------------------------------------------------------------- correct
 
-    def _correct_loop(self, kf_id: int, loop_kf: int, S_corr,
-                      matched: Optional[Dict[int, int]] = None):
-        """Propagate the loop correction and run the essential graph."""
+    def _propagate_correction(self, kf_id: int, loop_kf: int, S_corr,
+                              fix_scale: bool = True):
+        """Correct the current KF's covisible neighborhood + their points
+        (LoopClosing.cc:438-521). Returns (corrected ids, pre-correction
+        poses, corrected Sim3 per KF, point->corrector-KF map)."""
         S_rel, scale = S_corr
         m = self.map
-        T_cur_old = m.kf_pose[kf_id].copy()
+        T_cur_old = m.kf_pose[kf_id].astype(np.float64)
         T_cand = m.kf_pose[loop_kf]
-        # corrected current pose: sRt maps cand-cam -> cur-cam; so corrected
-        # T_cur_w = S_rel * T_cand_w (with rotation scaled part normalized)
-        T_cur_new = (np.vstack([S_rel[:3], [0, 0, 0, 1]]) @ T_cand)
-        T_cur_new[:3, :] /= scale if scale != 0 else 1.0
-        # neighborhood correction: apply delta = T_cur_new * T_cur_old^-1
-        delta = T_cur_new @ np.linalg.inv(T_cur_old)
+        # corrected current pose as a Sim3 4x4 [sR|t] (mg2oScw =
+        # g2oSrel * Scand_w, LoopClosing.cc:310-318); for mono
+        # (fix_scale=False) the loop scale rides through the whole
+        # neighborhood correction and into the essential graph
+        S_cur_new = np.vstack([S_rel[:3], [0, 0, 0, 1]]).astype(
+            np.float64) @ T_cand
+        if fix_scale:
+            # stereo/RGBD: the reference pins the solver scale at 1; if a
+            # residual scale leaked through, collapse to SE3 as [R | t/s]
+            S_cur_new[:3, :] /= scale if scale != 0 else 1.0
+        inv_T_cur_old = np.linalg.inv(T_cur_old)
         corrected = {kf_id} | {
             k for k, _ in m.covisible_keyframes(kf_id)
         }
@@ -259,15 +267,31 @@ class LoopClosing:
         # — measuring them from the corrected poses would make every
         # residual zero and the graph a no-op)
         uncorrected = {k: m.kf_pose[k].copy() for k in corrected}
+        # corrected Sim3 per neighborhood KF (the reference's CorrectedSim3
+        # map): g2oCorrectedSiw = g2oSic * mg2oScw (LoopClosing.cc:460-464)
+        # — RIGHT-composed so each covisible keeps its pose relative to
+        # the current KF; left-composing a world-frame delta would distort
+        # any neighbor whose orientation differs from the current KF's
+        corrected_sim3: Dict[int, tuple] = {}
         # which points each corrected KF moves (the reference's
         # mnCorrectedByKF/mnCorrectedReference bookkeeping, used by the
         # essential graph's point correction)
         corrected_ref: Dict[int, int] = {}
         for k in corrected:
-            T_old = uncorrected[k]
-            T_new = (delta @ T_old).astype(np.float32)
+            T_old = uncorrected[k].astype(np.float64)
+            S_new = T_old @ inv_T_cur_old @ S_cur_new
+            s_k = float(np.cbrt(np.linalg.det(S_new[:3, :3])))
+            R_k = S_new[:3, :3] / s_k
+            t_k = S_new[:3, 3]
+            corrected_sim3[k] = (R_k.astype(np.float32),
+                                 t_k.astype(np.float32), s_k)
+            # stored SE3 pose is [R | t/s] (LoopClosing.cc:488-496)
+            T_new = np.eye(4, dtype=np.float32)
+            T_new[:3, :3] = R_k
+            T_new[:3, 3] = t_k / s_k
             m.set_kf_pose(k, T_new)
-            Twc_new = np.linalg.inv(T_new)
+            # move the KF's points through the scaled Sim3:
+            # p_new = Swi_corr.map(Siw_old.map(p)) (LoopClosing.cc:499-505)
             frame = m.kf_frames[k]
             for pid in frame.map_pt[frame.map_pt >= 0]:
                 pid = int(pid)
@@ -276,7 +300,19 @@ class LoopClosing:
                 corrected_ref[pid] = k
                 p = m.pt_pos[pid]
                 pc = T_old[:3, :3] @ p + T_old[:3, 3]
-                m.pt_pos[pid] = Twc_new[:3, :3] @ pc + Twc_new[:3, 3]
+                m.pt_pos[pid] = ((R_k.T @ (pc - t_k)) / s_k).astype(
+                    np.float32)
+        return corrected, uncorrected, corrected_sim3, corrected_ref
+
+    def _correct_loop(self, kf_id: int, loop_kf: int, S_corr,
+                      matched: Optional[Dict[int, int]] = None,
+                      fix_scale: bool = True):
+        """Propagate the loop correction, fuse the loop sides, and run the
+        essential graph + global BA."""
+        m = self.map
+        corrected, uncorrected, corrected_sim3, corrected_ref = (
+            self._propagate_correction(kf_id, loop_kf, S_corr, fix_scale)
+        )
 
         # snapshot covisibility before any fusion: new connections created
         # by fusing loop-side points are the loop edges of the essential
@@ -317,7 +353,8 @@ class LoopClosing:
 
         # essential graph over all alive keyframes
         self._run_essential_graph(
-            kf_id, loop_kf, uncorrected, loop_connections, corrected_ref
+            kf_id, loop_kf, uncorrected, loop_connections, corrected_ref,
+            corrected_sim3=corrected_sim3, fix_scale=fix_scale,
         )
         # full map refinement (the reference spawns RunGlobalBundleAdjustment
         # on a thread, LoopClosing.cc:584; inline here). 40 LM iterations,
@@ -360,7 +397,15 @@ class LoopClosing:
         Device shape: all (corrected KF x loop point) projections +
         window searches + Hamming as ONE dispatch (the same
         fuse_into_keyframes program local mapping uses); host applies
-        the Replace bookkeeping."""
+        the Replace bookkeeping.
+
+        Known deviation from the reference's Scw-variant Fuse
+        (ORBmatcher.cc Fuse(KeyFrame*, cv::Mat Scw, ...)): that variant
+        uses an asymmetric octave window (kpLevel in [pred-1, pred]) and
+        the bare min/max distance-invariance bounds, while the shared
+        fuse_into_keyframes program uses the symmetric |kp - pred| <= 1
+        window and 0.8*mind/1.2*maxd margins of the plain Fuse. The match
+        sets differ only at scale boundaries; documented in PARITY.md."""
         from ..ops import match as match_ops
 
         m = self.map
@@ -468,15 +513,21 @@ class LoopClosing:
         uncorrected: Optional[Dict[int, "np.ndarray"]] = None,
         loop_connections: Optional[Dict[int, Dict[int, int]]] = None,
         corrected_ref: Optional[Dict[int, int]] = None,
+        corrected_sim3: Optional[Dict[int, tuple]] = None,
+        fix_scale: bool = True,
     ):
         """Optimizer::OptimizeEssentialGraph (Optimizer.cc:1753-2016).
 
-        Vertex init = current (corrected) poses; the loop keyframe is the
-        fixed gauge. Edge measurements follow the reference exactly:
+        Vertex init = current poses, with the corrected neighborhood's
+        vertices seeded from the full CorrectedSim3 (scale included — the
+        reference's vScw, Optimizer.cc:1814-1831); the loop keyframe is
+        the fixed gauge. Edge measurements follow the reference exactly:
 
         * loop edges — the new covisibility connections created by the
           fuse (weight >= 100; the cur<->loop pair always) — are measured
-          from the CORRECTED poses: they encode the loop constraint;
+          from the CORRECTED Sim3s: they encode the loop constraint
+          (including its scale, which the graph distributes around the
+          cycle for mono);
         * normal edges (sequential spanning-tree surrogate, covisibility
           >= 100, past loop closures) are measured from the PRE-correction
           poses (`uncorrected`, the reference's NonCorrectedSim3): they
@@ -484,38 +535,51 @@ class LoopClosing:
           discontinuity around the whole cycle.
 
         Afterwards every map point is moved by its reference keyframe's
-        pose delta (points already moved by CorrectLoop use the keyframe
+        Sim3 delta (points already moved by CorrectLoop use the keyframe
         that corrected them, per mnCorrectedReference).
         """
         m = self.map
         uncorrected = uncorrected or {}
         loop_connections = loop_connections or {}
         corrected_ref = corrected_ref or {}
+        corrected_sim3 = corrected_sim3 or {}
         alive = [k for k in range(m.n_keyframes) if m.kf_alive[k]]
         slot = {k: i for i, k in enumerate(alive)}
         K = len(alive)
 
-        def rel(b, a, poses_cur):
-            if poses_cur:
-                Tb, Ta = m.kf_pose[b], m.kf_pose[a]
-            else:
-                Tb = uncorrected.get(b, m.kf_pose[b])
-                Ta = uncorrected.get(a, m.kf_pose[a])
-            return Tb @ np.linalg.inv(Ta)
+        def scw(k, corrected_meas):
+            """vScw semantics as a 4x4 [sR|t]: corrected Sim3 for the
+            neighborhood when measuring corrected edges; NonCorrectedSim3
+            (pre-correction SE3) otherwise; plain current pose for
+            keyframes outside the neighborhood."""
+            if corrected_meas and k in corrected_sim3:
+                R, t, s = corrected_sim3[k]
+                M = np.eye(4)
+                M[:3, :3] = s * np.asarray(R, np.float64)
+                M[:3, 3] = t
+                return M
+            if not corrected_meas:
+                return uncorrected.get(k, m.kf_pose[k]).astype(np.float64)
+            return m.kf_pose[k].astype(np.float64)
 
         inserted = set()
-        e_i, e_j, e_R, e_t = [], [], [], []
+        e_i, e_j, e_R, e_t, e_s = [], [], [], [], []
 
         def add_edge(a, b, corrected_meas):
             key = (min(a, b), max(a, b))
             if key in inserted or a not in slot or b not in slot:
                 return
             inserted.add(key)
-            Sji = rel(b, a, corrected_meas)
+            # Sji = Sjw o Siw^-1; 4x4 [sR|t] matrices compose/invert as
+            # Sim3s under plain matmul/inverse
+            Sji = scw(b, corrected_meas) @ np.linalg.inv(
+                scw(a, corrected_meas))
+            s_ji = float(np.cbrt(np.linalg.det(Sji[:3, :3])))
             e_i.append(slot[a])
             e_j.append(slot[b])
-            e_R.append(Sji[:3, :3])
+            e_R.append(Sji[:3, :3] / s_ji)
             e_t.append(Sji[:3, 3])
+            e_s.append(s_ji)
 
         # loop edges first (corrected measurements)
         add_edge(kf_id, loop_kf, True)
@@ -533,33 +597,51 @@ class LoopClosing:
                 if w >= 100:
                     add_edge(k, nb, False)
 
+        # vertex init: full corrected Sim3 for the neighborhood, SE3
+        # elsewhere (Optimizer.cc:1814-1831)
+        R0 = m.kf_pose[alive][:, :3, :3].astype(np.float32).copy()
+        t0 = m.kf_pose[alive][:, :3, 3].astype(np.float32).copy()
+        s0 = np.ones(K, np.float32)
+        for k, (Rk, tk, sk) in corrected_sim3.items():
+            if k in slot:
+                i = slot[k]
+                R0[i], t0[i], s0[i] = Rk, tk, sk
+
         prob = eg.EGProblem(
-            R=jnp.asarray(m.kf_pose[alive][:, :3, :3]),
-            t=jnp.asarray(m.kf_pose[alive][:, :3, 3]),
-            s=jnp.ones(K),
+            R=jnp.asarray(R0),
+            t=jnp.asarray(t0),
+            s=jnp.asarray(s0),
             fixed=jnp.asarray(np.array([k == loop_kf for k in alive])),
             e_i=jnp.asarray(np.array(e_i, np.int32)),
             e_j=jnp.asarray(np.array(e_j, np.int32)),
             e_R=jnp.asarray(np.stack(e_R).astype(np.float32)),
             e_t=jnp.asarray(np.stack(e_t).astype(np.float32)),
-            e_s=jnp.ones(len(e_i)),
+            e_s=jnp.asarray(np.array(e_s, np.float32)),
             e_valid=jnp.ones(len(e_i), bool),
         )
-        R_opt, t_opt, s_opt = eg.optimize_essential_graph(prob)
-        R_opt = np.asarray(R_opt)
-        t_opt = np.asarray(t_opt)
-        s_opt = np.asarray(s_opt)
+        R_opt, t_opt, s_opt = eg.optimize_essential_graph(
+            prob, fix_scale=fix_scale)
+        R_opt = np.asarray(R_opt, np.float64)
+        t_opt = np.asarray(t_opt, np.float64)
+        s_opt = np.asarray(s_opt, np.float64)
         self.loop_edges.add((min(kf_id, loop_kf), max(kf_id, loop_kf)))
 
-        # per-KF delta (old -> optimized), then move each point by its
-        # reference keyframe's delta (Optimizer.cc:1964-2014)
+        # per-KF Sim3 delta (vertex init -> optimized), then move each
+        # point by its reference keyframe's delta: p_new =
+        # correctedSwr.map(Srw.map(p)) (Optimizer.cc:1964-2014)
         deltas = {}
         for i, k in enumerate(alive):
-            T_old = m.kf_pose[k].copy()
+            M_init = np.eye(4)
+            M_init[:3, :3] = s0[i] * R0[i].astype(np.float64)
+            M_init[:3, 3] = t0[i]
+            M_new = np.eye(4)
+            M_new[:3, :3] = s_opt[i] * R_opt[i]
+            M_new[:3, 3] = t_opt[i]
+            deltas[k] = np.linalg.inv(M_new) @ M_init
+            # stored SE3 pose = [R | t/s] (Optimizer.cc:1950-1961)
             T_new = np.eye(4, dtype=np.float32)
             T_new[:3, :3] = R_opt[i]
             T_new[:3, 3] = t_opt[i] / max(s_opt[i], 1e-9)
-            deltas[k] = np.linalg.inv(T_new) @ T_old
             m.set_kf_pose(k, T_new)
         for pid in range(m.n_points):
             if not m.pt_alive[pid]:
@@ -569,5 +651,5 @@ class LoopClosing:
             if d is None:
                 continue
             p = m.pt_pos[pid]
-            m.pt_pos[pid] = d[:3, :3] @ p + d[:3, 3]
+            m.pt_pos[pid] = (d[:3, :3] @ p + d[:3, 3]).astype(np.float32)
             m.update_normal_and_depth(pid)

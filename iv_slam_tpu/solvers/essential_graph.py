@@ -44,8 +44,11 @@ def _edge_residual(xi_i, xi_j, Si, Sj, Sm):
     return s3.sim3_log(Sm.compose(Pi).compose(Pj.inverse()))
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters",))
-def optimize_essential_graph(prob: EGProblem, n_iters: int = 20):
+@functools.partial(jax.jit, static_argnames=("n_iters", "fix_scale"))
+def optimize_essential_graph(prob: EGProblem, n_iters: int = 20,
+                             fix_scale: bool = False):
+    """fix_scale=True pins every vertex's log-scale coordinate (g2o
+    VertexSim3Expmap::_fix_scale, used for stereo/RGBD loop closure)."""
     K = prob.R.shape[0]
     E = prob.e_i.shape[0]
     zero7 = jnp.zeros(7)
@@ -107,6 +110,8 @@ def optimize_essential_graph(prob: EGProblem, n_iters: int = 20):
         Hf = H.reshape(K * 7, K * 7)
         gf = g.reshape(-1)
         fixed7 = jnp.repeat(prob.fixed, 7)
+        if fix_scale:
+            fixed7 = fixed7 | jnp.tile(jnp.arange(7) == 6, K)
         Hf = jnp.where(fixed7[:, None] | fixed7[None, :], 0.0, Hf)
         gf = jnp.where(fixed7, 0.0, gf)
         lam0 = jnp.where(it == 0, 1e-5 * jnp.max(jnp.abs(jnp.diag(Hf))) + 1e-8,

@@ -129,3 +129,144 @@ def test_frontend_fused_fcn(net_and_state):
     np.testing.assert_allclose(
         frame.qual_score, frame2.qual_score, atol=1e-6
     )
+
+
+# --------------------------------------------------------------- torch parity
+
+REF_NETWORKS = "/root/reference/introspection_function/networks"
+REF_ROOT = "/root/reference/introspection_function"
+
+
+def _ref_torch_model(seed=0, light=True):
+    """Build the reference's PyTorch FCN (random init + perturbed BN
+    stats) as the conversion oracle. Light: networks/models_light/
+    models_light.py:18-28; full: networks/models/models.py (sync-BN
+    encoder + C1DeepSup with deep supervision)."""
+    import sys
+
+    for p in (REF_NETWORKS, REF_ROOT):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(seed)
+    if light:
+        from models_light import mobilenet as ref_mn
+        from models_light.models_light import (
+            C1DeepSup as RefC1, MobileNetV2Dilated as RefEnc,
+        )
+
+        enc = RefEnc(ref_mn.mobilenetv2(pretrained=False), dilate_scale=8)
+        dec = RefC1(num_class=1, fc_dim=320, regression_mode=True,
+                    inference_mode=True, out_size=(600, 960))
+    else:
+        from models.models import C1DeepSup as RefC1
+        from models.models import MobileNetV2Dilated as RefEnc
+        from models import mobilenet as ref_mn
+
+        enc = RefEnc(ref_mn.mobilenetv2(pretrained=False), dilate_scale=8)
+        dec = RefC1(num_class=1, fc_dim=320, regression_mode=True,
+                    inference_mode=False)
+    # perturb BN running stats away from (0, 1) so the parity check
+    # exercises the batch_stats conversion, not just the kernels
+    enc.train(), dec.train()
+    with torch.no_grad():
+        for _ in range(2):
+            feats = enc(torch.randn(2, 3, 128, 128),
+                        return_feature_maps=True)
+            if light:
+                dec(feats)
+            else:
+                dec(feats, None)
+    enc.eval(), dec.eval()
+    return torch, enc, dec
+
+
+def _convert(enc, dec):
+    from iv_slam_tpu.models.convert_torch import (
+        convert_decoder, convert_encoder,
+    )
+
+    enc_p, enc_s = convert_encoder(
+        {k: v.numpy() for k, v in enc.state_dict().items()})
+    dec_p, dec_s = convert_decoder(
+        {k: v.numpy() for k, v in dec.state_dict().items()})
+    return jax.tree.map(jnp.asarray, {
+        "params": {"encoder": enc_p, "decoder": dec_p},
+        "batch_stats": {"encoder": enc_s, "decoder": dec_s},
+    })
+
+
+@pytest.mark.slow
+def test_torch_conversion_numeric_parity_light():
+    """VERDICT r1 #3: the converted Flax forward must match the
+    reference's torch forward numerically — light (TorchScript-exported)
+    variant incl. the bilinear resize + sigmoid(20(x-0.5)) head
+    (models_light.py:18-28, export_model_light.py:117)."""
+    torch, enc, dec = _ref_torch_model(seed=0, light=True)
+    variables = _convert(enc, dec)
+    net = IntrospectionNet()
+
+    x = torch.randn(1, 3, 512, 512)
+    with torch.no_grad():
+        t_pred = dec(enc(x, return_feature_maps=True)).numpy()
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    j_raw = net.apply(variables, xj, train=False)
+    j_pred = np.asarray(jax.image.resize(
+        j_raw, (1, 600, 960, 1), method="bilinear"
+    )).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(j_pred, t_pred, atol=1e-4)
+
+    # full light path: resize-in, forward, resize-out, logistic sharpening,
+    # x255 byte cost map (stereo_kitti.cc:492-517). torch side mirrors
+    # IntrospectionModule.forward with logistic_func=True.
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (600, 960, 3), dtype=np.uint8)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    t_in = torch.from_numpy(
+        ((img / 255.0 - mean) / std).astype(np.float32).transpose(2, 0, 1)
+    )[None]
+    with torch.no_grad():
+        t_r = torch.nn.functional.interpolate(
+            t_in, size=(512, 512), mode="bilinear", align_corners=False)
+        t_out = dec(enc(t_r, return_feature_maps=True))
+        t_cost = np.clip(
+            torch.sigmoid(20 * (t_out - 0.5)).numpy()[0, 0] * 255, 0, 255)
+    j_cost = np.asarray(inference_cost_map(
+        net, variables, jnp.asarray(img), out_hw=(600, 960),
+        net_hw=(512, 512),
+    )).astype(np.float64)
+    # uint8 cost maps: allow 1 count of rounding skew
+    assert np.abs(j_cost - t_cost).max() <= 1.0 + 1e-3
+
+
+@pytest.mark.slow
+def test_torch_conversion_numeric_parity_full():
+    """Same check against the full (non-light, sync-BN) training model:
+    eval forward AND train-mode deep-supervision branch
+    (networks/models/models.py C1DeepSup.forward)."""
+    torch, enc, dec = _ref_torch_model(seed=1, light=False)
+    variables = _convert(enc, dec)
+    net = IntrospectionNet()
+
+    # eval-mode main head: both sides normalize by running stats
+    x = torch.randn(2, 3, 256, 256)
+    with torch.no_grad():
+        t_eval, _ = dec(enc(x, return_feature_maps=True), None)
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    j_eval = net.apply(variables, xj, train=False)
+    np.testing.assert_allclose(
+        np.asarray(j_eval).transpose(0, 3, 1, 2), t_eval.numpy(), atol=1e-4)
+
+    # train-mode forward incl. the deep-supervision branch: both sides
+    # normalize by the BATCH stats (torch train-mode BN == flax train=True)
+    enc.train(), dec.train()
+    with torch.no_grad():
+        t_main, t_ds = dec(enc(x, return_feature_maps=True), None)
+    (j_main, j_ds), _ = net.apply(
+        dict(variables), xj, train=True, mutable=["batch_stats"],
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_main).transpose(0, 3, 1, 2), t_main.numpy(), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(j_ds).transpose(0, 3, 1, 2), t_ds.numpy(), atol=1e-4)

@@ -237,6 +237,101 @@ def test_essential_graph_distributes_correction():
     np.testing.assert_allclose(rel, [0, 0, 5.0], atol=1e-2)
 
 
+def _yaw(theta):
+    c, s = np.cos(theta), np.sin(theta)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+
+
+def _lc_with_neighborhood(yaw_nb=0.5):
+    """Map: loop KF (0), a current KF (1), and a yaw-differing covisible
+    neighbor (2) sharing >= 15 points with the current KF."""
+    cfg = Config()
+    cfg.camera = CameraConfig(fx=400, fy=400, cx=160, cy=120, bf=200,
+                              width=320, height=240)
+    m = MapStore(n_levels=8, scale_factor=1.2)
+    rng = np.random.default_rng(5)
+    descs = rng.integers(0, 256, (40, 32)).astype(np.uint8)
+
+    T_loop = np.eye(4, dtype=np.float32)
+    T_cur = np.eye(4, dtype=np.float32)
+    T_cur[:3, :3] = _yaw(0.1)
+    T_cur[:3, 3] = [0.3, 0.0, 0.2]
+    T_nb = np.eye(4, dtype=np.float32)
+    T_nb[:3, :3] = _yaw(yaw_nb)
+    T_nb[:3, 3] = [0.5, 0.1, -0.2]
+
+    frames = [
+        _make_frame(0, np.zeros((40, 2)), descs, T_loop),
+        _make_frame(1, np.zeros((40, 2)), descs, T_cur),
+        _make_frame(2, np.zeros((40, 2)), descs, T_nb),
+    ]
+    for f in frames:
+        m.add_keyframe(f)
+    # shared landmarks between cur (1) and nb (2) -> covisibility
+    pts = rng.uniform(-2, 2, (20, 3)).astype(np.float32)
+    pts[:, 2] += 8
+    for i in range(20):
+        pid = m.add_point(pts[i], 2)
+        m.add_observation(pid, 1, i)
+        m.add_observation(pid, 2, i)
+        frames[1].map_pt[i] = pid
+        frames[2].map_pt[i] = pid
+    voc = Vocabulary.train(descs, k=4, L=2, seed=0)
+    lc = LoopClosing(cfg, m, voc, KeyFrameDatabase(voc))
+    return lc, m, T_loop, T_cur, T_nb
+
+
+def test_propagation_preserves_relative_pose():
+    """ADVICE r1 (high): g2oCorrectedSiw = g2oSic * mg2oScw
+    (LoopClosing.cc:460-464) RIGHT-composes, preserving each covisible
+    KF's pose relative to the current KF even when the correction has
+    rotation+translation and the neighbor's yaw differs."""
+    lc, m, T_loop, T_cur, T_nb = _lc_with_neighborhood(yaw_nb=0.5)
+    # a loop correction with both rotation and translation
+    S_rel = np.eye(4, dtype=np.float32)
+    S_rel[:3, :3] = _yaw(0.2)
+    S_rel[:3, 3] = [0.6, 0.0, -0.3]
+    rel_before = m.kf_pose[2] @ np.linalg.inv(m.kf_pose[1])
+    pt_cam_before = (m.kf_pose[2][:3, :3] @ m.pt_pos[0]
+                     + m.kf_pose[2][:3, 3])
+    lc._propagate_correction(1, 0, (S_rel, 1.0), fix_scale=True)
+    rel_after = m.kf_pose[2] @ np.linalg.inv(m.kf_pose[1])
+    np.testing.assert_allclose(rel_after, rel_before, atol=1e-5)
+    # corrected current pose = S_rel @ T_loop exactly
+    np.testing.assert_allclose(m.kf_pose[1], S_rel @ T_loop, atol=1e-5)
+    # the neighbor's points ride with it: same camera-frame position
+    pt_cam_after = (m.kf_pose[2][:3, :3] @ m.pt_pos[0]
+                    + m.kf_pose[2][:3, 3])
+    np.testing.assert_allclose(pt_cam_after, pt_cam_before, atol=1e-4)
+
+
+def test_mono_loop_scale_propagates():
+    """ADVICE r1 (medium): with fix_scale=False the Sim3 scale must reach
+    the corrected poses ([R | t/s]) and shrink point depths by 1/s
+    (LoopClosing.cc:488-505), instead of being SE3-normalized away."""
+    lc, m, T_loop, T_cur, T_nb = _lc_with_neighborhood(yaw_nb=0.3)
+    s = 1.5
+    S_rel = np.eye(4, dtype=np.float32)
+    S_rel[:3, :3] = s * _yaw(0.1)
+    S_rel[:3, 3] = [0.2, 0.0, 0.1]
+    pt_cam_before = (m.kf_pose[2][:3, :3] @ m.pt_pos[0]
+                     + m.kf_pose[2][:3, 3])
+    _, _, corrected_sim3, _ = lc._propagate_correction(
+        1, 0, (S_rel, s), fix_scale=False)
+    # corrected Sim3 of the current KF carries the loop scale
+    Rk, tk, sk = corrected_sim3[1]
+    assert abs(sk - s) < 1e-4, sk
+    # stored SE3 pose = [R | t/s]
+    np.testing.assert_allclose(m.kf_pose[1][:3, :3], _yaw(0.1) @ T_loop[:3, :3],
+                               atol=1e-5)
+    np.testing.assert_allclose(m.kf_pose[1][:3, 3], tk / sk, atol=1e-5)
+    # points mapped through the scaled Sim3: camera-frame position (under
+    # the stored SE3 pose) shrinks by exactly 1/s
+    pt_cam_after = (m.kf_pose[2][:3, :3] @ m.pt_pos[0]
+                    + m.kf_pose[2][:3, 3])
+    np.testing.assert_allclose(pt_cam_after, pt_cam_before / s, atol=1e-4)
+
+
 @pytest.mark.slow
 def test_loop_closure_end_to_end(rng):
     """Full in-vivo loop closure: an out-and-back rectangle over a
