@@ -1,15 +1,24 @@
-"""Benchmark: stereo SLAM frontend throughput on KITTI-sized frames.
+"""Benchmark: stereo SLAM throughput on KITTI-sized frames.
 
 North star (BASELINE.md): KITTI-00 stereo frames/sec per chip. The
 reference paces frames at dataset rate (~10 Hz, stereo_kitti.cc:577-585) on
 a multi-core CPU; vs_baseline is measured fps / 10.
 
-The benchmark runs the per-frame device work of the tracking loop on one
-chip: ORB extraction on both images (pyramid + FAST + orientation + BRIEF,
-2000 features, 8 levels) + stereo matching — the hot path that dominates
-per-frame cost in the reference (SURVEY.md §3.1).
+Two measurements, one JSON line:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+* headline `kitti_stereo_frontend_fps`: the per-frame device work of the
+  tracking loop — ORB extraction on both images (pyramid + FAST +
+  orientation + BRIEF, 2000 features, 8 levels) + stereo matching — the
+  hot path that dominates per-frame cost in the reference (SURVEY.md
+  §3.1), with submit/collect pipelining (the production shape).
+* `full_loop_fps` + `full_loop_ate_m`: the COMPLETE tracking loop (fused
+  single-dispatch path: frontend + motion-model search + pose LM + local
+  map search + LM + keyframe events incl. triangulation/fusion/local BA)
+  on a synthetic KITTI-geometry sequence (1241x376, 2000 features),
+  with the trajectory's ATE RMSE vs exact ground truth attached so a
+  perf regression that breaks accuracy fails loudly.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -80,6 +89,8 @@ def main():
 
     fps = max(window() for _ in range(3))
 
+    full_fps, full_ate = bench_full_loop()
+
     print(
         json.dumps(
             {
@@ -87,9 +98,86 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / 10.0, 2),
+                "full_loop_fps": round(full_fps, 2),
+                "full_loop_vs_baseline": round(full_fps / 10.0, 2),
+                "full_loop_ate_m": round(full_ate, 4),
             }
         )
     )
+
+
+def bench_full_loop(n_frames: int = 40):
+    """Full fused tracking loop on a synthetic KITTI-geometry sequence.
+
+    Returns (sustained fps after initialization, ATE RMSE meters vs the
+    renderer's exact ground truth). The sequence is a textured ground
+    plane seen from 10 m up (synth_world geometry scaled to the KITTI-00
+    camera), forward motion ~0.8 m/frame.
+    """
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    import synth_world
+
+    from iv_slam_tpu.config import Config, CameraConfig, ORBConfig
+    from iv_slam_tpu.io import trajectory
+    from iv_slam_tpu.slam.system import System
+
+    H, W = 376, 1241
+    fx = 718.856
+    rng = np.random.default_rng(11)
+    world = synth_world.PlaneWorld(
+        rng, tex_size=8192, res=40.0, fx=fx, fy=fx, cx=W / 2.0, cy=H / 2.0,
+        w=W, h=H, baseline=0.54,
+    )
+    gt = []
+    frames = []
+    # KITTI-like kinematics: accelerate from standstill to 0.8 m/frame
+    # (KITTI-00 starts at rest) so the constant-velocity motion model has
+    # a bounded per-frame flow delta to absorb
+    x = 0.0
+    for i in range(n_frames):
+        x += min(0.1 * i, 0.8)
+        t = np.array([x, 0.1 * np.sin(i * 0.3), 0.0], np.float32)
+        Twc = synth_world.camera_pose(t, height=15.0,
+                                      yaw=0.01 * np.sin(i * 0.2))
+        frames.append(world.render_stereo(Twc))
+        gt.append(Twc)
+
+    cfg = Config()
+    cfg.camera = CameraConfig(
+        fx=fx, fy=fx, cx=W / 2.0, cy=H / 2.0, bf=0.54 * fx,
+        width=W, height=H, th_depth=35.0, fps=10.0,
+    )
+    cfg.orb = ORBConfig(n_features=2000, n_levels=8, ini_th_fast=20,
+                        min_th_fast=7)
+    cfg.system.fused_tracking = True
+
+    sys_ = System(cfg, H, W)
+    tr = sys_.tracking
+
+    # warm up compile caches on the first two frames (init + first track)
+    handle = tr.submit_frontend(*frames[0])
+    t_start = None
+    n_timed = 0
+    for i, (left, right) in enumerate(frames):
+        cur = handle
+        if i + 1 < len(frames):
+            handle = tr.submit_frontend(*frames[i + 1])
+        sys_.track_stereo(left, right, timestamp=i * 0.1,
+                          frontend_handle=cur)
+        if i == 4:  # init + compiles done; start the timed window
+            t_start = time.perf_counter()
+        elif t_start is not None:
+            n_timed += 1
+    elapsed = time.perf_counter() - t_start
+    fps = n_timed / elapsed
+
+    est = sys_.trajectory_twc()
+    k = len(est)
+    ate = trajectory.ate_rmse(est, gt[-k:]) if k >= 2 else float("nan")
+    return fps, ate
 
 
 if __name__ == "__main__":

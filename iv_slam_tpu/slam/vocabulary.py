@@ -128,6 +128,29 @@ class Vocabulary:
             k=np.int32(self.k), L=np.int32(self.L),
         )
 
+    def save_dbow2_text(self, path: str) -> None:
+        """Write the reference's DBoW2 text format
+        (TemplatedVocabulary::saveToTextFile / loadFromTextFile,
+        Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1338-1438): header
+        "k L scoring weighting", then one line per non-root node in id
+        order — "parent is_leaf d0..d31 weight". Node ids are assigned by
+        line order on load; our ids are creation-ordered (parent < child)
+        so emitting 1..N-1 in order round-trips exactly."""
+        parents = np.full(len(self.node_desc), -1, np.int64)
+        for p in range(len(self.children)):
+            for c in self.children[p]:
+                if c >= 0:
+                    parents[c] = p
+        with open(path, "w") as f:
+            # scoring 0 = L1_NORM, weighting 0 = TF_IDF (ORBvoc settings)
+            f.write(f"{self.k} {self.L} 0 0\n")
+            for i in range(1, len(self.node_desc)):
+                d = " ".join(str(int(b)) for b in self.node_desc[i])
+                f.write(
+                    f"{parents[i]} {1 if self.is_leaf[i] else 0} {d} "
+                    f"{float(self.weights[i]):.6f}\n"
+                )
+
     @staticmethod
     def load(path: str) -> "Vocabulary":
         """Load a vocabulary: .npz (native) or DBoW2 text by extension."""
