@@ -169,7 +169,7 @@ def main():
         sys_.tracking.datagen.finalize()
     out = args.out_visualization_path
     sys_.save_trajectory_kitti(os.path.join(out, "Trajectory_KITTI_000.txt"))
-    sys_.save_trajectory_tum(os.path.join(out, "KeyFrameTrajectory_TUM_000.txt"))
+    sys_.save_keyframe_trajectory_tum(os.path.join(out, "KeyFrameTrajectory_TUM_000.txt"))
     sys_.save_failure_log(os.path.join(out, "failure_log.txt"))
     stats = dict(
         frames=len(t_track), failures=sys_.failure_count,

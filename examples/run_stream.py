@@ -129,7 +129,7 @@ def main():
     if sys_ is not None:
         sys_.save_trajectory_kitti(
             os.path.join(args.out_path, "Trajectory_KITTI_000.txt"))
-        sys_.save_trajectory_tum(
+        sys_.save_keyframe_trajectory_tum(
             os.path.join(args.out_path, "KeyFrameTrajectory_TUM_000.txt"))
         sys_.save_failure_log(os.path.join(args.out_path, "failure_log.txt"))
         print(json.dumps(dict(frames=n_frames,

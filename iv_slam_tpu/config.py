@@ -195,6 +195,10 @@ class SystemConfig:
     # single-dispatch fused tracking (slam/fused_track.py): one device
     # program per frame against the device-resident map mirror
     fused_tracking: bool = False
+    # post-loop-closure global BA as a deferred device program merged at
+    # the next keyframe event (the reference's GBA thread + spanning-tree
+    # merge-back, LoopClosing.cc:584,620-745); False = blocking inline
+    async_gba: bool = True
 
 
 @dataclass

@@ -49,6 +49,10 @@ class LoopClosing:
         # persistent loop-closure edges (KeyFrame::GetLoopEdges): past
         # closures stay as normal edges in later essential graphs
         self.loop_edges: set = set()
+        # deferred global BA (the reference's GBA thread): dispatched at
+        # CorrectLoop, merged at the next keyframe event
+        self.pending_gba = None
+        self.async_gba = bool(getattr(cfg.system, "async_gba", True))
 
     # ------------------------------------------------------------- helpers
 
@@ -309,6 +313,8 @@ class LoopClosing:
                       fix_scale: bool = True):
         """Propagate the loop correction, fuse the loop sides, and run the
         essential graph + global BA."""
+        # join any previous deferred GBA before correcting on top of it
+        self.collect_gba()
         m = self.map
         corrected, uncorrected, corrected_sim3, corrected_ref = (
             self._propagate_correction(kf_id, loop_kf, S_corr, fix_scale)
@@ -356,19 +362,38 @@ class LoopClosing:
             kf_id, loop_kf, uncorrected, loop_connections, corrected_ref,
             corrected_sim3=corrected_sim3, fix_scale=fix_scale,
         )
-        # full map refinement (the reference spawns RunGlobalBundleAdjustment
-        # on a thread, LoopClosing.cc:584; inline here). 40 LM iterations,
-        # not the reference's 10: after SearchAndFuse merges the two loop
-        # populations their residual offset is the whole loop drift, and an
-        # under-converged GBA leaves the merged landmark field internally
-        # inconsistent — subsequent local BAs then ratchet the fresh
-        # keyframes away (measured on the loop e2e: median KF error 1.8 at
-        # 10 iters vs 0.39 at 40). The reference hides this by running GBA
-        # asynchronously while the map keeps evolving; inline the cost is
-        # one-time per closure.
-        from ..solvers.local_ba import global_bundle_adjustment
+        # full map refinement. The reference spawns RunGlobalBundleAdjustment
+        # on a thread (LoopClosing.cc:584) and merges the result back into a
+        # map that kept growing; here the GBA device program is DISPATCHED
+        # asynchronously (XLA dispatch returns futures — tracking continues
+        # while the chip crunches) and merged at the next keyframe event
+        # (collect_gba), including spanning-tree correction of keyframes
+        # created in the interim. 40 LM iterations, not the reference's 10:
+        # after SearchAndFuse merges the two loop populations their residual
+        # offset is the whole loop drift, and an under-converged GBA leaves
+        # the merged landmark field internally inconsistent.
+        from ..solvers.local_ba import (
+            apply_global_ba, global_bundle_adjustment_async,
+        )
 
-        global_bundle_adjustment(self.cfg, self.map, n_iters=40)
+        self.pending_gba = global_bundle_adjustment_async(
+            self.cfg, self.map, n_iters=40
+        )
+        if not self.async_gba and self.pending_gba is not None:
+            apply_global_ba(self.pending_gba, self.map)
+            self.pending_gba = None
+
+    def collect_gba(self) -> bool:
+        """Merge a pending deferred global BA into the (possibly grown)
+        map — the reference's RunGlobalBundleAdjustment merge-back.
+        Returns True if a merge happened."""
+        if self.pending_gba is None:
+            return False
+        from ..solvers.local_ba import apply_global_ba
+
+        apply_global_ba(self.pending_gba, self.map)
+        self.pending_gba = None
+        return True
 
     def _replace_point(self, keep: int, kill: int):
         """MapPoint::Replace (the loop point `keep` wins): absorb `kill`'s

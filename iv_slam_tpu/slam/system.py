@@ -130,6 +130,11 @@ class System:
     # --- output (System.h:148-163) ------------------------------------------
 
     def trajectory_twc(self):
+        # flush any deferred global BA so trajectories compose against the
+        # final keyframe poses (the reference joins the GBA thread on
+        # Shutdown before saving)
+        if getattr(self.tracking, "loop_closing", None) is not None:
+            self.tracking.loop_closing.collect_gba()
         return self.tracking.trajectory_poses()
 
     def save_trajectory_kitti(self, path: str):
@@ -142,6 +147,20 @@ class System:
         trajectory.save_tum(
             path, self.tracking.frame_times, self.trajectory_twc()
         )
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        """SaveKeyFrameTrajectoryTUM (System.cc:614-676): keyframe poses
+        only, sorted by id, timestamp + Twc quaternion per line."""
+        if getattr(self.tracking, "loop_closing", None) is not None:
+            self.tracking.loop_closing.collect_gba()
+        m = self.tracking.map
+        times, poses = [], []
+        for k in range(m.n_keyframes):
+            if not m.kf_alive[k]:
+                continue
+            times.append(float(m.kf_timestamp[k]))
+            poses.append(np.linalg.inv(m.kf_pose[k]))
+        trajectory.save_tum(path, times, poses)
 
     def save_failure_log(self, path: str):
         with open(path, "w") as f:

@@ -117,6 +117,14 @@ class Tracking:
         gt_depth_map: optional full-resolution GT depth image (AirSim PFM
         path, stereo_airsim.cc:339-360); sampled per keypoint as the
         reference's mvKeysGTDepth (Frame.cc:152-191)."""
+        # join a finished deferred global BA as soon as its device result
+        # is ready (the reference's GBA thread merges the moment it
+        # finishes, LoopClosing.cc:649) — non-blocking probe per frame
+        lc = getattr(self, "loop_closing", None)
+        if (lc is not None and lc.pending_gba is not None
+                and lc.pending_gba.res.kf_pose.is_ready()):
+            lc.collect_gba()
+            self._dmap_dirty = True
         # Defer the frontend host-view download when the fused step will
         # run: the fused dispatch launches against device arrays first and
         # one batched device_get then drains views + results together
@@ -870,9 +878,16 @@ class Tracking:
             and hasattr(self, "loop_closing")
             and self.map.kf_alive[kf_id]
         ):
-            self.loop_closing.process_keyframe(
+            # merge a deferred global BA from an earlier closure before
+            # anything else touches the map at this keyframe event (the
+            # reference's RunGlobalBundleAdjustment merge-back runs
+            # concurrently; here the next keyframe event is the join point)
+            if self.loop_closing.collect_gba():
+                self._dmap_dirty = True
+            if self.loop_closing.process_keyframe(
                 kf_id, fix_scale=self.cfg.system.sensor != "mono"
-            )
+            ):
+                self._dmap_dirty = True
 
     # -------------------------------------------------------- relocalization
 

@@ -70,7 +70,9 @@ def _chi2(e, inv_s2):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_iters1", "n_iters2", "n_kf_slots")
+    jax.jit,
+    static_argnames=("n_iters1", "n_iters2", "n_kf_slots", "kernel2",
+                     "midpoint_gate"),
 )
 def ba_solve(
     prob: BAProblem,
@@ -78,7 +80,14 @@ def ba_solve(
     n_iters1: int = 5,
     n_iters2: int = 10,
     n_kf_slots: int = 0,
+    kernel2: bool = False,
+    midpoint_gate: bool = True,
 ) -> BAResult:
+    """kernel2/midpoint_gate mirror the reference's two BA flavors:
+    LocalBundleAdjustment gates outliers between optimize(5)/optimize(10)
+    and REMOVES the robust kernel for the second run (Optimizer.cc:774,
+    790); plain BundleAdjustment (global BA) is one robust run with no
+    midpoint reclassification (Optimizer.cc:51-249)."""
     n_kf = prob.kf_pose.shape[0] if n_kf_slots == 0 else n_kf_slots
     n_pt = prob.pt_pos.shape[0]
     is_stereo = prob.e_obs[:, 2] >= 0
@@ -167,9 +176,16 @@ def ba_solve(
             Ut_dc = jnp.einsum("pia,i->pa", U2, dc.reshape(-1))
             dp = jnp.einsum("pab,pb->pa", Hpp_inv, gp - Ut_dc)
             dp = jnp.where(prob.pt_valid[:, None], dp, 0.0)
+            # Powell's predicted decrease uses the ORIGINAL gradient of
+            # every block (g2o computeScale: dx^T (lambda dx + b)), NOT the
+            # Schur-reduced rhs — with the reduced gradient the prediction
+            # overshoots, rho saturates ~2/3, lambda never decays, and the
+            # solver crawls (measured: 15 LM iters left a 0.9 m keyframe
+            # error that this formula removes in the same 15)
             scale = (
-                jnp.sum(dc.reshape(-1) * (lam_c * dc.reshape(-1) + rhs))
-                + jnp.sum(dp * (lam_c * dp + (gp - Ut_dc)))
+                jnp.sum(dc.reshape(-1) * (lam_c * dc.reshape(-1)
+                                          + gc.reshape(-1)))
+                + jnp.sum(dp * (lam_c * dp + gp))
             )
             return dc, dp, scale
 
@@ -235,10 +251,14 @@ def ba_solve(
     # outlier gate between phases (Optimizer.cc:786-817)
     e, pc, _, _ = _edge_terms(kf_pose, pt_pos, prob, K)
     c2 = _chi2(e, prob.e_inv_s2)
-    inlier = prob.e_valid & (c2 <= chi2_th) & (pc[:, 2] > 0)
+    if midpoint_gate:
+        inlier = prob.e_valid & (c2 <= chi2_th) & (pc[:, 2] > 0)
+    else:
+        inlier = prob.e_valid
 
-    # phase 2: 10 more iterations on inliers, still robust
-    kf_pose, pt_pos = lm_phase(kf_pose, pt_pos, inlier, True, n_iters2)
+    # phase 2: 10 more iterations on the inlier set; the reference strips
+    # the robust kernel here (setRobustKernel(0), Optimizer.cc:774,790)
+    kf_pose, pt_pos = lm_phase(kf_pose, pt_pos, inlier, kernel2, n_iters2)
 
     # final classification (Optimizer.cc:820-850)
     e, pc, _, _ = _edge_terms(kf_pose, pt_pos, prob, K)

@@ -28,16 +28,13 @@ def _bucket_kf(n: int) -> int:
     return max(32, ((n + 31) // 32) * 32)
 
 
-def _run_ba(
-    cfg, m, local_kfs, fixed_kfs, pts,
-    n_iters1: int = 5, n_iters2: int = 10,
-    erase_outliers: bool = True, extra_fixed=frozenset(),
-    return_edges: bool = False,
-):
+def _assemble(cfg, m, local_kfs, fixed_kfs, pts, extra_fixed=frozenset()):
+    """Pack a keyframe/point window into a padded BAProblem. Returns
+    (prob, K, all_kfs, e_feat, E) or None when the window is degenerate."""
     all_kfs = list(local_kfs) + list(fixed_kfs)
     kf_slot = {k: i for i, k in enumerate(all_kfs)}
     if len(pts) == 0 or len(all_kfs) < 2:
-        return
+        return None
 
     # Edge assembly, vectorized per keyframe: each window frame's map_pt
     # array IS its observation list (kept in lockstep with pt_obs by the
@@ -133,10 +130,28 @@ def _run_ba(
         ),
     )
     K = camera.Intrinsics.from_config(cfg.camera)
-    res = ba_solve(prob, K, n_iters1=n_iters1, n_iters2=n_iters2)
+    return prob, K, all_kfs, e_feat, E
+
+
+def _run_ba(
+    cfg, m, local_kfs, fixed_kfs, pts,
+    n_iters1: int = 5, n_iters2: int = 10,
+    erase_outliers: bool = True, extra_fixed=frozenset(),
+    return_edges: bool = False,
+    kernel2: bool = False, midpoint_gate: bool = True,
+):
+    packed = _assemble(cfg, m, local_kfs, fixed_kfs, pts,
+                       extra_fixed=extra_fixed)
+    if packed is None:
+        return
+    prob, K, all_kfs, e_feat, E = packed
+    kf_fixed = np.asarray(prob.kf_fixed)
+    n_local = len(local_kfs)
+    res = ba_solve(prob, K, n_iters1=n_iters1, n_iters2=n_iters2,
+                   kernel2=kernel2, midpoint_gate=midpoint_gate)
 
     new_poses = np.asarray(res.kf_pose)
-    for i, k in enumerate(all_kfs[: len(local_kfs)]):
+    for i, k in enumerate(all_kfs[:n_local]):
         if not kf_fixed[i]:
             m.set_kf_pose(k, new_poses[i])
     new_pts = np.asarray(res.pt_pos)
@@ -262,8 +277,114 @@ def global_bundle_adjustment(cfg, m, n_iters: int = 20, fixed_kfs=()):
     if len(alive_kfs) < 2:
         return
     pts = [p for p in range(m.n_points) if m.pt_alive[p] and m.pt_obs[p]]
+    # the reference's global BA is ONE robust run: no midpoint outlier
+    # reclassification, Huber kept throughout (Optimizer.cc:51-249)
     _run_ba(
         cfg, m, alive_kfs, [], pts,
         n_iters1=n_iters // 2, n_iters2=n_iters - n_iters // 2,
         erase_outliers=False, extra_fixed=set(fixed_kfs),
+        kernel2=True, midpoint_gate=False,
     )
+
+
+class GBAHandle:
+    """In-flight deferred global BA (the reference's GBA thread,
+    LoopClosing.cc:584): the device program is dispatched asynchronously
+    (XLA dispatch returns futures); the host applies the result later via
+    apply_global_ba, propagating corrections to keyframes/points created
+    while it ran (RunGlobalBundleAdjustment, LoopClosing.cc:649-745)."""
+
+    def __init__(self, res, kf_ids, pt_in_snapshot, n_points_snapshot):
+        self.res = res                       # BAResult (device arrays)
+        self.kf_ids = kf_ids                 # snapshot keyframe ids
+        self.pt_in_snapshot = pt_in_snapshot  # (n_points_snapshot,) bool
+        self.n_points_snapshot = n_points_snapshot
+
+
+def global_bundle_adjustment_async(cfg, m, n_iters: int = 20,
+                                   fixed_kfs=()):
+    """Dispatch global BA on the device WITHOUT blocking; returns a
+    GBAHandle (or None if degenerate). Tracking keeps running against the
+    uncorrected map — the reference's concurrent-GBA semantics."""
+    alive_kfs = [k for k in range(m.n_keyframes) if m.kf_alive[k]]
+    if len(alive_kfs) < 2:
+        return None
+    pts = [p for p in range(m.n_points) if m.pt_alive[p] and m.pt_obs[p]]
+    packed = _assemble(cfg, m, alive_kfs, [], pts,
+                       extra_fixed=set(fixed_kfs))
+    if packed is None:
+        return None
+    prob, K, all_kfs, _e_feat, _E = packed
+    res = ba_solve(
+        prob, K, n_iters1=n_iters // 2, n_iters2=n_iters - n_iters // 2,
+        kernel2=True, midpoint_gate=False,
+    )  # async dispatch: no host sync here
+    in_snap = np.zeros(m.n_points, bool)
+    in_snap[np.asarray(pts)] = True
+    return GBAHandle(res, list(all_kfs), in_snap, m.n_points)
+
+
+def apply_global_ba(handle: GBAHandle, m):
+    """Merge a finished GBA into a map that kept growing — the
+    reference's RunGlobalBundleAdjustment merge (LoopClosing.cc:649-745):
+
+    * snapshot keyframes take their optimized poses (mTcwGBA);
+    * keyframes created during GBA are corrected through the spanning
+      tree: T_new = (T_child @ T_parent_before^-1) @ T_parent_GBA, parent
+      = max-covisibility already-corrected keyframe (how the reference's
+      spanning tree is built), processed in id order;
+    * snapshot map points take their optimized positions (mPosGBA);
+      points created during GBA ride their reference keyframe's
+      before->after delta (backproject with TcwBefGBA, reproject with
+      the corrected pose).
+    """
+    new_kf_poses = np.asarray(handle.res.kf_pose)
+    new_pt_pos = np.asarray(handle.res.pt_pos)  # blocks until GBA done
+    slot = {k: i for i, k in enumerate(handle.kf_ids)}
+
+    before = {}
+    for k, i in slot.items():
+        if not m.kf_alive[k]:
+            continue
+        before[k] = m.kf_pose[k].copy()
+        m.set_kf_pose(k, new_kf_poses[i])
+    corrected = set(before)
+
+    # keyframes created while GBA ran
+    new_kfs = [k for k in range(m.n_keyframes)
+               if m.kf_alive[k] and k not in slot]
+    for k in sorted(new_kfs):
+        parent, best_w = -1, -1
+        for nb, w in m.covisible_keyframes(k):
+            if nb in corrected and w > best_w:
+                parent, best_w = nb, w
+        if parent < 0:
+            cand = [c for c in corrected if c < k]
+            if not cand:
+                continue
+            parent = max(cand)
+        T_child = m.kf_pose[k].copy()
+        T_new = (T_child @ np.linalg.inv(before[parent])
+                 @ m.kf_pose[parent]).astype(np.float32)
+        before[k] = T_child
+        m.set_kf_pose(k, T_new)
+        corrected.add(k)
+
+    for pid in range(m.n_points):
+        if not m.pt_alive[pid]:
+            continue
+        if pid < handle.n_points_snapshot and handle.pt_in_snapshot[pid]:
+            # find its slot: snapshot points were packed in sorted order
+            continue  # handled vectorized below
+        ref = int(m.pt_ref_kf[pid])
+        if ref not in before:
+            continue
+        pc = before[ref][:3, :3] @ m.pt_pos[pid] + before[ref][:3, 3]
+        Twc = np.linalg.inv(m.kf_pose[ref])
+        m.pt_pos[pid] = (Twc[:3, :3] @ pc + Twc[:3, 3]).astype(np.float32)
+
+    snap_ids = np.nonzero(handle.pt_in_snapshot)[0]
+    alive = m.pt_alive[snap_ids]
+    m.pt_pos[snap_ids[alive]] = new_pt_pos[: len(snap_ids)][alive]
+    for pid in snap_ids[alive]:
+        m.update_normal_and_depth(int(pid))

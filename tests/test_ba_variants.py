@@ -89,3 +89,59 @@ def test_constrained_ba_writes_keypoint_quality(rng):
         if f is not None:
             qs = f.qual_score[f.map_pt >= 0]
             assert (qs >= -1.0).all() and (qs <= 1.0).all()
+
+
+def test_ba_converges_at_reference_iteration_budget(rng):
+    """Regression for the LM rho-denominator fix (g2o computeScale uses
+    the ORIGINAL gradient, not the Schur-reduced rhs): a displaced
+    keyframe 1 m off a clean two-KF stereo problem must be pulled back by
+    the reference's own iteration budget optimize(5)+optimize(10), not by
+    50 iterations. With the reduced-gradient denominator rho saturates
+    ~2/3, lambda never decays, and the same problem stalls ~0.9 m out."""
+    import jax.numpy as jnp
+
+    from iv_slam_tpu.geometry import camera
+    from iv_slam_tpu.solvers.ba_core import BAProblem, ba_solve
+
+    cfg = CameraConfig(fx=400.0, fy=400.0, cx=160.0, cy=120.0, bf=200.0)
+    K = camera.Intrinsics.from_config(cfg)
+    n_pts = 200
+    pts = np.stack([
+        rng.uniform(-4, 4, n_pts), rng.uniform(-3, 3, n_pts),
+        rng.uniform(8, 14, n_pts),
+    ], 1).astype(np.float32)
+    T0 = np.eye(4, dtype=np.float32)
+    T1_true = np.eye(4, dtype=np.float32)
+    T1_true[:3, 3] = [-1.2, 0.0, 0.0]   # camera moved +1.2 m in x
+    T1_bad = T1_true.copy()
+    T1_bad[:3, 3] = [-0.2, 0.1, -0.2]   # 1 m initialization error
+
+    def obs(T):
+        pc = pts @ T[:3, :3].T + T[:3, 3]
+        u = 400 * pc[:, 0] / pc[:, 2] + 160
+        v = 400 * pc[:, 1] / pc[:, 2] + 120
+        ur = u - 200.0 / pc[:, 2]
+        return np.stack([u, v, ur], 1).astype(np.float32)
+
+    e_obs = np.concatenate([obs(T0), obs(T1_true)])
+    e_kf = np.concatenate([np.zeros(n_pts), np.ones(n_pts)]).astype(np.int32)
+    e_pt = np.concatenate([np.arange(n_pts)] * 2).astype(np.int32)
+    # perturb the points too — BA must fix both jointly
+    pts_bad = pts + rng.normal(0, 0.05, pts.shape).astype(np.float32)
+
+    prob = BAProblem(
+        kf_pose=jnp.asarray(np.stack([T0, T1_bad])),
+        kf_fixed=jnp.asarray(np.array([True, False])),
+        pt_pos=jnp.asarray(pts_bad),
+        pt_valid=jnp.ones(n_pts, bool),
+        e_kf=jnp.asarray(e_kf),
+        e_pt=jnp.asarray(e_pt),
+        e_obs=jnp.asarray(e_obs),
+        e_inv_s2=jnp.ones(2 * n_pts),
+        e_qual=jnp.ones(2 * n_pts),
+        e_valid=jnp.ones(2 * n_pts, bool),
+    )
+    res = ba_solve(prob, K, n_iters1=5, n_iters2=10)
+    T1_opt = np.asarray(res.kf_pose[1])
+    err = np.linalg.norm(T1_opt[:3, 3] - T1_true[:3, 3])
+    assert err < 0.01, err

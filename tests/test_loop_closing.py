@@ -409,3 +409,108 @@ def test_loop_closure_end_to_end(rng):
     est = sys_.trajectory_twc()
     end_err = np.linalg.norm(est[-1][:3, 3][:2] - np.array(wp[-1]))
     assert end_err < 1.0, end_err
+
+
+def test_async_gba_merge_back():
+    """VERDICT r1 #5: keyframes/points created WHILE a deferred global BA
+    runs must be corrected through the spanning tree at merge time
+    (RunGlobalBundleAdjustment, LoopClosing.cc:649-745) — the merged map
+    must converge to the blocking-GBA result."""
+    from iv_slam_tpu.solvers.local_ba import (
+        apply_global_ba, global_bundle_adjustment,
+        global_bundle_adjustment_async,
+    )
+
+    def build_map():
+        cfg = Config()
+        cfg.camera = CameraConfig(fx=400, fy=400, cx=160, cy=120, bf=200,
+                                  width=320, height=240)
+        m = MapStore(n_levels=8, scale_factor=1.2)
+        rng = np.random.default_rng(9)
+        # a drifted 6-KF chain over shared landmarks: GBA must pull the
+        # chain onto the (noise-free) observations
+        n_pts = 60
+        Xw = np.stack([rng.uniform(-4, 4, n_pts), rng.uniform(-3, 3, n_pts),
+                       rng.uniform(8, 14, n_pts)], 1).astype(np.float32)
+        descs = rng.integers(0, 256, (n_pts, 32)).astype(np.uint8)
+
+        def tcw(x, drift):
+            T = np.eye(4, dtype=np.float32)
+            T[:3, 3] = [-(x + drift), 0, 0]
+            return T
+
+        frames = []
+        for k in range(6):
+            T_true = tcw(0.3 * k, 0.0)
+            pc = Xw @ T_true[:3, :3].T + T_true[:3, 3]
+            uv = np.stack([400 * pc[:, 0] / pc[:, 2] + 160,
+                           400 * pc[:, 1] / pc[:, 2] + 120], 1)
+            f = _make_frame(k, uv, descs, tcw(0.3 * k, 0.05 * k))
+            f.u_right[:n_pts] = uv[:, 0] - 200.0 / pc[:, 2]
+            kf = m.add_keyframe(f)
+            frames.append(f)
+            if k == 0:
+                for i in range(n_pts):
+                    pid = m.add_point(Xw[i] .astype(np.float32), kf)
+                    m.add_observation(pid, kf, i)
+                    f.map_pt[i] = pid
+            else:
+                for i in range(n_pts):
+                    m.add_observation(i, kf, i)
+                    f.map_pt[i] = i
+        return m, frames, Xw, tcw
+
+    cfg = Config()
+    cfg.camera = CameraConfig(fx=400, fy=400, cx=160, cy=120, bf=200,
+                              width=320, height=240)
+
+    # blocking baseline on the 6-KF map
+    m_block, *_ = build_map()
+    global_bundle_adjustment(cfg, m_block, n_iters=20)
+
+    # async: dispatch on the 6-KF map, then grow the map (a 7th KF +
+    # fresh points, as tracking would during the GBA), then merge
+    m_async, frames, Xw, tcw = build_map()
+    handle = global_bundle_adjustment_async(cfg, m_async, n_iters=20)
+    assert handle is not None
+    rng = np.random.default_rng(3)
+    T7_drift = tcw(0.3 * 6, 0.05 * 6)
+    descs = rng.integers(0, 256, (20, 32)).astype(np.uint8)
+    f7 = _make_frame(6, np.zeros((20, 2)), descs, T7_drift)
+    kf7 = m_async.add_keyframe(f7)
+    new_pids = []
+    for i in range(20):
+        # new points triangulated in the drifted frame of KF5/KF6
+        p = (Xw[i] + [0.0, 0.0, 0.5]).astype(np.float32)
+        pid = m_async.add_point(p, kf7)
+        m_async.add_observation(pid, kf7, i)
+        m_async.add_observation(pid, 5, i + 20)
+        f7.map_pt[i] = pid
+        m_async.kf_frames[5].map_pt[i + 20] = pid
+        new_pids.append(pid)
+    apply_global_ba(handle, m_async)
+
+    # snapshot keyframes converge to the blocking result
+    for k in range(6):
+        np.testing.assert_allclose(
+            m_async.kf_pose[k], m_block.kf_pose[k], atol=1e-4
+        )
+    # the interim keyframe rode its parent's (KF5) correction: its pose
+    # relative to KF5 is preserved
+    rel_before = T7_drift @ np.linalg.inv(tcw(0.3 * 5, 0.05 * 5))
+    rel_after = m_async.kf_pose[kf7] @ np.linalg.inv(m_async.kf_pose[5])
+    np.testing.assert_allclose(rel_after, rel_before, atol=1e-3)
+    # interim points rode their reference keyframe's delta: camera-frame
+    # position under the (corrected) ref KF equals the pre-merge
+    # camera-frame position under the drifted pose
+    for pid in new_pids[:5]:
+        p_before = (Xw[pid - new_pids[0]] + [0.0, 0.0, 0.5]).astype(
+            np.float32)
+        pc_before = T7_drift[:3, :3] @ p_before + T7_drift[:3, 3]
+        pc_after = (m_async.kf_pose[kf7][:3, :3] @ m_async.pt_pos[pid]
+                    + m_async.kf_pose[kf7][:3, 3])
+        np.testing.assert_allclose(pc_after, pc_before, atol=1e-3)
+    # and the correction was non-trivial (the chain really moved)
+    d_kf5 = np.linalg.norm(m_async.kf_pose[5][:3, 3]
+                           - tcw(0.3 * 5, 0.05 * 5)[:3, 3])
+    assert d_kf5 > 1e-3
