@@ -117,6 +117,48 @@ class Vocabulary:
         voc.weights[voc.node_of_word] = idf.astype(np.float32)
         return voc
 
+    @staticmethod
+    def synthesize(k: int = 10, L: int = 6, seed: int = 0,
+                   flip_bits: int = 40) -> "Vocabulary":
+        """Synthesize a full k^L tree at ORBvoc scale (k=10, L=6 -> 1M
+        leaves) without a descriptor corpus: each child's descriptor is
+        its parent's with `flip_bits` random bits flipped, so the tree has
+        the coarse-to-fine Hamming structure k-medians training produces.
+        Used to exercise realistic-scale place recognition (the reference
+        ships a ~1M-leaf ORBvoc.txt, build.sh:22-26) where training one
+        from data would need a corpus of millions of descriptors."""
+        rng = np.random.default_rng(seed)
+        n_internal = (k ** L - 1) // (k - 1)
+        n_nodes = n_internal + k ** L
+        node_desc = np.empty((n_nodes, 32), np.uint8)
+        node_desc[0] = rng.integers(0, 256, 32)
+        children = np.full((n_nodes, k), -1, np.int32)
+        is_leaf = np.zeros(n_nodes, bool)
+        # level-by-level: nodes are laid out in BFS order, so level l
+        # occupies [ (k^l - 1)/(k-1), (k^{l+1} - 1)/(k-1) )
+        start = 0
+        for lvl in range(L):
+            n_lvl = k ** lvl
+            child_start = start + n_lvl
+            ids = np.arange(start, start + n_lvl)
+            kid_ids = (child_start
+                       + (np.arange(n_lvl * k)).reshape(n_lvl, k))
+            children[ids] = kid_ids
+            # child descriptors: parent bits with flip_bits flips each
+            parent_bits = np.unpackbits(node_desc[ids], axis=1)  # (n,256)
+            kid_bits = np.repeat(parent_bits, k, axis=0)
+            flips = rng.integers(0, 256, size=(n_lvl * k, flip_bits))
+            rows = np.repeat(np.arange(n_lvl * k), flip_bits)
+            kid_bits[rows, flips.ravel()] ^= 1
+            node_desc[child_start: child_start + n_lvl * k] = np.packbits(
+                kid_bits, axis=1)
+            start = child_start
+        is_leaf[n_internal:] = True
+        weights = np.zeros(n_nodes, np.float32)
+        weights[n_internal:] = rng.uniform(0.2, 1.0, k ** L).astype(
+            np.float32)
+        return Vocabulary(children, node_desc, weights, is_leaf, k, L)
+
     # --------------------------------------------------------- persistence
 
     def save(self, path: str) -> None:
@@ -136,20 +178,25 @@ class Vocabulary:
         order — "parent is_leaf d0..d31 weight". Node ids are assigned by
         line order on load; our ids are creation-ordered (parent < child)
         so emitting 1..N-1 in order round-trips exactly."""
-        parents = np.full(len(self.node_desc), -1, np.int64)
-        for p in range(len(self.children)):
-            for c in self.children[p]:
-                if c >= 0:
-                    parents[c] = p
+        n = len(self.node_desc)
+        parents = np.full(n, -1, np.int64)
+        src = np.repeat(np.arange(len(self.children)), self.children.shape[1])
+        dst = self.children.reshape(-1)
+        ok = dst >= 0
+        parents[dst[ok]] = src[ok]
+        # one (n-1, 35) table [parent, is_leaf, d0..d31, weight] written
+        # via savetxt (fast enough for ORBvoc-scale, ~1M lines); float64
+        # carries the integer columns exactly (all < 2^53)
+        table = np.empty((n - 1, 35), np.float64)
+        table[:, 0] = parents[1:]
+        table[:, 1] = self.is_leaf[1:]
+        table[:, 2:34] = self.node_desc[1:]
+        table[:, 34] = self.weights[1:]
         with open(path, "w") as f:
             # scoring 0 = L1_NORM, weighting 0 = TF_IDF (ORBvoc settings)
             f.write(f"{self.k} {self.L} 0 0\n")
-            for i in range(1, len(self.node_desc)):
-                d = " ".join(str(int(b)) for b in self.node_desc[i])
-                f.write(
-                    f"{parents[i]} {1 if self.is_leaf[i] else 0} {d} "
-                    f"{float(self.weights[i]):.6f}\n"
-                )
+            np.savetxt(f, table, fmt=["%d"] * 34 + ["%.6f"],
+                       delimiter=" ")
 
     @staticmethod
     def load(path: str) -> "Vocabulary":

@@ -60,3 +60,13 @@ _cc.reset_cache()
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+# Optional fast-compile mode for local iteration: XLA:CPU spends most of
+# the suite's wall-clock compiling; IVT_FAST_COMPILE=1 disables most HLO
+# optimization passes (identical semantics, slower kernels, much faster
+# compiles). Not default until timings/goldens are validated under it.
+import os as _os
+
+if _os.environ.get("IVT_FAST_COMPILE"):
+    jax.config.update("jax_disable_most_optimizations", True)
