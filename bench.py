@@ -153,6 +153,7 @@ def bench_full_loop(n_frames: int = 40):
     cfg.orb = ORBConfig(n_features=2000, n_levels=8, ini_th_fast=20,
                         min_th_fast=7)
     cfg.system.fused_tracking = True
+    cfg.system.prewarm = True  # background-compile the program ladder
 
     sys_ = System(cfg, H, W)
     tr = sys_.tracking

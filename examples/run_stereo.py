@@ -81,6 +81,9 @@ def parse_args():
     p.add_argument("--fused_tracking", action="store_true",
                    help="single-dispatch fused tracking step against the "
                         "device-resident map mirror (slam/fused_track.py)")
+    p.add_argument("--prewarm", action="store_true",
+                   help="background-compile the fused program ladder at "
+                        "startup (slam/prewarm.py; needs --fused_tracking)")
     p.add_argument("--rectify_images", action="store_true",
                    help="rectify with the settings' LEFT./RIGHT. blocks "
                         "(stereo_kitti.cc:286-343)")
@@ -107,6 +110,7 @@ def main():
     cfg.iv.inference_mode = args.inference_mode
     cfg.iv.create_dataset = args.create_ivslam_dataset
     cfg.system.fused_tracking = args.fused_tracking
+    cfg.system.prewarm = args.prewarm
 
     if args.dataset == "kitti":
         seq = datasets.load_kitti_stereo(

@@ -199,6 +199,10 @@ class SystemConfig:
     # the next keyframe event (the reference's GBA thread + spanning-tree
     # merge-back, LoopClosing.cc:584,620-745); False = blocking inline
     async_gba: bool = True
+    # background-compile the fused-tracking/keyframe-event program ladder
+    # at startup (slam/prewarm.py) so map growth never pays a remote
+    # compile on the tracking path; needs fused_tracking
+    prewarm: bool = False
 
 
 @dataclass

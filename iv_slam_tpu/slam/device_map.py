@@ -65,9 +65,13 @@ class DeviceMap:
         program keeps one static shape while early-session syncs ship
         ~10-30x less than the 32k-capacity tables."""
         n = min(m.n_points, self.capacity)
+        # coarse x4 rungs (1k/4k/16k/capacity): each live-view size change
+        # recompiles the big fused-tracking program through the remote
+        # compile link, so the ladder is kept to <= 4 shapes per session —
+        # all prewarmable at startup (slam/prewarm.py)
         cap = 1024
         while cap < n:
-            cap *= 2
+            cap *= 4
         cap = min(cap, self.capacity)
         packed = np.zeros((cap, 9), np.float32)
         desc = np.zeros((cap, 32), np.uint8)

@@ -128,10 +128,10 @@ class LocalMapping:
             return
 
         # ---- ONE launch: epipolar search + all-pair triangulation fused
-        # (bucketed NB so the program compiles once per bucket)
-        nb_cap = 1
-        while nb_cap < len(cand):
-            nb_cap *= 2
+        # (fixed NB slot count: exactly one compiled shape per session —
+        # n_neighbors <= 16 always, padded slots are masked out)
+        nb_cap = 16
+        cand = cand[:nb_cap]
         pad_nb = nb_cap - len(cand)
         c0 = cand[0]
 
@@ -166,6 +166,7 @@ class LocalMapping:
         assign_nb = pack[:, :, 0].astype(np.int64)
         good_nb = pack[:, :, 1] != 0.0
         pts_nb = pack[:, :, 2:5]
+        new_pids = []
         for nb_i, f1 in zip(*np.nonzero(good_nb)):
             c = cand[int(nb_i)]
             nf = c["nf"]
@@ -178,9 +179,10 @@ class LocalMapping:
             m.add_observation(pid, c["nb"], f2)
             cur.map_pt[f1] = pid
             nf.map_pt[f2] = pid
-            m.compute_distinctive_descriptor(pid)
-            m.update_normal_and_depth(pid)
+            new_pids.append(pid)
             self.recent_points[pid] = kf_id
+        m.compute_distinctive_descriptor_batch(new_pids)
+        m.update_normal_and_depth_batch(new_pids)
 
     def _median_scene_depth(self, kf_id: int) -> float:
         """KeyFrame::ComputeSceneMedianDepth: median z of the keyframe's map
@@ -233,14 +235,27 @@ class LocalMapping:
         union = sorted(set(cur_pts) | set(fuse_pts))
         if not union or not targets:
             return
+        # coarse rungs (x4 growth, hard cap): at most 3 point-axis shapes
+        # and 2 target-axis shapes per session, all prewarmable. Beyond the
+        # cap the reverse-fuse candidate set is truncated (the forward set
+        # — the current keyframe's own points — always fits first because
+        # union is ordered with cur_pts interleaved; at KITTI scale the
+        # union stays well under the cap).
+        P_CAP, NB_CAP = 8192, 64
+        if len(union) > P_CAP:
+            cur_set = set(cur_pts)
+            union = sorted(cur_set) + [p for p in fuse_pts
+                                       if p not in cur_set][: P_CAP - len(cur_set)]
+            union = sorted(union)
         pid_arr = np.asarray(union, np.int64)
         slot = {p: i for i, p in enumerate(union)}
         p_cap = 1024
         while p_cap < len(union):
-            p_cap *= 2
-        nb_cap = 1
-        while nb_cap < len(all_targets):
-            nb_cap *= 2
+            p_cap *= 4
+        p_cap = min(p_cap, P_CAP)
+        all_targets = all_targets[: NB_CAP - 1] + [kf_id] \
+            if len(all_targets) > NB_CAP else all_targets
+        nb_cap = 16 if len(all_targets) <= 16 else NB_CAP
 
         # per-target eligibility: forward targets see cur_pts, the current
         # keyframe sees the neighbors' points. The already-observed gate
@@ -250,7 +265,7 @@ class LocalMapping:
         fwd = np.zeros(p_cap, bool)
         fwd[[slot[p] for p in cur_pts]] = True
         rev = np.zeros(p_cap, bool)
-        rev[[slot[p] for p in fuse_pts]] = True
+        rev[[slot[p] for p in fuse_pts if p in slot]] = True
         for t, nb in enumerate(all_targets):
             mask[t] = rev if nb == kf_id else fwd
 
@@ -318,10 +333,9 @@ class LocalMapping:
                     m.add_observation(pid, nb, feat)
                     frame.map_pt[feat] = pid
                     touched.add(pid)
-        for pid in touched:
-            if m.pt_alive[pid]:
-                m.compute_distinctive_descriptor(pid)
-                m.update_normal_and_depth(pid)
+        alive = [p for p in touched if m.pt_alive[p]]
+        m.compute_distinctive_descriptor_batch(alive)
+        m.update_normal_and_depth_batch(alive)
 
     # ------------------------------------------------------------- culling
 

@@ -126,6 +126,106 @@ class MapStore:
         medians = np.median(np.sort(dist, axis=1), axis=1)
         self.pt_desc[pid] = D[int(np.argmin(medians))]
 
+    def compute_distinctive_descriptor_batch(self, pids):
+        """Vectorized compute_distinctive_descriptor over many points —
+        keyframe events touch thousands of points and the per-call numpy
+        overhead of the scalar version dominates the host side of the
+        event. Ragged observation lists are padded to the max count; the
+        min-median-Hamming selection is identical."""
+        pids = [int(p) for p in pids if self.pt_obs[p]]
+        if not pids:
+            return
+        desc_rows = []   # per point: list of (32,) u8
+        counts = np.empty(len(pids), np.int64)
+        for i, p in enumerate(pids):
+            rows = [
+                self.kf_frames[k].desc[f]
+                for k, f in self.pt_obs[p].items()
+                if self.kf_frames[k] is not None
+            ]
+            counts[i] = len(rows)
+            desc_rows.append(rows)
+        cap = int(counts.max())
+        if cap == 0:
+            return
+        P = len(pids)
+        D = np.zeros((P, cap, 32), np.uint8)
+        for i, rows in enumerate(desc_rows):
+            if rows:
+                D[i, : len(rows)] = rows
+        dist = _hamming_np(D[:, :, None, :], D[:, None, :, :])  # (P,c,c)
+        # mask padded columns with +inf so each row's median covers only
+        # the real observations (ties to the scalar sort-then-median)
+        j_ok = np.arange(cap)[None, :] < counts[:, None]        # (P, c)
+        dist = np.where(j_ok[:, None, :], dist.astype(np.float32), np.inf)
+        sorted_d = np.sort(dist, axis=2)
+        lo = (counts - 1) // 2
+        hi = counts // 2
+        med = 0.5 * (
+            np.take_along_axis(sorted_d, lo[:, None, None], axis=2)
+            + np.take_along_axis(sorted_d, hi[:, None, None], axis=2)
+        )[:, :, 0]                                              # (P, c)
+        med = np.where(j_ok, med, np.inf)   # padded rows never win
+        best = np.argmin(med, axis=1)
+        valid = counts > 0
+        idx = np.asarray(pids)[valid]
+        self.pt_desc[idx] = D[np.arange(P)[valid], best[valid]]
+
+    def update_normal_and_depth_batch(self, pids):
+        """Vectorized update_normal_and_depth over many points (one
+        einsum for all camera centers, segment-summed unit normals)."""
+        pids = [int(p) for p in pids if self.pt_obs[p]]
+        if not pids:
+            return
+        counts = np.fromiter(
+            (len(self.pt_obs[p]) for p in pids), np.int64, len(pids)
+        )
+        owner = np.repeat(np.arange(len(pids)), counts)
+        flat_kf = np.fromiter(
+            (k for p in pids for k in self.pt_obs[p]), np.int64,
+            int(counts.sum()),
+        )
+        uniq, inv = np.unique(flat_kf, return_inverse=True)
+        T = self.kf_pose[uniq]
+        centers_u = -np.einsum("kji,kj->ki", T[:, :3, :3], T[:, :3, 3])
+        centers = centers_u[inv]
+        pid_arr = np.asarray(pids)
+        pos = self.pt_pos[pid_arr]
+        v = pos[owner] - centers
+        n = np.linalg.norm(v, axis=1)
+        ok = n > 1e-9
+        vn = np.where(ok[:, None], v / np.maximum(n, 1e-12)[:, None], 0.0)
+        sums = np.zeros((len(pids), 3), np.float64)
+        np.add.at(sums, owner, vn)
+        n_ok = np.zeros(len(pids), np.int64)
+        np.add.at(n_ok, owner, ok)
+        has = n_ok > 0
+        self.pt_normal[pid_arr[has]] = (
+            sums[has] / n_ok[has, None]
+        ).astype(np.float32)
+
+        # reference-keyframe scale range, grouped by ref keyframe
+        refs = self.pt_ref_kf[pid_arr]
+        for r in np.unique(refs):
+            r = int(r)
+            frame = self.kf_frames[r] if r >= 0 else None
+            if frame is None:
+                continue
+            sel = np.nonzero(refs == r)[0]
+            feats = np.array(
+                [self.pt_obs[pids[i]].get(r, -1) for i in sel], np.int64
+            )
+            sel, feats = sel[feats >= 0], feats[feats >= 0]
+            if len(sel) == 0:
+                continue
+            center = self.kf_camera_center(r)
+            dist = np.linalg.norm(pos[sel] - center[None], axis=1)
+            maxd = dist * self.scale_factors[frame.octave[feats]]
+            self.pt_max_dist[pid_arr[sel]] = maxd
+            self.pt_min_dist[pid_arr[sel]] = (
+                maxd / self.scale_factors[self.n_levels - 1]
+            )
+
     def update_normal_and_depth(self, pid: int):
         """Mean viewing direction + scale-invariance distance range
         (MapPoint::UpdateNormalAndDepth)."""

@@ -1,0 +1,228 @@
+"""Background compile prewarming for the tracked-session program set.
+
+The accelerator sits behind a remote-compile link where every new program
+shape costs seconds to tens of seconds. The session's hot programs all run
+at a small, fixed set of shapes (device_map.py live rungs, local_ba.py
+LBA_RUNGS, local_mapping.py fuse/triangulation caps) — so a daemon thread
+can walk that ladder at startup with dummy arguments, populating both the
+in-process jit cache and the persistent compilation cache while the first
+real frames track. By the time the map grows into a rung, its program is
+already compiled.
+
+The reference has no analogue (its CPU code needs no compilation); this is
+the TPU-native answer to the same latency problem its thread pool solves
+for I/O (stereo_kitti.cc LoadImages prefetch).
+
+Thread-safety: jit compilation and dispatch are thread-safe in JAX; a
+concurrent first call of the same program from the tracking thread simply
+blocks on the same compile instead of starting a second one.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+
+
+def _dummy_frame_args(N: int, L: int):
+    """Current/last frame dummy arrays shaped like frontend output."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    xy = jnp.asarray(rng.uniform(0, 300, (N, 2)).astype(np.float32))
+    octave = jnp.asarray(rng.integers(0, L, N).astype(np.int32))
+    angle = jnp.asarray(rng.uniform(0, 360, N).astype(np.float32))
+    desc = jnp.asarray(rng.integers(0, 256, (N, 32)).astype(np.uint8))
+    valid = jnp.asarray(np.ones(N, bool))
+    ur = jnp.asarray(rng.uniform(0, 300, N).astype(np.float32))
+    depth = jnp.asarray(rng.uniform(1, 30, N).astype(np.float32))
+    qual = jnp.asarray(np.ones(N, np.float32))
+    return xy, octave, angle, desc, ur, valid, qual, depth
+
+
+def _warm_fused_step(tracker, dmap_cls, cfg, N: int, live_rungs):
+    import jax.numpy as jnp
+
+    L = cfg.orb.n_levels
+    xy, octave, angle, desc, ur, valid, qual, depth = _dummy_frame_args(N, L)
+    ids = jnp.asarray(np.full(N, -1, np.int32))
+    T = jnp.asarray(np.eye(4, dtype=np.float32))
+    dmap = dmap_cls()
+    for rung in live_rungs:
+        views = (
+            dmap.pos[:rung], dmap.desc[:rung], dmap.normal[:rung],
+            dmap.min_dist[:rung], dmap.max_dist[:rung],
+            dmap.quality[:rung], dmap.valid[:rung],
+        )
+        res, flat = tracker._step(
+            xy, octave, angle, desc, ur, valid, qual, depth,
+            xy, octave, angle, valid, ids, T, T, *views,
+        )
+        flat.block_until_ready()
+
+
+def _warm_splice(dmap_cls, live_rungs):
+    import jax.numpy as jnp
+
+    from .device_map import _splice
+
+    dmap = dmap_cls()
+    packed, desc, valid = dmap._packed, dmap.desc, dmap.valid
+    for rung in live_rungs:
+        packed, desc, valid = _splice(
+            packed, desc, valid,
+            jnp.zeros((rung, 9), jnp.float32),
+            jnp.zeros((rung, 32), jnp.uint8),
+            jnp.zeros(rung, bool),
+        )
+    valid.block_until_ready()
+
+
+def _warm_fuse(cfg, N: int, shapes):
+    import jax.numpy as jnp
+
+    from ..ops import match as match_ops
+
+    cam = cfg.camera
+    L = cfg.orb.n_levels
+    sf = cfg.orb.scale_factors()
+    rng = np.random.default_rng(1)
+    for nb, p in shapes:
+        assign = match_ops.fuse_into_keyframes(
+            jnp.asarray(rng.uniform(0, 300, (nb, N, 2)).astype(np.float32)),
+            jnp.asarray(rng.integers(0, L, (nb, N)).astype(np.int32)),
+            jnp.asarray(rng.integers(0, 256, (nb, N, 32)).astype(np.uint8)),
+            jnp.asarray(np.ones((nb, N), bool)),
+            jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (nb, 1, 1))),
+            jnp.asarray(rng.uniform(-5, 5, (p, 3)).astype(np.float32)),
+            jnp.asarray(rng.integers(0, 256, (p, 32)).astype(np.uint8)),
+            jnp.asarray(rng.uniform(-1, 1, (p, 3)).astype(np.float32)),
+            jnp.asarray(np.ones(p, np.float32)),
+            jnp.asarray(np.full(p, 50.0, np.float32)),
+            jnp.asarray(np.ones((nb, p), bool)),
+            jnp.asarray(sf),
+            jnp.float32(np.log(sf[1] / sf[0]) if L > 1 else 1.0),
+            jnp.float32(cam.fx), jnp.float32(cam.fy),
+            jnp.float32(cam.cx), jnp.float32(cam.cy),
+            jnp.float32(cam.width), jnp.float32(cam.height),
+            jnp.float32(3.0),
+        )
+        assign.block_until_ready()
+
+
+def _warm_triangulate(cfg, N: int, nb: int = 16):
+    import jax.numpy as jnp
+
+    from ..ops import triangulate as tri
+
+    cam = cfg.camera
+    sf = cfg.orb.scale_factors()
+    rng = np.random.default_rng(2)
+    sig2 = jnp.asarray(np.ones(N, np.float32))
+    scl = jnp.asarray(np.ones(N, np.float32))
+    pack = tri.triangulate_event(
+        jnp.asarray(rng.uniform(0, 300, (N, 2)).astype(np.float32)),
+        jnp.asarray(rng.integers(0, 256, (N, 32)).astype(np.uint8)),
+        jnp.asarray(np.ones(N, bool)),
+        jnp.asarray(rng.uniform(0, 300, N).astype(np.float32)),
+        jnp.asarray(rng.uniform(1, 30, N).astype(np.float32)),
+        sig2, scl,
+        jnp.asarray(rng.uniform(0, 300, (nb, N, 2)).astype(np.float32)),
+        jnp.asarray(rng.integers(0, 256, (nb, N, 32)).astype(np.uint8)),
+        jnp.asarray(np.ones((nb, N), bool)),
+        jnp.asarray(rng.uniform(0, 300, (nb, N)).astype(np.float32)),
+        jnp.asarray(rng.uniform(1, 30, (nb, N)).astype(np.float32)),
+        jnp.asarray(np.ones((nb, N), np.float32)),
+        jnp.asarray(np.ones((nb, N), np.float32)),
+        jnp.asarray(rng.normal(0, 1, (nb, 3, 3)).astype(np.float32)),
+        jnp.asarray(rng.uniform(0, 300, (nb, 2)).astype(np.float32)),
+        jnp.asarray(np.zeros(nb, bool)),
+        jnp.asarray(np.eye(4, dtype=np.float32)),
+        jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (nb, 1, 1))),
+        cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+    )
+    pack.block_until_ready()
+
+
+def _warm_local_ba(cfg, rungs):
+    import jax
+    import jax.numpy as jnp
+
+    from ..geometry import camera
+    from ..solvers.ba_core import BAProblem, ba_solve
+
+    K = camera.Intrinsics.from_config(cfg.camera)
+    cam = cfg.camera
+    rng = np.random.default_rng(3)
+    for (nk, npt, ne) in rungs:
+        kf_pose = np.tile(np.eye(4, dtype=np.float32), (nk, 1, 1))
+        pt = rng.uniform(-10, 10, (npt, 3)).astype(np.float32)
+        pt[:, 2] += 20.0
+        e_kf = rng.integers(0, nk, ne).astype(np.int32)
+        e_pt = rng.integers(0, npt, ne).astype(np.int32)
+        X = pt[e_pt]
+        u = cam.fx * X[:, 0] / X[:, 2] + cam.cx
+        v = cam.fy * X[:, 1] / X[:, 2] + cam.cy
+        obs = np.stack([u, v, u - cam.bf / X[:, 2]], 1).astype(np.float32)
+        fixed = np.zeros(nk, bool)
+        fixed[0] = True
+        prob = BAProblem(
+            kf_pose=jnp.asarray(kf_pose),
+            kf_fixed=jnp.asarray(fixed),
+            pt_pos=jnp.asarray(pt),
+            pt_valid=jnp.asarray(np.ones(npt, bool)),
+            e_kf=jnp.asarray(e_kf), e_pt=jnp.asarray(e_pt),
+            e_obs=jnp.asarray(obs),
+            e_inv_s2=jnp.asarray(np.ones(ne, np.float32)),
+            e_qual=jnp.asarray(np.ones(ne, np.float32)),
+            e_valid=jnp.asarray(np.ones(ne, bool)),
+        )
+        res = ba_solve(prob, K, n_iters1=5, n_iters2=10)
+        jax.block_until_ready(res)
+
+
+def prewarm_async(tracking, live_rungs=None, fuse_shapes=None,
+                  ba_rungs=None) -> threading.Thread:
+    """Start the prewarm walk on a daemon thread for a Tracking instance
+    (fused path). Returns the thread (join() it to warm synchronously).
+    The optional rung lists override the session defaults (tests)."""
+    from .device_map import DeviceMap
+    from .fused_track import FusedTracker
+    from ..solvers.local_ba import LBA_RUNGS
+
+    cfg = tracking.cfg
+    N = tracking.frontend.extractor.capacity
+    # instantiate the shared tracker/dmap on the CALLING thread so the
+    # tracking loop and the prewarmer agree on one instance
+    if not hasattr(tracking, "_fused"):
+        tracking._fused = FusedTracker(cfg, tracking.height, tracking.width)
+        tracking._dmap = DeviceMap()
+    tracker = tracking._fused
+    if live_rungs is None:
+        cap = tracking._dmap.capacity
+        live_rungs = []
+        r = 1024
+        while r < cap:
+            live_rungs.append(r)
+            r *= 4
+        live_rungs.append(cap)
+    if fuse_shapes is None:
+        fuse_shapes = [(16, 1024), (16, 4096), (16, 8192)]
+    if ba_rungs is None:
+        ba_rungs = LBA_RUNGS
+
+    def run():
+        try:
+            _warm_splice(DeviceMap, live_rungs)
+            _warm_fused_step(tracker, DeviceMap, cfg, N, live_rungs)
+            _warm_triangulate(cfg, N)
+            _warm_fuse(cfg, N, fuse_shapes)
+            _warm_local_ba(cfg, ba_rungs)
+        except Exception as e:  # best-effort: a failed warm just means a
+            t.exc = e           # compile happens later, on the tracking path
+
+    t = threading.Thread(target=run, daemon=True, name="iv-prewarm")
+    t.exc = None
+    t.start()
+    return t

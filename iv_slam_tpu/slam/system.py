@@ -25,6 +25,11 @@ class System:
         self.cfg = cfg
         self.tracking = Tracking(cfg, height, width)
         self._shutdown = False
+        self._prewarm_thread = None
+        if cfg.system.prewarm and cfg.system.fused_tracking:
+            from .prewarm import prewarm_async
+
+            self._prewarm_thread = prewarm_async(self.tracking)
 
     # --- tracking entry points (System.h:76-118) ---------------------------
 

@@ -28,9 +28,36 @@ def _bucket_kf(n: int) -> int:
     return max(32, ((n + 31) // 32) * 32)
 
 
-def _assemble(cfg, m, local_kfs, fixed_kfs, pts, extra_fixed=frozenset()):
+# Local BA runs at every keyframe event, so its solver must hit a COMPILED
+# shape essentially always: the window sizes are tied to one of three rungs
+# (small / medium / full), giving at most 3 ba_solve variants per session —
+# all prewarmable at startup (slam/prewarm.py). Windows beyond the last
+# rung are trimmed (weakest-covisibility keyframes, least-observed points,
+# strided edge subsample) — a deliberate deviation from the reference,
+# which lets local BA grow without bound (Optimizer.cc:505-544).
+LBA_RUNGS = (
+    # (n_kf, n_pt, n_e)
+    (32, 2048, 4096),
+    (64, 8192, 16384),
+    (64, 16384, 32768),
+)
+
+
+def _lba_rung(n_kf: int, n_pt: int, n_e: int):
+    """Smallest rung that fits (n_kf, n_pt, n_e); the last rung if none."""
+    for rung in LBA_RUNGS:
+        if n_kf <= rung[0] and n_pt <= rung[1] and n_e <= rung[2]:
+            return rung
+    return LBA_RUNGS[-1]
+
+
+def _assemble(cfg, m, local_kfs, fixed_kfs, pts, extra_fixed=frozenset(),
+              tied_rungs=False):
     """Pack a keyframe/point window into a padded BAProblem. Returns
-    (prob, K, all_kfs, e_feat, E) or None when the window is degenerate."""
+    (prob, K, all_kfs, e_feat, E) or None when the window is degenerate.
+
+    tied_rungs: pick the padded sizes from LBA_RUNGS (local BA: bounded
+    compile count) instead of the open-ended _bucket grid (global BA)."""
     all_kfs = list(local_kfs) + list(fixed_kfs)
     kf_slot = {k: i for i, k in enumerate(all_kfs)}
     if len(pts) == 0 or len(all_kfs) < 2:
@@ -87,9 +114,19 @@ def _assemble(cfg, m, local_kfs, fixed_kfs, pts, extra_fixed=frozenset()):
     if len(e_kf) < 10:
         return
 
-    n_kf = _bucket_kf(len(all_kfs))
-    n_pt = _bucket(len(pts))
-    n_e = _bucket(len(e_kf))
+    if tied_rungs:
+        n_kf, n_pt, n_e = _lba_rung(len(all_kfs), len(pts), len(e_kf))
+        if len(e_kf) > n_e:
+            # strided subsample keeps per-keyframe proportions roughly
+            # intact (edges are concatenated per keyframe in order)
+            keep = np.linspace(0, len(e_kf) - 1, n_e).astype(np.int64)
+            e_kf, e_pt, e_obs = e_kf[keep], e_pt[keep], e_obs[keep]
+            e_inv, e_qual = e_inv[keep], e_qual[keep]
+            e_feat = [e_feat[i] for i in keep]
+    else:
+        n_kf = _bucket_kf(len(all_kfs))
+        n_pt = _bucket(len(pts))
+        n_e = _bucket(len(e_kf))
 
     kf_pose = np.zeros((n_kf, 4, 4), np.float32)
     kf_pose[:, range(4), range(4)] = 1.0
@@ -133,15 +170,48 @@ def _assemble(cfg, m, local_kfs, fixed_kfs, pts, extra_fixed=frozenset()):
     return prob, K, all_kfs, e_feat, E
 
 
+def _trim_window(m, local_kfs, fixed_kfs, pts):
+    """Shrink an oversized local-BA window to the largest LBA rung:
+    weakest-covisibility local keyframes, then most-redundant fixed
+    keyframes, then least-observed points are dropped first. local_kfs
+    is ordered [kf_id, covisibles by weight desc]; fixed_kfs in
+    first-encountered order."""
+    max_kf, max_pt, _ = LBA_RUNGS[-1]
+    if len(local_kfs) > max_kf - 8:
+        local_kfs = local_kfs[: max_kf - 8]  # keep slots for anchors
+    if len(local_kfs) + len(fixed_kfs) > max_kf:
+        budget = max_kf - len(local_kfs)
+        # rank fixed keyframes by how many window points they anchor
+        in_window = set(pts)
+        scores = []
+        for k in fixed_kfs:
+            frame = m.kf_frames[k]
+            pids = frame.map_pt[frame.map_pt >= 0]
+            scores.append(sum(1 for p in pids if int(p) in in_window))
+        order = np.argsort(scores)[::-1][:budget]
+        fixed_kfs = [fixed_kfs[i] for i in sorted(order)]
+    if len(pts) > max_pt:
+        obs_counts = np.array([m.n_observations(p) for p in pts])
+        keep = np.argsort(obs_counts)[::-1][:max_pt]
+        kept = set(np.asarray(pts)[keep].tolist())
+        pts = [p for p in pts if p in kept]
+    return local_kfs, fixed_kfs, pts
+
+
 def _run_ba(
     cfg, m, local_kfs, fixed_kfs, pts,
     n_iters1: int = 5, n_iters2: int = 10,
     erase_outliers: bool = True, extra_fixed=frozenset(),
     return_edges: bool = False,
     kernel2: bool = False, midpoint_gate: bool = True,
+    tied_rungs: bool = False,
 ):
+    if tied_rungs:
+        local_kfs, fixed_kfs, pts = _trim_window(
+            m, local_kfs, fixed_kfs, pts
+        )
     packed = _assemble(cfg, m, local_kfs, fixed_kfs, pts,
-                       extra_fixed=extra_fixed)
+                       extra_fixed=extra_fixed, tied_rungs=tied_rungs)
     if packed is None:
         return
     prob, K, all_kfs, e_feat, E = packed
@@ -150,28 +220,30 @@ def _run_ba(
     res = ba_solve(prob, K, n_iters1=n_iters1, n_iters2=n_iters2,
                    kernel2=kernel2, midpoint_gate=midpoint_gate)
 
-    new_poses = np.asarray(res.kf_pose)
+    # ONE link round-trip for everything host-bound (the tunneled runtime
+    # pays a full RTT per materialized array)
+    import jax
+
+    new_poses, new_pts, inlier_all, chi2_all = jax.device_get(
+        (res.kf_pose, res.pt_pos, res.e_inlier, res.e_chi2)
+    )
     for i, k in enumerate(all_kfs[:n_local]):
         if not kf_fixed[i]:
             m.set_kf_pose(k, new_poses[i])
-    new_pts = np.asarray(res.pt_pos)
     m.pt_pos[pts] = new_pts[: len(pts)]
 
     if erase_outliers:
-        inlier = np.asarray(res.e_inlier)[:E]
+        inlier = inlier_all[:E]
         for idx in np.nonzero(~inlier)[0]:
             pid, k, feat = e_feat[idx]
             if m.pt_alive[pid] and m.pt_obs[pid].get(k) == feat:
                 frame = m.kf_frames[k]
                 frame.map_pt[feat] = -1
                 m.erase_observation(pid, k)
-    for pid in pts:
-        if m.pt_alive[pid]:
-            m.update_normal_and_depth(pid)
+    m.update_normal_and_depth_batch([p for p in pts if m.pt_alive[p]])
     if return_edges:
         return (
-            pts, e_feat,
-            np.asarray(res.e_chi2)[:E], np.asarray(res.e_inlier)[:E],
+            pts, e_feat, chi2_all[:E], inlier_all[:E],
         )
     return None
 
@@ -198,7 +270,7 @@ def local_bundle_adjustment(cfg, m, kf_id: int, return_edges: bool = False):
             if k not in local_set and m.kf_alive[k] and k not in fixed_kfs:
                 fixed_kfs.append(k)
     return _run_ba(cfg, m, local_kfs, fixed_kfs, pts,
-                   return_edges=return_edges)
+                   return_edges=return_edges, tied_rungs=True)
 
 
 def local_bundle_adjustment_vis(cfg, m, kf_id: int):
@@ -251,7 +323,7 @@ def constrained_local_bundle_adjustment(cfg, m, kf_id: int):
     pts = sorted(pts)
     extra = _run_ba(
         cfg, m, local_kfs, [], pts, erase_outliers=False,
-        extra_fixed=set(local_kfs), return_edges=True,
+        extra_fixed=set(local_kfs), return_edges=True, tied_rungs=True,
     )
     if extra is None:
         for k, T in saved.items():
@@ -338,8 +410,11 @@ def apply_global_ba(handle: GBAHandle, m):
       before->after delta (backproject with TcwBefGBA, reproject with
       the corrected pose).
     """
-    new_kf_poses = np.asarray(handle.res.kf_pose)
-    new_pt_pos = np.asarray(handle.res.pt_pos)  # blocks until GBA done
+    import jax
+
+    new_kf_poses, new_pt_pos = jax.device_get(  # blocks until GBA done
+        (handle.res.kf_pose, handle.res.pt_pos)
+    )
     slot = {k: i for i, k in enumerate(handle.kf_ids)}
 
     before = {}
@@ -386,5 +461,4 @@ def apply_global_ba(handle: GBAHandle, m):
     snap_ids = np.nonzero(handle.pt_in_snapshot)[0]
     alive = m.pt_alive[snap_ids]
     m.pt_pos[snap_ids[alive]] = new_pt_pos[: len(snap_ids)][alive]
-    for pid in snap_ids[alive]:
-        m.update_normal_and_depth(int(pid))
+    m.update_normal_and_depth_batch(snap_ids[alive])
