@@ -154,6 +154,7 @@ def bench_full_loop(n_frames: int = 40):
                         min_th_fast=7)
     cfg.system.fused_tracking = True
     cfg.system.prewarm = True  # background-compile the program ladder
+    cfg.system.async_local_ba = True  # threaded-LocalMapping semantics
 
     sys_ = System(cfg, H, W)
     tr = sys_.tracking

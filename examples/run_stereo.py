@@ -51,7 +51,10 @@ def parse_args():
     p.add_argument("--out_dataset_path", default="")
     p.add_argument("--start_frame", type=int, default=0)
     p.add_argument("--end_frame", type=int, default=-1)
-    p.add_argument("--run_single_threaded", action="store_true", default=True)
+    p.add_argument("--run_single_threaded",
+                   action=argparse.BooleanOptionalAction, default=True,
+                   help="inline LoopOnce semantics; --no-run_single_threaded "
+                        "enables async local BA (threaded LocalMapping)")
     p.add_argument("--real_time_pacing", action="store_true",
                    help="pace frames at dataset timestamps (the reference's "
                         "sleep-to-timestamp loop when not single-threaded, "
@@ -111,6 +114,8 @@ def main():
     cfg.iv.create_dataset = args.create_ivslam_dataset
     cfg.system.fused_tracking = args.fused_tracking
     cfg.system.prewarm = args.prewarm
+    cfg.system.single_threaded = args.run_single_threaded
+    cfg.system.async_local_ba = not args.run_single_threaded
 
     if args.dataset == "kitti":
         seq = datasets.load_kitti_stereo(

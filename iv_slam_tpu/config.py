@@ -203,6 +203,12 @@ class SystemConfig:
     # at startup (slam/prewarm.py) so map growth never pays a remote
     # compile on the tracking path; needs fused_tracking
     prewarm: bool = False
+    # async local BA: dispatch Optimizer::LocalBundleAdjustment without
+    # blocking and merge when the device result is ready — the reference's
+    # THREADED LocalMapping semantics (LocalMapping.cc runs on its own
+    # thread; tracking never waits). False = single-threaded LoopOnce
+    # semantics (run_single_threaded=true), BA applied inline.
+    async_local_ba: bool = False
 
 
 @dataclass

@@ -31,6 +31,7 @@ class LocalMapping:
         self.recent_points: Dict[int, int] = {}
         self.current_kf: int = -1
         self._local_ba = None  # set lazily to avoid import cycle
+        self._pending_ba = None  # in-flight async local BA (LBAHandle)
 
     def insert_keyframe(self, kf_id: int):
         self.queue.append(kf_id)
@@ -40,10 +41,28 @@ class LocalMapping:
             if self.map.pt_first_kf[pid] == kf_id:
                 self.recent_points[pid] = kf_id
 
+    def apply_pending_ba(self, only_if_ready: bool = False) -> bool:
+        """Merge an in-flight async local BA (solvers/local_ba.py
+        LBAHandle). only_if_ready: cheap per-frame poll — merge only when
+        the device result already landed, never block."""
+        h = self._pending_ba
+        if h is None:
+            return False
+        if only_if_ready and not h.is_ready():
+            return False
+        from ..solvers import local_ba
+
+        self._pending_ba = None
+        local_ba.apply_local_ba(h, self.map)
+        return True
+
     def loop_once(self, run_ba: bool = True):
         while self.queue:
             kf_id = self.queue.pop(0)
             self.current_kf = kf_id
+            # a keyframe event is a forced join point for the previous
+            # event's async BA (its window overlaps ours)
+            self.apply_pending_ba()
             self._cull_map_points(kf_id)
             self._create_new_map_points(kf_id)
             self._search_in_neighbors(kf_id)
@@ -415,6 +434,13 @@ class LocalMapping:
             local_ba.local_bundle_adjustment_vis(self.cfg, self.map, kf_id)
         elif mode == "constrained":
             local_ba.constrained_local_bundle_adjustment(
+                self.cfg, self.map, kf_id
+            )
+        elif self.cfg.system.async_local_ba:
+            # threaded-reference semantics: tracking proceeds against the
+            # pre-BA map; the merge lands when the device result is ready
+            # (tracking polls per frame) or at the next keyframe event
+            self._pending_ba = local_ba.local_bundle_adjustment_async(
                 self.cfg, self.map, kf_id
             )
         else:

@@ -135,11 +135,12 @@ class System:
     # --- output (System.h:148-163) ------------------------------------------
 
     def trajectory_twc(self):
-        # flush any deferred global BA so trajectories compose against the
-        # final keyframe poses (the reference joins the GBA thread on
-        # Shutdown before saving)
+        # flush any deferred global/local BA so trajectories compose
+        # against the final keyframe poses (the reference joins the GBA
+        # thread on Shutdown before saving)
         if getattr(self.tracking, "loop_closing", None) is not None:
             self.tracking.loop_closing.collect_gba()
+        self.tracking.local_mapping.apply_pending_ba()
         return self.tracking.trajectory_poses()
 
     def save_trajectory_kitti(self, path: str):
@@ -158,6 +159,7 @@ class System:
         only, sorted by id, timestamp + Twc quaternion per line."""
         if getattr(self.tracking, "loop_closing", None) is not None:
             self.tracking.loop_closing.collect_gba()
+        self.tracking.local_mapping.apply_pending_ba()
         m = self.tracking.map
         times, poses = [], []
         for k in range(m.n_keyframes):

@@ -125,6 +125,10 @@ class Tracking:
                 and lc.pending_gba.res.kf_pose.is_ready()):
             lc.collect_gba()
             self._dmap_dirty = True
+        # likewise join a finished async LOCAL BA (threaded-LocalMapping
+        # semantics): non-blocking readiness probe, merge costs one RPC
+        if self.local_mapping.apply_pending_ba(only_if_ready=True):
+            self._dmap_dirty = True
         # Defer the frontend host-view download when the fused step will
         # run: the fused dispatch launches against device arrays first and
         # one batched device_get then drains views + results together
@@ -863,9 +867,8 @@ class Tracking:
             if self.map.pt_alive[pid] and kf_id not in self.map.pt_obs[pid]:
                 self.map.add_observation(pid, kf_id, int(i))
                 touched.append(pid)
-        for pid in touched:
-            self.map.compute_distinctive_descriptor(pid)
-            self.map.update_normal_and_depth(pid)
+        self.map.compute_distinctive_descriptor_batch(touched)
+        self.map.update_normal_and_depth_batch(touched)
         self.last_kf_frame_id = frame.frame_id
         self._dmap_dirty = True
         self.local_mapping.insert_keyframe(kf_id)
@@ -884,6 +887,11 @@ class Tracking:
             # concurrently; here the next keyframe event is the join point)
             if self.loop_closing.collect_gba():
                 self._dmap_dirty = True
+            # force-join any async local BA before a potential loop
+            # correction: a stale merge after CorrectLoop would overwrite
+            # the corrected poses (the reference sets mbAbortBA +
+            # mbStopGBA before correcting, LoopClosing.cc:437-449)
+            self.local_mapping.apply_pending_ba()
             if self.loop_closing.process_keyframe(
                 kf_id, fix_scale=self.cfg.system.sensor != "mono"
             ):

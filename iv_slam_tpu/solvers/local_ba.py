@@ -248,8 +248,8 @@ def _run_ba(
     return None
 
 
-def local_bundle_adjustment(cfg, m, kf_id: int, return_edges: bool = False):
-    """Covisibility-window BA (Optimizer::LocalBundleAdjustment)."""
+def _local_window(m, kf_id: int):
+    """(local_kfs, fixed_kfs, pts) for Optimizer::LocalBundleAdjustment."""
     local_kfs = [kf_id] + [k for k, _ in m.covisible_keyframes(kf_id)]
     local_kfs = [k for k in local_kfs if m.kf_alive[k]]
     local_set = set(local_kfs)
@@ -262,15 +262,92 @@ def local_bundle_adjustment(cfg, m, kf_id: int, return_edges: bool = False):
                 pts.add(int(pid))
     pts = sorted(pts)
     if not pts or len(local_kfs) < 2:
-        return
+        return None
 
     fixed_kfs = []
     for pid in pts:
         for k in m.pt_obs[pid]:
             if k not in local_set and m.kf_alive[k] and k not in fixed_kfs:
                 fixed_kfs.append(k)
+    return local_kfs, fixed_kfs, pts
+
+
+def local_bundle_adjustment(cfg, m, kf_id: int, return_edges: bool = False):
+    """Covisibility-window BA (Optimizer::LocalBundleAdjustment)."""
+    win = _local_window(m, kf_id)
+    if win is None:
+        return
+    local_kfs, fixed_kfs, pts = win
     return _run_ba(cfg, m, local_kfs, fixed_kfs, pts,
                    return_edges=return_edges, tied_rungs=True)
+
+
+class LBAHandle:
+    """In-flight deferred local BA — the reference's threaded LocalMapping
+    semantics (LocalMapping.cc:119-170 runs on its own thread; tracking
+    never blocks on Optimizer::LocalBundleAdjustment). The solve is
+    dispatched asynchronously here and merged when the device result is
+    ready (is_ready probe) or at the next forced point (next keyframe
+    event / loop closure / trajectory save)."""
+
+    def __init__(self, res, all_kfs, kf_fixed, n_local, pts, e_feat, E):
+        self.res = res
+        self.all_kfs = all_kfs
+        self.kf_fixed = kf_fixed
+        self.n_local = n_local
+        self.pts = pts
+        self.e_feat = e_feat
+        self.E = E
+
+    def is_ready(self) -> bool:
+        try:
+            return self.res.kf_pose.is_ready()
+        except AttributeError:  # CPU backend arrays may lack is_ready
+            return True
+
+
+def local_bundle_adjustment_async(cfg, m, kf_id: int):
+    """Dispatch the covisibility-window BA WITHOUT blocking; returns an
+    LBAHandle (or None when degenerate). apply_local_ba merges it."""
+    win = _local_window(m, kf_id)
+    if win is None:
+        return None
+    local_kfs, fixed_kfs, pts = _trim_window(m, *win)
+    packed = _assemble(cfg, m, local_kfs, fixed_kfs, pts, tied_rungs=True)
+    if packed is None:
+        return None
+    prob, K, all_kfs, e_feat, E = packed
+    res = ba_solve(prob, K, n_iters1=5, n_iters2=10)  # async dispatch
+    return LBAHandle(res, all_kfs, np.asarray(prob.kf_fixed),
+                     len(local_kfs), pts, e_feat, E)
+
+
+def apply_local_ba(handle: LBAHandle, m):
+    """Merge a finished (or force-joined) async local BA into the map.
+    Every write revalidates against the live map exactly like the
+    synchronous path — points killed or re-observed while the solve ran
+    keep their newer state (MapPoint::Replace-safe)."""
+    import jax
+
+    new_poses, new_pts, inlier_all, chi2_all = jax.device_get(
+        (handle.res.kf_pose, handle.res.pt_pos,
+         handle.res.e_inlier, handle.res.e_chi2)
+    )
+    for i, k in enumerate(handle.all_kfs[: handle.n_local]):
+        if not handle.kf_fixed[i] and m.kf_alive[k]:
+            m.set_kf_pose(k, new_poses[i])
+    pts_arr = np.asarray(handle.pts)
+    alive = m.pt_alive[pts_arr]
+    m.pt_pos[pts_arr[alive]] = new_pts[: len(pts_arr)][alive]
+
+    inlier = inlier_all[: handle.E]
+    for idx in np.nonzero(~inlier)[0]:
+        pid, k, feat = handle.e_feat[idx]
+        if m.pt_alive[pid] and m.pt_obs[pid].get(k) == feat:
+            frame = m.kf_frames[k]
+            frame.map_pt[feat] = -1
+            m.erase_observation(pid, k)
+    m.update_normal_and_depth_batch(pts_arr[alive])
 
 
 def local_bundle_adjustment_vis(cfg, m, kf_id: int):

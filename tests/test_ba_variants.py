@@ -145,3 +145,50 @@ def test_ba_converges_at_reference_iteration_budget(rng):
     T1_opt = np.asarray(res.kf_pose[1])
     err = np.linalg.norm(T1_opt[:3, 3] - T1_true[:3, 3])
     assert err < 0.01, err
+
+
+@pytest.mark.slow
+def test_async_local_ba_tracks_like_sync(rng):
+    """cfg.system.async_local_ba dispatches local BA without blocking and
+    merges when ready / at the next keyframe event (the reference's
+    threaded-LocalMapping semantics, LocalMapping.cc run()). The map it
+    converges to must be essentially the sync map: same keyframes, poses
+    close after the forced trajectory-save join."""
+
+    def run(async_ba):
+        r = np.random.default_rng(7)
+        world, frames, gt = synth_world.make_sequence(r, n_frames=15,
+                                                      step=0.08)
+        cfg = Config()
+        cfg.camera = CameraConfig(
+            fx=400.0, fy=400.0, cx=160.0, cy=120.0, bf=200.0,
+            width=320, height=240, th_depth=35.0, fps=10.0,
+        )
+        cfg.orb = ORBConfig(n_features=800, n_levels=4)
+        cfg.system.async_local_ba = async_ba
+        s = System(cfg, 240, 320)
+        tr = s.tracking
+        for i, (left, right) in enumerate(frames):
+            s.track_stereo(left, right, timestamp=i * 0.1)
+            if (
+                i % 3 == 2 and s.state == State.OK
+                and tr.current.frame_id != tr.last_kf_frame_id
+            ):
+                tr._create_new_keyframe()
+        assert s.failure_count == 0
+        twc = s.trajectory_twc()          # forced async-BA join point
+        assert tr.local_mapping._pending_ba is None
+        return np.stack(twc), s.tracking.map
+
+    twc_sync, m_sync = run(False)
+    twc_async, m_async = run(True)
+    assert m_sync.n_keyframes == m_async.n_keyframes
+    # trajectories agree closely (merge timing differs — inter-event
+    # frames track against pre-BA poses — but the solved window is the
+    # same, so divergence stays at the noise floor)
+    d = np.linalg.norm(twc_sync[:, :3, 3] - twc_async[:, :3, 3], axis=1)
+    # frames tracked between dispatch and merge see pre-BA poses, so a
+    # few cm of per-frame timing divergence is inherent; the bulk of the
+    # trajectory must sit at the noise floor
+    assert d.max() < 5e-2, d.max()
+    assert np.median(d) < 5e-3, np.median(d)
