@@ -35,6 +35,11 @@ def main():
 
     if jax.default_backend() != "cpu":
         jax.config.update("jax_compilation_cache_dir", "/root/.jax_tpu_cache")
+    elif os.environ.get("IVT_FAST_COMPILE"):
+        # test harness hook: XLA:CPU compile time dominates driver-based
+        # tests; this disables most HLO optimization passes (identical
+        # semantics, slower kernels, much faster compiles)
+        jax.config.update("jax_disable_most_optimizations", True)
 
     from iv_slam_tpu.config import Config, load_reference_yaml
     from iv_slam_tpu.io import datasets

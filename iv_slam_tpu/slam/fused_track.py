@@ -168,17 +168,24 @@ class FusedTracker:
         return step
 
     def track(self, frame, last_frame, last_pt_ids, T_pred, dmap):
-        """Returns (FusedResult of device arrays, flat host-pack array)."""
+        """Returns (FusedResult of device arrays, flat host-pack array).
+
+        The three always-host inputs (last frame's point ids + the two
+        poses) ride ONE packed upload (utils/argpack.py) instead of three
+        RPCs; frame views stay device arrays (deferred frontend output)."""
         import numpy as np
 
-        return self._step(
+        from ..utils import argpack
+
+        return argpack.call_packed(
+            self._step,
             frame.kp.xy, frame.kp.octave, frame.kp.angle, frame.kp.desc,
             jnp.asarray(frame.u_right), frame.kp.valid,
             jnp.asarray(frame.qual_score), jnp.asarray(frame.depth),
             last_frame.kp.xy, last_frame.kp.octave, last_frame.kp.angle,
             last_frame.kp.valid,
-            jnp.asarray(last_pt_ids.astype(np.int32)),
-            jnp.asarray(T_pred.astype(np.float32)),
-            jnp.asarray(last_frame.pose.astype(np.float32)),
+            last_pt_ids.astype(np.int32),
+            np.asarray(T_pred, np.float32),
+            np.asarray(last_frame.pose, np.float32),
             *dmap.live_views(),
         )

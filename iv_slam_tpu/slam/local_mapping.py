@@ -20,6 +20,7 @@ from typing import Dict, List
 import numpy as np
 
 from ..config import Config
+from ..utils import argpack
 
 
 class LocalMapping:
@@ -160,26 +161,33 @@ class LocalMapping:
                 rows += [get(c0) if pad_value is None else pad_value] * pad_nb
             return np.stack(rows)
 
-        pack = tri.triangulate_event(
-            jnp.asarray(cur.xy), cur.kp.desc, jnp.asarray(free1),
-            jnp.asarray(cur.u_right), jnp.asarray(cur.depth),
-            jnp.asarray(sf2[cur.octave]), jnp.asarray(sf[cur.octave]),
-            jnp.asarray(stack(lambda c: c["nf"].xy)),
+        # every host array rides ONE packed upload (the tunneled runtime
+        # pays a full RPC per transferred array; this call has 17 of them)
+        f32s = np.float32
+        pack = argpack.call_packed(
+            tri.triangulate_event,
+            np.asarray(cur.xy, f32s), cur.kp.desc, np.asarray(free1),
+            np.asarray(cur.u_right, f32s), np.asarray(cur.depth, f32s),
+            np.asarray(sf2[cur.octave], f32s),
+            np.asarray(sf[cur.octave], f32s),
+            np.asarray(stack(lambda c: c["nf"].xy), f32s),
             jnp.stack([c["nf"].kp.desc for c in cand]
                       + [c0["nf"].kp.desc] * pad_nb),
             # padded neighbor slots are all-False masks: zero matches
-            jnp.asarray(stack(
+            np.asarray(stack(
                 lambda c: c["free2"], np.zeros_like(c0["free2"]))),
-            jnp.asarray(stack(lambda c: c["nf"].u_right)),
-            jnp.asarray(stack(lambda c: c["nf"].depth)),
-            jnp.asarray(stack(lambda c: sf2[c["nf"].octave])),
-            jnp.asarray(stack(lambda c: sf[c["nf"].octave])),
-            jnp.asarray(stack(lambda c: c["F12"])),
-            jnp.asarray(stack(lambda c: c["epipole2"])),
-            jnp.asarray(np.full(nb_cap, is_mono)),
-            jnp.asarray(T1),
-            jnp.asarray(stack(lambda c: c["T2"]).astype(np.float32)),
-            cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+            np.asarray(stack(lambda c: c["nf"].u_right), f32s),
+            np.asarray(stack(lambda c: c["nf"].depth), f32s),
+            np.asarray(stack(lambda c: sf2[c["nf"].octave]), f32s),
+            np.asarray(stack(lambda c: sf[c["nf"].octave]), f32s),
+            np.asarray(stack(lambda c: c["F12"]), f32s),
+            np.asarray(stack(lambda c: c["epipole2"]), f32s),
+            np.full(nb_cap, is_mono),
+            np.asarray(T1, f32s),
+            np.asarray(stack(lambda c: c["T2"]), f32s),
+            np.asarray(cam.fx, f32s), np.asarray(cam.fy, f32s),
+            np.asarray(cam.cx, f32s), np.asarray(cam.cy, f32s),
+            np.asarray(cam.bf, f32s),
         )
         pack = np.asarray(pack)[: len(cand)]       # one download
         assign_nb = pack[:, :, 0].astype(np.int64)
@@ -303,23 +311,27 @@ class LocalMapping:
         f0 = frames[0]
         pad = nb_cap - len(all_targets)
         sf = m.scale_factors
-        assign = match_ops.fuse_into_keyframes(
+        # host arrays + scalars ship as ONE packed upload (7 arrays + 8
+        # scalars were separate RPCs through the tunnel)
+        f32s = np.float32
+        assign = argpack.call_packed(
+            match_ops.fuse_into_keyframes,
             jnp.stack([f.kp.xy for f in frames] + [f0.kp.xy] * pad),
             jnp.stack([f.kp.octave for f in frames] + [f0.kp.octave] * pad),
             jnp.stack([f.kp.desc for f in frames] + [f0.kp.desc] * pad),
             jnp.stack([f.kp.valid for f in frames] + [f0.kp.valid] * pad),
-            jnp.asarray(np.stack(
+            np.stack(
                 [m.kf_pose[nb] for nb in all_targets]
                 + [m.kf_pose[all_targets[0]]] * pad
-            ).astype(np.float32)),
-            jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(normal),
-            jnp.asarray(mind), jnp.asarray(maxd), jnp.asarray(mask),
-            jnp.asarray(sf), jnp.float32(np.log(sf[1] / sf[0])
-                                         if len(sf) > 1 else 1.0),
-            jnp.float32(cam.fx), jnp.float32(cam.fy),
-            jnp.float32(cam.cx), jnp.float32(cam.cy),
-            jnp.float32(cam.width), jnp.float32(cam.height),
-            jnp.float32(3.0),
+            ).astype(f32s),
+            pos, desc, normal, mind, maxd, mask,
+            np.asarray(sf, f32s),
+            np.asarray(np.log(sf[1] / sf[0])
+                       if len(sf) > 1 else 1.0, f32s),
+            np.asarray(cam.fx, f32s), np.asarray(cam.fy, f32s),
+            np.asarray(cam.cx, f32s), np.asarray(cam.cy, f32s),
+            np.asarray(cam.width, f32s), np.asarray(cam.height, f32s),
+            np.asarray(3.0, f32s),
         )
         assign = np.asarray(assign)[: len(all_targets)]  # one download
 

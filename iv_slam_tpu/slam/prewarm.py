@@ -42,12 +42,14 @@ def _dummy_frame_args(N: int, L: int):
 
 
 def _warm_fused_step(tracker, dmap_cls, cfg, N: int, live_rungs):
-    import jax.numpy as jnp
+    """Residency must match FusedTracker.track: frame views on device,
+    (ids, T_pred, T_last) host numpy riding the packed upload."""
+    from ..utils import argpack
 
     L = cfg.orb.n_levels
     xy, octave, angle, desc, ur, valid, qual, depth = _dummy_frame_args(N, L)
-    ids = jnp.asarray(np.full(N, -1, np.int32))
-    T = jnp.asarray(np.eye(4, dtype=np.float32))
+    ids = np.full(N, -1, np.int32)
+    T = np.eye(4, dtype=np.float32)
     dmap = dmap_cls()
     for rung in live_rungs:
         views = (
@@ -55,7 +57,8 @@ def _warm_fused_step(tracker, dmap_cls, cfg, N: int, live_rungs):
             dmap.min_dist[:rung], dmap.max_dist[:rung],
             dmap.quality[:rung], dmap.valid[:rung],
         )
-        res, flat = tracker._step(
+        res, flat = argpack.call_packed(
+            tracker._step,
             xy, octave, angle, desc, ur, valid, qual, depth,
             xy, octave, angle, valid, ids, T, T, *views,
         )
@@ -80,80 +83,92 @@ def _warm_splice(dmap_cls, live_rungs):
 
 
 def _warm_fuse(cfg, N: int, shapes):
+    """Host/device residency here must MATCH the runtime call in
+    local_mapping._search_in_neighbors exactly — the packed wrapper
+    (utils/argpack.py) is cached per (fn, residency, spec)."""
     import jax.numpy as jnp
 
     from ..ops import match as match_ops
+    from ..utils import argpack
 
     cam = cfg.camera
     L = cfg.orb.n_levels
     sf = cfg.orb.scale_factors()
+    f32 = np.float32
     rng = np.random.default_rng(1)
     for nb, p in shapes:
-        assign = match_ops.fuse_into_keyframes(
-            jnp.asarray(rng.uniform(0, 300, (nb, N, 2)).astype(np.float32)),
+        assign = argpack.call_packed(
+            match_ops.fuse_into_keyframes,
+            jnp.asarray(rng.uniform(0, 300, (nb, N, 2)).astype(f32)),
             jnp.asarray(rng.integers(0, L, (nb, N)).astype(np.int32)),
             jnp.asarray(rng.integers(0, 256, (nb, N, 32)).astype(np.uint8)),
             jnp.asarray(np.ones((nb, N), bool)),
-            jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (nb, 1, 1))),
-            jnp.asarray(rng.uniform(-5, 5, (p, 3)).astype(np.float32)),
-            jnp.asarray(rng.integers(0, 256, (p, 32)).astype(np.uint8)),
-            jnp.asarray(rng.uniform(-1, 1, (p, 3)).astype(np.float32)),
-            jnp.asarray(np.ones(p, np.float32)),
-            jnp.asarray(np.full(p, 50.0, np.float32)),
-            jnp.asarray(np.ones((nb, p), bool)),
-            jnp.asarray(sf),
-            jnp.float32(np.log(sf[1] / sf[0]) if L > 1 else 1.0),
-            jnp.float32(cam.fx), jnp.float32(cam.fy),
-            jnp.float32(cam.cx), jnp.float32(cam.cy),
-            jnp.float32(cam.width), jnp.float32(cam.height),
-            jnp.float32(3.0),
+            np.tile(np.eye(4, dtype=f32), (nb, 1, 1)),
+            rng.uniform(-5, 5, (p, 3)).astype(f32),
+            rng.integers(0, 256, (p, 32)).astype(np.uint8),
+            rng.uniform(-1, 1, (p, 3)).astype(f32),
+            np.ones(p, f32),
+            np.full(p, 50.0, f32),
+            np.ones((nb, p), bool),
+            np.asarray(sf, f32),
+            np.asarray(np.log(sf[1] / sf[0]) if L > 1 else 1.0, f32),
+            np.asarray(cam.fx, f32), np.asarray(cam.fy, f32),
+            np.asarray(cam.cx, f32), np.asarray(cam.cy, f32),
+            np.asarray(cam.width, f32), np.asarray(cam.height, f32),
+            np.asarray(3.0, f32),
         )
         assign.block_until_ready()
 
 
 def _warm_triangulate(cfg, N: int, nb: int = 16):
+    """Residency must match local_mapping._create_new_map_points: only the
+    two descriptor stacks live on device; everything else rides the pack."""
     import jax.numpy as jnp
 
     from ..ops import triangulate as tri
+    from ..utils import argpack
 
     cam = cfg.camera
-    sf = cfg.orb.scale_factors()
+    f32 = np.float32
     rng = np.random.default_rng(2)
-    sig2 = jnp.asarray(np.ones(N, np.float32))
-    scl = jnp.asarray(np.ones(N, np.float32))
-    pack = tri.triangulate_event(
-        jnp.asarray(rng.uniform(0, 300, (N, 2)).astype(np.float32)),
+    pack = argpack.call_packed(
+        tri.triangulate_event,
+        rng.uniform(0, 300, (N, 2)).astype(f32),
         jnp.asarray(rng.integers(0, 256, (N, 32)).astype(np.uint8)),
-        jnp.asarray(np.ones(N, bool)),
-        jnp.asarray(rng.uniform(0, 300, N).astype(np.float32)),
-        jnp.asarray(rng.uniform(1, 30, N).astype(np.float32)),
-        sig2, scl,
-        jnp.asarray(rng.uniform(0, 300, (nb, N, 2)).astype(np.float32)),
+        np.ones(N, bool),
+        rng.uniform(0, 300, N).astype(f32),
+        rng.uniform(1, 30, N).astype(f32),
+        np.ones(N, f32),
+        np.ones(N, f32),
+        rng.uniform(0, 300, (nb, N, 2)).astype(f32),
         jnp.asarray(rng.integers(0, 256, (nb, N, 32)).astype(np.uint8)),
-        jnp.asarray(np.ones((nb, N), bool)),
-        jnp.asarray(rng.uniform(0, 300, (nb, N)).astype(np.float32)),
-        jnp.asarray(rng.uniform(1, 30, (nb, N)).astype(np.float32)),
-        jnp.asarray(np.ones((nb, N), np.float32)),
-        jnp.asarray(np.ones((nb, N), np.float32)),
-        jnp.asarray(rng.normal(0, 1, (nb, 3, 3)).astype(np.float32)),
-        jnp.asarray(rng.uniform(0, 300, (nb, 2)).astype(np.float32)),
-        jnp.asarray(np.zeros(nb, bool)),
-        jnp.asarray(np.eye(4, dtype=np.float32)),
-        jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (nb, 1, 1))),
-        cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+        np.ones((nb, N), bool),
+        rng.uniform(0, 300, (nb, N)).astype(f32),
+        rng.uniform(1, 30, (nb, N)).astype(f32),
+        np.ones((nb, N), f32),
+        np.ones((nb, N), f32),
+        rng.normal(0, 1, (nb, 3, 3)).astype(f32),
+        rng.uniform(0, 300, (nb, 2)).astype(f32),
+        np.zeros(nb, bool),
+        np.eye(4, dtype=f32),
+        np.tile(np.eye(4, dtype=f32), (nb, 1, 1)),
+        np.asarray(cam.fx, f32), np.asarray(cam.fy, f32),
+        np.asarray(cam.cx, f32), np.asarray(cam.cy, f32),
+        np.asarray(cam.bf, f32),
     )
     pack.block_until_ready()
 
 
 def _warm_local_ba(cfg, rungs):
     import jax
-    import jax.numpy as jnp
 
     from ..geometry import camera
-    from ..solvers.ba_core import BAProblem, ba_solve
+    from ..solvers.ba_core import BAProblem
+    from ..solvers.local_ba import _ba_solve_packed
 
-    K = camera.Intrinsics.from_config(cfg.camera)
     cam = cfg.camera
+    K = camera.Intrinsics(*(np.asarray(v, np.float32) for v in
+                            (cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)))
     rng = np.random.default_rng(3)
     for (nk, npt, ne) in rungs:
         kf_pose = np.tile(np.eye(4, dtype=np.float32), (nk, 1, 1))
@@ -168,17 +183,17 @@ def _warm_local_ba(cfg, rungs):
         fixed = np.zeros(nk, bool)
         fixed[0] = True
         prob = BAProblem(
-            kf_pose=jnp.asarray(kf_pose),
-            kf_fixed=jnp.asarray(fixed),
-            pt_pos=jnp.asarray(pt),
-            pt_valid=jnp.asarray(np.ones(npt, bool)),
-            e_kf=jnp.asarray(e_kf), e_pt=jnp.asarray(e_pt),
-            e_obs=jnp.asarray(obs),
-            e_inv_s2=jnp.asarray(np.ones(ne, np.float32)),
-            e_qual=jnp.asarray(np.ones(ne, np.float32)),
-            e_valid=jnp.asarray(np.ones(ne, bool)),
+            kf_pose=kf_pose,
+            kf_fixed=fixed,
+            pt_pos=pt,
+            pt_valid=np.ones(npt, bool),
+            e_kf=e_kf, e_pt=e_pt,
+            e_obs=obs,
+            e_inv_s2=np.ones(ne, np.float32),
+            e_qual=np.ones(ne, np.float32),
+            e_valid=np.ones(ne, bool),
         )
-        res = ba_solve(prob, K, n_iters1=5, n_iters2=10)
+        res = _ba_solve_packed(prob, K, n_iters1=5, n_iters2=10)
         jax.block_until_ready(res)
 
 

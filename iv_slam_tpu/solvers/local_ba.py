@@ -11,9 +11,9 @@ joint erase pass (Optimizer.cc:820-850).
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 from ..geometry import camera
+from ..utils import argpack
 from .ba_core import BAProblem, ba_solve
 
 
@@ -144,30 +144,41 @@ def _assemble(cfg, m, local_kfs, fixed_kfs, pts, extra_fixed=frozenset(),
     pt_valid[: len(pts)] = True
 
     E = len(e_kf)
+    # all fields stay HOST numpy: the ba_solve call sites ship the whole
+    # problem as ONE packed upload (utils/argpack.py) instead of 10 RPCs
     prob = BAProblem(
-        kf_pose=jnp.asarray(kf_pose),
-        kf_fixed=jnp.asarray(kf_fixed),
-        pt_pos=jnp.asarray(pt_pos),
-        pt_valid=jnp.asarray(pt_valid),
-        e_kf=jnp.asarray(np.pad(np.array(e_kf, np.int32), (0, n_e - E))),
-        e_pt=jnp.asarray(np.pad(np.array(e_pt, np.int32), (0, n_e - E))),
-        e_obs=jnp.asarray(
-            np.pad(
-                np.array(e_obs, np.float32),
-                ((0, n_e - E), (0, 0)),
-                constant_values=-1.0,
-            )
+        kf_pose=kf_pose,
+        kf_fixed=kf_fixed,
+        pt_pos=pt_pos,
+        pt_valid=pt_valid,
+        e_kf=np.pad(np.array(e_kf, np.int32), (0, n_e - E)),
+        e_pt=np.pad(np.array(e_pt, np.int32), (0, n_e - E)),
+        e_obs=np.pad(
+            np.array(e_obs, np.float32),
+            ((0, n_e - E), (0, 0)),
+            constant_values=-1.0,
         ),
-        e_inv_s2=jnp.asarray(np.pad(np.array(e_inv, np.float32), (0, n_e - E))),
-        e_qual=jnp.asarray(
-            np.pad(np.array(e_qual, np.float32), (0, n_e - E), constant_values=1.0)
-        ),
-        e_valid=jnp.asarray(
-            np.pad(np.ones(E, bool), (0, n_e - E), constant_values=False)
-        ),
+        e_inv_s2=np.pad(np.array(e_inv, np.float32), (0, n_e - E)),
+        e_qual=np.pad(np.array(e_qual, np.float32), (0, n_e - E),
+                      constant_values=1.0),
+        e_valid=np.pad(np.ones(E, bool), (0, n_e - E),
+                       constant_values=False),
     )
-    K = camera.Intrinsics.from_config(cfg.camera)
+    cam = cfg.camera
+    K = camera.Intrinsics(*(np.asarray(v, np.float32) for v in
+                            (cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)))
     return prob, K, all_kfs, e_feat, E
+
+
+def _ba_solve_packed(prob, K, n_iters1=5, n_iters2=10, kernel2=False,
+                     midpoint_gate=True):
+    """ba_solve with the whole (host-numpy) BAProblem + intrinsics shipped
+    as one upload. All statics are always passed explicitly so equivalent
+    calls share one wrapper cache entry (and prewarm hits it)."""
+    return argpack.call_packed(
+        ba_solve, prob, K, n_iters1=n_iters1, n_iters2=n_iters2,
+        kernel2=kernel2, midpoint_gate=midpoint_gate,
+    )
 
 
 def _trim_window(m, local_kfs, fixed_kfs, pts):
@@ -217,8 +228,8 @@ def _run_ba(
     prob, K, all_kfs, e_feat, E = packed
     kf_fixed = np.asarray(prob.kf_fixed)
     n_local = len(local_kfs)
-    res = ba_solve(prob, K, n_iters1=n_iters1, n_iters2=n_iters2,
-                   kernel2=kernel2, midpoint_gate=midpoint_gate)
+    res = _ba_solve_packed(prob, K, n_iters1=n_iters1, n_iters2=n_iters2,
+                           kernel2=kernel2, midpoint_gate=midpoint_gate)
 
     # ONE link round-trip for everything host-bound (the tunneled runtime
     # pays a full RTT per materialized array)
@@ -317,7 +328,7 @@ def local_bundle_adjustment_async(cfg, m, kf_id: int):
     if packed is None:
         return None
     prob, K, all_kfs, e_feat, E = packed
-    res = ba_solve(prob, K, n_iters1=5, n_iters2=10)  # async dispatch
+    res = _ba_solve_packed(prob, K, n_iters1=5, n_iters2=10)  # async
     return LBAHandle(res, all_kfs, np.asarray(prob.kf_fixed),
                      len(local_kfs), pts, e_feat, E)
 
@@ -464,7 +475,7 @@ def global_bundle_adjustment_async(cfg, m, n_iters: int = 20,
     if packed is None:
         return None
     prob, K, all_kfs, _e_feat, _E = packed
-    res = ba_solve(
+    res = _ba_solve_packed(
         prob, K, n_iters1=n_iters // 2, n_iters2=n_iters - n_iters // 2,
         kernel2=True, midpoint_gate=False,
     )  # async dispatch: no host sync here
