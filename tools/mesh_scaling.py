@@ -22,7 +22,11 @@ Prints one JSON line; paste into PERF.md §multichip.
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -78,9 +82,11 @@ def main():
     data = NamedSharding(mesh, P("dp"))
     batch = jax.tree.map(lambda x: jax.device_put(x, data), batch)
     step_fn = ts.make_jit_train_step(net, tx, mesh=mesh)
+    print("compiling FCN train step...", file=sys.stderr, flush=True)
     with mesh:
         state2, metrics = step_fn(state, batch)  # compile + warm
         jax.block_until_ready(metrics["loss"])
+        print("compiled; timing...", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         n_steps = 3
         for _ in range(n_steps):
@@ -106,6 +112,7 @@ def main():
     cfg.orb = ORBConfig(n_features=800, n_levels=4)
     res = {}
     for ndev in (1, args.devices):
+        print(f"replay dp={ndev}...", file=sys.stderr, flush=True)
         rmesh = make_replay_mesh(ndev)
         rep = ShardedReplay(cfg, h, w, rmesh)
         imgs = rng.integers(0, 255, (ndev, h, w)).astype(np.uint8)
