@@ -47,9 +47,17 @@ def rectification_maps(
     return m1, m2
 
 
-def load_rectification_from_yaml(doc: dict, side: str = "LEFT"):
+def load_rectification_from_yaml(doc: dict, side: str = "LEFT",
+                                 strict: bool = True):
     """Pull LEFT.*/RIGHT.* rectification blocks out of a parsed reference
-    settings YAML (EuRoC-style; Tracking.cc / stereo_euroc.cc)."""
+    settings YAML (EuRoC-style; Tracking.cc / stereo_euroc.cc).
+
+    With ``strict`` (the default), a missing or incomplete block raises
+    ValueError — mirroring the reference's CHECK/LOG(FATAL) semantics
+    (Tracking.cc:536-539): silently running unrectified when the caller
+    asked for rectification corrupts every downstream measurement.
+    ``strict=False`` restores the probe behavior (returns None).
+    """
     def mat(key, rows, cols):
         node = doc.get(f"{side}.{key}")
         if node is None:
@@ -70,7 +78,15 @@ def load_rectification_from_yaml(doc: dict, side: str = "LEFT"):
     P = mat("P", 3, 4)
     h = doc.get(f"{side}.height")
     w = doc.get(f"{side}.width")
-    if K is None or R is None or P is None:
+    missing = [k for k, v in
+               (("K", K), ("D", D), ("R", R), ("P", P),
+                ("height", h), ("width", w)) if v is None]
+    if missing:
+        if strict:
+            raise ValueError(
+                f"rectification requested but settings YAML is missing "
+                f"{side}.{{{', '.join(missing)}}} "
+                "(reference CHECKs these: Tracking.cc:536-539)")
         return None
     return rectification_maps(K, D, R, P, int(w), int(h))
 

@@ -329,13 +329,14 @@ def search_by_projection_local_map(
     return assign, jnp.sum((assign >= 0).astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("scw",))
 def fuse_into_keyframes(
     # target keyframes, stacked (NB, ...)
     kf_xy: jnp.ndarray,        # (NB, N, 2)
     kf_oct: jnp.ndarray,       # (NB, N)
     kf_desc: jnp.ndarray,      # (NB, N, 32)
     kf_valid: jnp.ndarray,     # (NB, N)
+    kf_ur: jnp.ndarray,        # (NB, N) mvuRight; < 0 = mono keypoint
     kf_T: jnp.ndarray,         # (NB, 4, 4) Tcw
     # candidate map points (P, ...)
     pt_pos: jnp.ndarray, pt_desc: jnp.ndarray, pt_normal: jnp.ndarray,
@@ -343,21 +344,37 @@ def fuse_into_keyframes(
     pt_mask_nb: jnp.ndarray,   # (NB, P) point eligible for this target
     scale_factors: jnp.ndarray,
     log_scale: jnp.ndarray,
-    fx, fy, cx, cy, width, height,
-    radius_th: jnp.ndarray,    # 3.0 (ORBmatcher::Fuse th)
+    fx, fy, cx, cy, width, height, bf,
+    radius_th: jnp.ndarray,    # 3.0 (ORBmatcher::Fuse th) / 4.0 (Scw)
+    scw: bool = False,
 ) -> jnp.ndarray:
     """ORBmatcher::Fuse batched over target keyframes AND points: the
     whole LocalMapping::SearchInNeighbors projection pass (2-hop fuse,
     LocalMapping.cc:527-607) as ONE program returning the best matching
     feature per (target, point) or -1. The host applies the
     add-observation / MapPoint::Replace bookkeeping from this assignment
-    (revalidating liveness, since batch decisions see one snapshot)."""
+    (revalidating liveness, since batch decisions see one snapshot).
+
+    Reference-exact gating (ORBmatcher.cc:831-981):
+    * distance gate on the invariance bounds 0.8*minD / 1.2*maxD
+      (MapPoint::Get{Min,Max}DistanceInvariance);
+    * asymmetric octave window kpLevel in [pred-1, pred] (917);
+    * per-CANDIDATE reprojection gate before the Hamming argmin —
+      stereo keypoints (mvuRight >= 0) use (ex^2+ey^2+er^2)*invSigma2
+      <= 7.8 with er against the point's virtual right coord u - bf/z
+      (920-933); mono candidates use (ex^2+ey^2)*invSigma2 <= 5.99.
+
+    ``scw=True`` selects the loop-closing variant
+    Fuse(KeyFrame*, cv::Mat Scw, ...) (ORBmatcher.cc:983-1106), which
+    differs ONLY by having no reprojection gate at all (candidates in
+    the radius+level window compete purely on descriptor distance).
+    """
     sf = scale_factors
-    sf2 = sf * sf
+    inv_sigma2 = 1.0 / (sf * sf)
     n_levels = sf.shape[0]
     big = jnp.int32(1 << 20)
 
-    def one_target(xy, oct_, desc, valid, T, mask_p):
+    def one_target(xy, oct_, desc, valid, ur, T, mask_p):
         R, tvec = T[:3, :3], T[:3, 3]
         O = -R.T @ tvec
         pc = pt_pos @ R.T + tvec
@@ -382,22 +399,32 @@ def fuse_into_keyframes(
             0, n_levels - 1,
         ).astype(jnp.int32)
         r = radius_th * sf[pred]                      # (P,)
+        d_oct = oct_[None, :] - pred[:, None]
         in_win = (
             (jnp.abs(xy[None, :, 0] - u[:, None]) < r[:, None])
             & (jnp.abs(xy[None, :, 1] - v[:, None]) < r[:, None])
-            & (jnp.abs(oct_[None, :] - pred[:, None]) <= 1)
+            & (d_oct >= -1) & (d_oct <= 0)
             & valid[None, :]
         )                                             # (P, N)
+        if not scw:
+            ex = xy[None, :, 0] - u[:, None]          # (P, N)
+            ey = xy[None, :, 1] - v[:, None]
+            e2 = ex * ex + ey * ey
+            ur_pt = u - bf / zs                       # point's virtual u_r
+            er = ur[None, :] - ur_pt[:, None]
+            e2_st = e2 + er * er
+            isig = inv_sigma2[oct_][None, :]          # (1, N)
+            gate = jnp.where(ur[None, :] >= 0,
+                             e2_st * isig <= 7.8,
+                             e2 * isig <= 5.99)
+            in_win = in_win & gate
         dmat = hamming_matrix(pt_desc, desc)
         masked = jnp.where(in_win & visible[:, None], dmat, big)
         best = jnp.argmin(masked, axis=1)
         bd = jnp.take_along_axis(masked, best[:, None], axis=1)[:, 0]
-        bx = xy[best, 0]
-        by = xy[best, 1]
-        e2 = (bx - u) ** 2 + (by - v) ** 2
-        ok = (bd <= TH_LOW) & (e2 <= 5.99 * sf2[oct_[best]])
+        ok = bd <= TH_LOW
         return jnp.where(ok, best, -1)
 
     return jax.vmap(one_target)(
-        kf_xy, kf_oct, kf_desc, kf_valid, kf_T, pt_mask_nb
+        kf_xy, kf_oct, kf_desc, kf_valid, kf_ur, kf_T, pt_mask_nb
     )

@@ -320,6 +320,8 @@ class LocalMapping:
             jnp.stack([f.kp.octave for f in frames] + [f0.kp.octave] * pad),
             jnp.stack([f.kp.desc for f in frames] + [f0.kp.desc] * pad),
             jnp.stack([f.kp.valid for f in frames] + [f0.kp.valid] * pad),
+            np.stack([np.asarray(f.u_right) for f in frames]
+                     + [np.asarray(f0.u_right)] * pad).astype(f32s),
             np.stack(
                 [m.kf_pose[nb] for nb in all_targets]
                 + [m.kf_pose[all_targets[0]]] * pad
@@ -331,6 +333,7 @@ class LocalMapping:
             np.asarray(cam.fx, f32s), np.asarray(cam.fy, f32s),
             np.asarray(cam.cx, f32s), np.asarray(cam.cy, f32s),
             np.asarray(cam.width, f32s), np.asarray(cam.height, f32s),
+            np.asarray(cam.bf, f32s),
             np.asarray(3.0, f32s),
         )
         assign = np.asarray(assign)[: len(all_targets)]  # one download

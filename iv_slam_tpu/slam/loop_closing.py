@@ -421,16 +421,10 @@ class LoopClosing:
 
         Device shape: all (corrected KF x loop point) projections +
         window searches + Hamming as ONE dispatch (the same
-        fuse_into_keyframes program local mapping uses); host applies
-        the Replace bookkeeping.
-
-        Known deviation from the reference's Scw-variant Fuse
-        (ORBmatcher.cc Fuse(KeyFrame*, cv::Mat Scw, ...)): that variant
-        uses an asymmetric octave window (kpLevel in [pred-1, pred]) and
-        the bare min/max distance-invariance bounds, while the shared
-        fuse_into_keyframes program uses the symmetric |kp - pred| <= 1
-        window and 0.8*mind/1.2*maxd margins of the plain Fuse. The match
-        sets differ only at scale boundaries; documented in PARITY.md."""
+        fuse_into_keyframes program local mapping uses, with scw=True:
+        the Scw variant of ORBmatcher.cc:983-1106 — no per-candidate
+        reprojection gate, level window [pred-1, pred]); host applies
+        the Replace bookkeeping."""
         from ..ops import match as match_ops
 
         m = self.map
@@ -480,6 +474,10 @@ class LoopClosing:
             jnp.stack([f.kp.desc for f in frames] + [f0.kp.desc] * pad),
             jnp.stack([f.kp.valid for f in frames] + [f0.kp.valid] * pad),
             jnp.asarray(np.stack(
+                [np.asarray(f.u_right) for f in frames]
+                + [np.asarray(f0.u_right)] * pad
+            ).astype(np.float32)),
+            jnp.asarray(np.stack(
                 [m.kf_pose[k] for k in targets]
                 + [m.kf_pose[targets[0]]] * pad
             ).astype(np.float32)),
@@ -490,7 +488,9 @@ class LoopClosing:
             jnp.float32(cam.fx), jnp.float32(cam.fy),
             jnp.float32(cam.cx), jnp.float32(cam.cy),
             jnp.float32(cam.width), jnp.float32(cam.height),
+            jnp.float32(cam.bf),
             jnp.float32(4.0),
+            scw=True,
         )
         assign = np.asarray(assign)[: len(targets)]  # one download
 

@@ -103,6 +103,7 @@ def _warm_fuse(cfg, N: int, shapes):
             jnp.asarray(rng.integers(0, L, (nb, N)).astype(np.int32)),
             jnp.asarray(rng.integers(0, 256, (nb, N, 32)).astype(np.uint8)),
             jnp.asarray(np.ones((nb, N), bool)),
+            rng.uniform(0, 300, (nb, N)).astype(f32),
             np.tile(np.eye(4, dtype=f32), (nb, 1, 1)),
             rng.uniform(-5, 5, (p, 3)).astype(f32),
             rng.integers(0, 256, (p, 32)).astype(np.uint8),
@@ -115,6 +116,7 @@ def _warm_fuse(cfg, N: int, shapes):
             np.asarray(cam.fx, f32), np.asarray(cam.fy, f32),
             np.asarray(cam.cx, f32), np.asarray(cam.cy, f32),
             np.asarray(cam.width, f32), np.asarray(cam.height, f32),
+            np.asarray(cam.bf, f32),
             np.asarray(3.0, f32),
         )
         assign.block_until_ready()

@@ -45,16 +45,28 @@ _TAGS = {
 
 
 def _tag(dtype: np.dtype) -> str:
-    kind = np.dtype(dtype).kind
-    if kind == "f":
+    """Map a dtype to its transport tag.
+
+    Only dtypes the float32 wire format carries LOSSLESSLY are accepted:
+    float32 (and float64, which jax's x64-off mode would truncate to
+    float32 anyway), signed ints (magnitude-checked < 2^24 at pack time,
+    which also makes the int64->int32 downcast lossless), bool, and
+    uint8. Anything else (uint16/32/64, float16, complex) would silently
+    corrupt — raise instead.
+    """
+    dt = np.dtype(dtype)
+    kind, size = dt.kind, dt.itemsize
+    if kind == "f" and size in (4, 8):
         return "f"
     if kind == "i":
         return "i"
     if kind == "b":
         return "b"
-    if kind == "u":
+    if kind == "u" and size == 1:
         return "u"
-    raise TypeError(f"argpack: unsupported dtype {dtype}")
+    raise TypeError(
+        f"argpack: dtype {dt} is not lossless over the float32 wire "
+        "(supported: float32/float64, int8/16/32, bool, uint8)")
 
 
 def pack_host(arrays: Sequence[np.ndarray]) -> Tuple[np.ndarray, tuple]:
@@ -68,8 +80,10 @@ def pack_host(arrays: Sequence[np.ndarray]) -> Tuple[np.ndarray, tuple]:
     for a in arrays:
         a = np.asarray(a)
         t = _tag(a.dtype)
-        if t == "i" and a.dtype.itemsize > 4:
-            a = a.astype(np.int32)
+        if t == "i" and a.size and int(np.abs(a).max()) >= 2 ** 24:
+            raise ValueError(
+                "argpack: int array with |value| >= 2^24 cannot ride the "
+                "float32 wire losslessly (max abs = %d)" % int(np.abs(a).max()))
         spec.append((a.shape, t))
         parts.append(np.ascontiguousarray(a, dtype=np.float32).reshape(-1))
     flat = (np.concatenate(parts) if parts
@@ -136,8 +150,9 @@ def call_packed(fn, *args, **static_kw):
             return fn(*jax.tree_util.tree_unflatten(treedef, lv),
                       **static_kw)
 
-        w = jax.jit(run)
-        _WRAPPED[key] = w
+        # setdefault: prewarm daemon + tracking threads can race the first
+        # call; converging on one wrapper preserves the prewarmed compile
+        w = _WRAPPED.setdefault(key, jax.jit(run))
     passthrough = tuple(
         a for i, a in enumerate(leaves) if i not in set(host_idx)
     )

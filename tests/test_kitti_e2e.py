@@ -117,7 +117,9 @@ def test_kitti_geometry_everything_on(kitti_seq, tmp_path):
     root, gt_file, settings, vocab_path = kitti_seq
     out = tmp_path / "out"
     dataset = tmp_path / "generated_training_data"
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # IVT_FAST_COMPILE: XLA:CPU compile time dominates driver tests —
+    # exercise the fast-compile hook and cut wall time (ADVICE r2)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", IVT_FAST_COMPILE="1")
     res = subprocess.run(
         [
             sys.executable, os.path.join(REPO, "examples", "run_stereo.py"),

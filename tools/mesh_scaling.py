@@ -43,6 +43,16 @@ def main():
         jax.config.update("jax_num_cpu_devices", args.devices)
     except Exception:
         pass
+    # if the backend was already initialized (jax is pre-imported by
+    # sitecustomize) the updates above may be no-ops; never report
+    # scaling numbers for a device count we didn't actually get
+    n_actual = len(jax.devices())
+    if n_actual != args.devices:
+        raise SystemExit(
+            f"requested --devices {args.devices} but jax sees {n_actual} "
+            "(backend already initialized? run with "
+            "JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_"
+            f"device_count={args.devices})")
     import jax.numpy as jnp
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
