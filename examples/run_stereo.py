@@ -121,6 +121,10 @@ def main():
     cfg.system.prewarm = args.prewarm
     cfg.system.single_threaded = args.run_single_threaded
     cfg.system.async_local_ba = not args.run_single_threaded
+    # full threaded-LocalMapping: keyframe events (triangulation, fusion,
+    # BA, culling, loop closing) on a worker thread — the reference's
+    # default thread architecture (System.cc:172-197)
+    cfg.system.threaded_local_mapping = not args.run_single_threaded
 
     if args.dataset == "kitti":
         seq = datasets.load_kitti_stereo(

@@ -209,6 +209,15 @@ class SystemConfig:
     # thread; tracking never waits). False = single-threaded LoopOnce
     # semantics (run_single_threaded=true), BA applied inline.
     async_local_ba: bool = False
+    # run the WHOLE keyframe event (triangulation, fusion, local BA,
+    # culling, loop closing) on a background worker thread — the
+    # reference's actual LocalMapping/LoopClosing thread architecture
+    # (System.cc:172-197). Tracking keeps estimating against the
+    # device-map mirror while the event's device programs and host
+    # bookkeeping run off the critical path; map access is serialized
+    # by MapStore.lock (the reference's mMutexMapUpdate). Implies
+    # async_local_ba semantics for the BA stage.
+    threaded_local_mapping: bool = False
 
 
 @dataclass

@@ -33,6 +33,11 @@ class LocalMapping:
         self.current_kf: int = -1
         self._local_ba = None  # set lazily to avoid import cycle
         self._pending_ba = None  # in-flight async local BA (LBAHandle)
+        # --- worker-thread mode (cfg.system.threaded_local_mapping):
+        # the reference's LocalMapping thread (System.cc:172-197)
+        self._worker = None
+        self._map_changed = False   # worker -> tracking dmap-resync signal
+        self.post_kf_hook = None    # loop closing, installed by Tracking
 
     def insert_keyframe(self, kf_id: int):
         self.queue.append(kf_id)
@@ -45,31 +50,124 @@ class LocalMapping:
     def apply_pending_ba(self, only_if_ready: bool = False) -> bool:
         """Merge an in-flight async local BA (solvers/local_ba.py
         LBAHandle). only_if_ready: cheap per-frame poll — merge only when
-        the device result already landed, never block."""
-        h = self._pending_ba
-        if h is None:
-            return False
-        if only_if_ready and not h.is_ready():
-            return False
+        the device result already landed, never block. Thread-safe: the
+        handle swap happens under the map lock (tracking's per-frame poll
+        and the worker's forced join can race here); the device readback
+        runs OUTSIDE the lock."""
+        with self.map.lock:
+            h = self._pending_ba
+            if h is None:
+                return False
+            if only_if_ready and not h.is_ready():
+                return False
+            self._pending_ba = None
         from ..solvers import local_ba
 
-        self._pending_ba = None
         local_ba.apply_local_ba(h, self.map)
         return True
 
     def loop_once(self, run_ba: bool = True):
         while self.queue:
             kf_id = self.queue.pop(0)
-            self.current_kf = kf_id
-            # a keyframe event is a forced join point for the previous
-            # event's async BA (its window overlaps ours)
-            self.apply_pending_ba()
+            self._process_one(kf_id, run_ba)
+
+    def _process_one(self, kf_id: int, run_ba: bool = True):
+        self.current_kf = kf_id
+        # a keyframe event is a forced join point for the previous
+        # event's async BA (its window overlaps ours)
+        self.apply_pending_ba()
+        with self.map.lock:
             self._cull_map_points(kf_id)
-            self._create_new_map_points(kf_id)
-            self._search_in_neighbors(kf_id)
-            if self.map.n_keyframes > 2 and run_ba:
+        self._create_new_map_points(kf_id)
+        self._search_in_neighbors(kf_id)
+        if self.map.n_keyframes > 2 and run_ba:
+            with self.map.lock:
                 self._run_local_ba(kf_id)
+        with self.map.lock:
             self._cull_keyframes(kf_id)
+
+    # ------------------------------------------------------ worker thread
+
+    def start_worker(self):
+        """Run keyframe events on a background thread — the reference's
+        LocalMapping::Run thread. Device programs (triangulation, fuse,
+        BA) and host bookkeeping leave the tracking critical path; host
+        map access is serialized by MapStore.lock with the lock RELEASED
+        around blocking device readbacks."""
+        import queue
+        import threading
+
+        if self._worker is not None:
+            return
+        self._q = queue.Queue()
+        self._idle = threading.Event()
+        self._idle.set()
+        self.worker_exc = None
+        self._worker = threading.Thread(
+            target=self._worker_run, daemon=True, name="iv-local-mapping"
+        )
+        self._worker.start()
+
+    def _worker_run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                self._q.task_done()
+                return
+            kf_id, run_ba = item
+            try:
+                self._process_one(kf_id, run_ba)
+                hook = self.post_kf_hook
+                if hook is not None:
+                    hook(kf_id)
+            except Exception as e:  # surfaced at the next join()
+                self.worker_exc = e
+            finally:
+                self._map_changed = True
+                self._q.task_done()
+                if self._q.unfinished_tasks == 0:
+                    self._idle.set()
+
+    def kick_async(self, run_ba: bool = True):
+        """Hand queued keyframes to the worker (threaded mode's
+        loop_once)."""
+        while self.queue:
+            kf_id = self.queue.pop(0)
+            self._idle.clear()
+            self._q.put((kf_id, run_ba))
+
+    def pending_count(self) -> int:
+        """Keyframes not yet fully processed (reference NeedNewKeyFrame's
+        mlNewKeyFrames.size() backpressure gate)."""
+        if self._worker is None:
+            return len(self.queue)
+        return self._q.unfinished_tasks
+
+    def poll_map_changed(self) -> bool:
+        """One-shot: did the worker finish an event since the last poll?"""
+        if self._map_changed:
+            self._map_changed = False
+            return True
+        return False
+
+    def join(self):
+        """Forced join point (trajectory save, loop-closure prep, reset,
+        shutdown): drain the worker queue, then merge any in-flight BA.
+        Re-raises a worker exception if one occurred."""
+        if self._worker is not None:
+            self._q.join()
+            if self.worker_exc is not None:
+                e, self.worker_exc = self.worker_exc, None
+                raise e
+        self.apply_pending_ba()
+
+    def stop_worker(self):
+        if self._worker is None:
+            return
+        self._q.join()
+        self._q.put(None)
+        self._worker.join(timeout=60)
+        self._worker = None
 
     # -------------------------------------------------------- triangulation
 
@@ -89,127 +187,139 @@ class LocalMapping:
 
         m = self.map
         cam = self.cfg.camera
-        cur = m.kf_frames[kf_id]
-        if cur is None:
-            return
-        K = cam.K().astype(np.float64)
-        Kinv = np.linalg.inv(K)
-        sf = m.scale_factors
-        sf2 = sf ** 2
-        T1 = m.kf_pose[kf_id]
-        O1 = m.kf_camera_center(kf_id)
-        free1 = cur.valid & (cur.map_pt < 0)
-        if free1.sum() < 5:
-            return
-        is_mono = cur.depth.max() <= 0
+        # host reads snapshot under the map lock (threaded mode); the
+        # upload + dispatch + download run unlocked; the apply loop below
+        # re-locks and revalidates
+        m.lock.acquire()
+        try:
+            cur = m.kf_frames[kf_id]
+            if cur is None:
+                return
+            K = cam.K().astype(np.float64)
+            Kinv = np.linalg.inv(K)
+            sf = m.scale_factors
+            sf2 = sf ** 2
+            T1 = m.kf_pose[kf_id]
+            O1 = m.kf_camera_center(kf_id)
+            free1 = cur.valid & (cur.map_pt < 0)
+            if free1.sum() < 5:
+                return
+            is_mono = cur.depth.max() <= 0
 
-        # ---- host gates + per-neighbor tables (LocalMapping.cc:295-330)
-        cand = []
-        for nb, _w in m.covisible_keyframes(kf_id)[:n_neighbors]:
-            T2 = m.kf_pose[nb]
-            O2 = m.kf_camera_center(nb)
-            baseline = float(np.linalg.norm(O2 - O1))
-            if is_mono:
-                # mono gate: baseline / median scene depth must exceed 0.01
-                med_depth = self._median_scene_depth(nb)
-                if med_depth <= 0 or baseline / med_depth < 0.01:
+            # ---- host gates + per-neighbor tables (LocalMapping.cc:295-330)
+            cand = []
+            for nb, _w in m.covisible_keyframes(kf_id)[:n_neighbors]:
+                T2 = m.kf_pose[nb]
+                O2 = m.kf_camera_center(nb)
+                baseline = float(np.linalg.norm(O2 - O1))
+                if is_mono:
+                    # mono gate: baseline / median scene depth > 0.01
+                    med_depth = self._median_scene_depth(nb)
+                    if med_depth <= 0 or baseline / med_depth < 0.01:
+                        continue
+                elif baseline < cam.baseline:
+                    # stereo gate: baseline must exceed the stereo baseline
                     continue
-            elif baseline < cam.baseline:
-                # stereo gate: baseline must exceed the stereo baseline
-                continue
-            nf = m.kf_frames[nb]
-            free2 = nf.valid & (nf.map_pt < 0)
-            if free2.sum() < 5:
-                continue
-            # epipole of cam1 in image 2
-            c1_in2 = T2[:3, :3] @ O1 + T2[:3, 3]
-            if abs(c1_in2[2]) < 1e-6:
-                continue
-            epipole2 = np.array(
-                [cam.fx * c1_in2[0] / c1_in2[2] + cam.cx,
-                 cam.fy * c1_in2[1] / c1_in2[2] + cam.cy], np.float32,
+                nf = m.kf_frames[nb]
+                free2 = nf.valid & (nf.map_pt < 0)
+                if free2.sum() < 5:
+                    continue
+                # epipole of cam1 in image 2
+                c1_in2 = T2[:3, :3] @ O1 + T2[:3, 3]
+                if abs(c1_in2[2]) < 1e-6:
+                    continue
+                epipole2 = np.array(
+                    [cam.fx * c1_in2[0] / c1_in2[2] + cam.cx,
+                     cam.fy * c1_in2[1] / c1_in2[2] + cam.cy], np.float32,
+                )
+                # F12 = K^-T [t12]x R12 K^-1 (ComputeF12, LocalMapping.cc:609)
+                # in host numpy: 3x3 work is not worth a device round-trip
+                R1m, t1m = T1[:3, :3], T1[:3, 3]
+                R2m, t2m = T2[:3, :3], T2[:3, 3]
+                R12 = R1m @ R2m.T
+                t12 = -(R12 @ t2m) + t1m
+                tx = np.array(
+                    [[0.0, -t12[2], t12[1]],
+                     [t12[2], 0.0, -t12[0]],
+                     [-t12[1], t12[0], 0.0]]
+                )
+                F12 = (Kinv.T @ tx @ R12 @ Kinv).astype(np.float32)
+                cand.append(dict(
+                    nb=nb, nf=nf, T2=T2, free2=free2, F12=F12,
+                    epipole2=epipole2,
+                ))
+            if not cand:
+                return
+
+            # ---- ONE launch: epipolar search + all-pair triangulation
+            # fused (fixed NB slot count: exactly one compiled shape per
+            # session — n_neighbors <= 16 always, padded slots masked out)
+            nb_cap = 16
+            cand = cand[:nb_cap]
+            pad_nb = nb_cap - len(cand)
+            c0 = cand[0]
+
+            def stack(get, pad_value=None):
+                rows = [get(c) for c in cand]
+                if pad_nb:
+                    rows += [get(c0) if pad_value is None
+                             else pad_value] * pad_nb
+                return np.stack(rows)
+
+            # every host array rides ONE packed upload (the tunneled
+            # runtime pays a full RPC per transferred array; 17 here)
+            f32s = np.float32
+            args = (
+                np.asarray(cur.xy, f32s), cur.kp.desc, np.asarray(free1),
+                np.asarray(cur.u_right, f32s), np.asarray(cur.depth, f32s),
+                np.asarray(sf2[cur.octave], f32s),
+                np.asarray(sf[cur.octave], f32s),
+                np.asarray(stack(lambda c: c["nf"].xy), f32s),
+                jnp.stack([c["nf"].kp.desc for c in cand]
+                          + [c0["nf"].kp.desc] * pad_nb),
+                # padded neighbor slots are all-False masks: zero matches
+                np.asarray(stack(
+                    lambda c: c["free2"], np.zeros_like(c0["free2"]))),
+                np.asarray(stack(lambda c: c["nf"].u_right), f32s),
+                np.asarray(stack(lambda c: c["nf"].depth), f32s),
+                np.asarray(stack(lambda c: sf2[c["nf"].octave]), f32s),
+                np.asarray(stack(lambda c: sf[c["nf"].octave]), f32s),
+                np.asarray(stack(lambda c: c["F12"]), f32s),
+                np.asarray(stack(lambda c: c["epipole2"]), f32s),
+                np.full(nb_cap, is_mono),
+                np.asarray(T1, f32s),
+                np.asarray(stack(lambda c: c["T2"]), f32s),
+                np.asarray(cam.fx, f32s), np.asarray(cam.fy, f32s),
+                np.asarray(cam.cx, f32s), np.asarray(cam.cy, f32s),
+                np.asarray(cam.bf, f32s),
             )
-            # F12 = K^-T [t12]x R12 K^-1 (ComputeF12, LocalMapping.cc:609)
-            # in host numpy: 3x3 work is not worth a device round-trip
-            R1m, t1m = T1[:3, :3], T1[:3, 3]
-            R2m, t2m = T2[:3, :3], T2[:3, 3]
-            R12 = R1m @ R2m.T
-            t12 = -(R12 @ t2m) + t1m
-            tx = np.array(
-                [[0.0, -t12[2], t12[1]],
-                 [t12[2], 0.0, -t12[0]],
-                 [-t12[1], t12[0], 0.0]]
-            )
-            F12 = (Kinv.T @ tx @ R12 @ Kinv).astype(np.float32)
-            cand.append(dict(
-                nb=nb, nf=nf, T2=T2, free2=free2, F12=F12, epipole2=epipole2,
-            ))
-        if not cand:
-            return
+        finally:
+            m.lock.release()
 
-        # ---- ONE launch: epipolar search + all-pair triangulation fused
-        # (fixed NB slot count: exactly one compiled shape per session —
-        # n_neighbors <= 16 always, padded slots are masked out)
-        nb_cap = 16
-        cand = cand[:nb_cap]
-        pad_nb = nb_cap - len(cand)
-        c0 = cand[0]
-
-        def stack(get, pad_value=None):
-            rows = [get(c) for c in cand]
-            if pad_nb:
-                rows += [get(c0) if pad_value is None else pad_value] * pad_nb
-            return np.stack(rows)
-
-        # every host array rides ONE packed upload (the tunneled runtime
-        # pays a full RPC per transferred array; this call has 17 of them)
-        f32s = np.float32
-        pack = argpack.call_packed(
-            tri.triangulate_event,
-            np.asarray(cur.xy, f32s), cur.kp.desc, np.asarray(free1),
-            np.asarray(cur.u_right, f32s), np.asarray(cur.depth, f32s),
-            np.asarray(sf2[cur.octave], f32s),
-            np.asarray(sf[cur.octave], f32s),
-            np.asarray(stack(lambda c: c["nf"].xy), f32s),
-            jnp.stack([c["nf"].kp.desc for c in cand]
-                      + [c0["nf"].kp.desc] * pad_nb),
-            # padded neighbor slots are all-False masks: zero matches
-            np.asarray(stack(
-                lambda c: c["free2"], np.zeros_like(c0["free2"]))),
-            np.asarray(stack(lambda c: c["nf"].u_right), f32s),
-            np.asarray(stack(lambda c: c["nf"].depth), f32s),
-            np.asarray(stack(lambda c: sf2[c["nf"].octave]), f32s),
-            np.asarray(stack(lambda c: sf[c["nf"].octave]), f32s),
-            np.asarray(stack(lambda c: c["F12"]), f32s),
-            np.asarray(stack(lambda c: c["epipole2"]), f32s),
-            np.full(nb_cap, is_mono),
-            np.asarray(T1, f32s),
-            np.asarray(stack(lambda c: c["T2"]), f32s),
-            np.asarray(cam.fx, f32s), np.asarray(cam.fy, f32s),
-            np.asarray(cam.cx, f32s), np.asarray(cam.cy, f32s),
-            np.asarray(cam.bf, f32s),
-        )
+        pack = argpack.call_packed(tri.triangulate_event, *args)
         pack = np.asarray(pack)[: len(cand)]       # one download
-        assign_nb = pack[:, :, 0].astype(np.int64)
-        good_nb = pack[:, :, 1] != 0.0
-        pts_nb = pack[:, :, 2:5]
-        new_pids = []
-        for nb_i, f1 in zip(*np.nonzero(good_nb)):
-            c = cand[int(nb_i)]
-            nf = c["nf"]
-            f1 = int(f1)
-            f2 = int(assign_nb[nb_i, f1])
-            if cur.map_pt[f1] >= 0 or nf.map_pt[f2] >= 0:
-                continue
-            pid = m.add_point(pts_nb[nb_i, f1], kf_id)
-            m.add_observation(pid, kf_id, f1)
-            m.add_observation(pid, c["nb"], f2)
-            cur.map_pt[f1] = pid
-            nf.map_pt[f2] = pid
-            new_pids.append(pid)
-            self.recent_points[pid] = kf_id
-        m.compute_distinctive_descriptor_batch(new_pids)
-        m.update_normal_and_depth_batch(new_pids)
+
+        with m.lock:
+            assign_nb = pack[:, :, 0].astype(np.int64)
+            good_nb = pack[:, :, 1] != 0.0
+            pts_nb = pack[:, :, 2:5]
+            new_pids = []
+            for nb_i, f1 in zip(*np.nonzero(good_nb)):
+                c = cand[int(nb_i)]
+                nf = c["nf"]
+                f1 = int(f1)
+                f2 = int(assign_nb[nb_i, f1])
+                if cur.map_pt[f1] >= 0 or nf.map_pt[f2] >= 0:
+                    continue
+                pid = m.add_point(pts_nb[nb_i, f1], kf_id)
+                m.add_observation(pid, kf_id, f1)
+                m.add_observation(pid, c["nb"], f2)
+                cur.map_pt[f1] = pid
+                nf.map_pt[f2] = pid
+                new_pids.append(pid)
+                self.recent_points[pid] = kf_id
+            m.compute_distinctive_descriptor_batch(new_pids)
+            m.update_normal_and_depth_batch(new_pids)
 
     def _median_scene_depth(self, kf_id: int) -> float:
         """KeyFrame::ComputeSceneMedianDepth: median z of the keyframe's map
@@ -241,6 +351,23 @@ class LocalMapping:
 
         m = self.map
         cam = self.cfg.camera
+        # snapshot host reads under the map lock; unlock for the device
+        # round-trip; re-lock for the apply loop (which revalidates)
+        with m.lock:
+            args, meta = self._assemble_fuse(kf_id)
+        if args is None:
+            return
+        assign = argpack.call_packed(match_ops.fuse_into_keyframes, *args)
+        all_targets, pid_arr = meta
+        assign = np.asarray(assign)[: len(all_targets)]  # one download
+        with m.lock:
+            self._apply_fuse(kf_id, all_targets, pid_arr, assign)
+
+    def _assemble_fuse(self, kf_id: int):
+        import jax.numpy as jnp
+
+        m = self.map
+        cam = self.cfg.camera
         targets = []
         for nb, _w in m.covisible_keyframes(kf_id)[:10]:
             targets.append(nb)
@@ -261,7 +388,7 @@ class LocalMapping:
         all_targets = targets + [kf_id]
         union = sorted(set(cur_pts) | set(fuse_pts))
         if not union or not targets:
-            return
+            return None, None
         # coarse rungs (x4 growth, hard cap): at most 3 point-axis shapes
         # and 2 target-axis shapes per session, all prewarmable. Beyond the
         # cap the reverse-fuse candidate set is truncated (the forward set
@@ -314,8 +441,7 @@ class LocalMapping:
         # host arrays + scalars ship as ONE packed upload (7 arrays + 8
         # scalars were separate RPCs through the tunnel)
         f32s = np.float32
-        assign = argpack.call_packed(
-            match_ops.fuse_into_keyframes,
+        args = (
             jnp.stack([f.kp.xy for f in frames] + [f0.kp.xy] * pad),
             jnp.stack([f.kp.octave for f in frames] + [f0.kp.octave] * pad),
             jnp.stack([f.kp.desc for f in frames] + [f0.kp.desc] * pad),
@@ -336,8 +462,10 @@ class LocalMapping:
             np.asarray(cam.bf, f32s),
             np.asarray(3.0, f32s),
         )
-        assign = np.asarray(assign)[: len(all_targets)]  # one download
+        return args, (all_targets, pid_arr)
 
+    def _apply_fuse(self, kf_id, all_targets, pid_arr, assign):
+        m = self.map
         touched = set()
         for t, nb in enumerate(all_targets):
             frame = m.kf_frames[nb]

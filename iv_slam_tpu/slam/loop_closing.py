@@ -383,16 +383,24 @@ class LoopClosing:
             apply_global_ba(self.pending_gba, self.map)
             self.pending_gba = None
 
-    def collect_gba(self) -> bool:
+    def collect_gba(self, only_if_ready: bool = False) -> bool:
         """Merge a pending deferred global BA into the (possibly grown)
         map — the reference's RunGlobalBundleAdjustment merge-back.
-        Returns True if a merge happened."""
-        if self.pending_gba is None:
+        Returns True if a merge happened. only_if_ready: non-blocking
+        probe (skip unless the device result already landed)."""
+        h = self.pending_gba
+        if h is None:
             return False
+        if only_if_ready:
+            try:
+                if not h.res.kf_pose.is_ready():
+                    return False
+            except AttributeError:
+                pass
         from ..solvers.local_ba import apply_global_ba
 
-        apply_global_ba(self.pending_gba, self.map)
         self.pending_gba = None
+        apply_global_ba(h, self.map)
         return True
 
     def _replace_point(self, keep: int, kill: int):

@@ -37,6 +37,14 @@ class MapStore:
         self.max_keyframes = max_keyframes
         self.scale_factors = scale_factor ** np.arange(n_levels, dtype=np.float32)
         self.n_levels = n_levels
+        # serializes host map access between the tracking thread and the
+        # LocalMapping worker (cfg.system.threaded_local_mapping) — the
+        # reference's Map::mMutexMapUpdate (Tracking.cc:523). Reentrant:
+        # worker sub-steps nest sections freely; uncontended (a few ns)
+        # in single-threaded mode.
+        import threading
+
+        self.lock = threading.RLock()
 
         # --- map points -----------------------------------------------------
         self.pt_pos = np.zeros((max_points, 3), np.float32)

@@ -131,13 +131,16 @@ class System:
 
     def shutdown(self):
         self._shutdown = True
+        self.tracking.local_mapping.join()
+        self.tracking.local_mapping.stop_worker()
 
     # --- output (System.h:148-163) ------------------------------------------
 
     def trajectory_twc(self):
-        # flush any deferred global/local BA so trajectories compose
-        # against the final keyframe poses (the reference joins the GBA
-        # thread on Shutdown before saving)
+        # flush the LocalMapping worker queue + any deferred global/local
+        # BA so trajectories compose against the final keyframe poses
+        # (the reference joins its threads on Shutdown before saving)
+        self.tracking.local_mapping.join()
         if getattr(self.tracking, "loop_closing", None) is not None:
             self.tracking.loop_closing.collect_gba()
         self.tracking.local_mapping.apply_pending_ba()
@@ -157,6 +160,7 @@ class System:
     def save_keyframe_trajectory_tum(self, path: str):
         """SaveKeyFrameTrajectoryTUM (System.cc:614-676): keyframe poses
         only, sorted by id, timestamp + Twc quaternion per line."""
+        self.tracking.local_mapping.join()
         if getattr(self.tracking, "loop_closing", None) is not None:
             self.tracking.loop_closing.collect_gba()
         self.tracking.local_mapping.apply_pending_ba()

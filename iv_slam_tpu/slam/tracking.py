@@ -49,6 +49,8 @@ class Tracking:
             n_levels=cfg.orb.n_levels, scale_factor=cfg.orb.scale_factor
         )
         self.local_mapping = LocalMapping(cfg, self.map)
+        if cfg.system.threaded_local_mapping:
+            self._setup_threaded_mapping()
         self.K = camera.Intrinsics.from_config(cfg.camera)
         self.state = State.NO_IMAGES_YET
         self.last_frame: Optional[Frame] = None
@@ -95,6 +97,38 @@ class Tracking:
             return contextlib.nullcontext()
         return self.stage_timer.time(name)
 
+    def _setup_threaded_mapping(self):
+        """Start the LocalMapping worker thread (the reference's actual
+        thread architecture, System.cc:172-197) and route loop closing
+        through it: the worker runs DetectLoop/ComputeSim3/CorrectLoop
+        after each keyframe event, exactly the reference's LoopClosing
+        thread fed by LocalMapping's queue."""
+        self.local_mapping.start_worker()
+
+        def post_kf(kf_id: int):
+            if not (
+                self.cfg.system.enable_loop_closing
+                and hasattr(self, "loop_closing")
+                and self.map.kf_alive[kf_id]
+            ):
+                return
+            # merge any finished/running GBA before a potential new
+            # correction (device wait outside the lock; apply_global_ba
+            # takes it for the host mutations)
+            if self.loop_closing.collect_gba():
+                self._dmap_dirty = True
+            # a stale local-BA merge after CorrectLoop would overwrite the
+            # corrected poses — force the join first (reference sets
+            # mbAbortBA + mbStopGBA, LoopClosing.cc:437-449)
+            self.local_mapping.apply_pending_ba()
+            with self.map.lock:
+                if self.loop_closing.process_keyframe(
+                    kf_id, fix_scale=self.cfg.system.sensor != "mono"
+                ):
+                    self._dmap_dirty = True
+
+        self.local_mapping.post_kf_hook = post_kf
+
     # ------------------------------------------------------------------ API
 
     def track_stereo(
@@ -125,9 +159,16 @@ class Tracking:
                 and lc.pending_gba.res.kf_pose.is_ready()):
             lc.collect_gba()
             self._dmap_dirty = True
+        # worker-thread mode: a finished keyframe event means the device
+        # map mirror is stale — resync before the next fused step
+        if self.local_mapping.poll_map_changed():
+            self._dmap_dirty = True
         # likewise join a finished async LOCAL BA (threaded-LocalMapping
-        # semantics): non-blocking readiness probe, merge costs one RPC
-        if self.local_mapping.apply_pending_ba(only_if_ready=True):
+        # semantics): non-blocking readiness probe, merge costs one RPC.
+        # In worker mode the worker owns the merge (its next event force-
+        # joins); the per-frame poll would contend the same handle.
+        if (self.local_mapping._worker is None
+                and self.local_mapping.apply_pending_ba(only_if_ready=True)):
             self._dmap_dirty = True
         # Defer the frontend host-view download when the fused step will
         # run: the fused dispatch launches against device arrays first and
@@ -467,8 +508,11 @@ class Tracking:
             self._fused = FusedTracker(self.cfg, self.height, self.width)
             self._dmap = DeviceMap()
         if self._dmap_dirty:
-            self._dmap.sync(self.map)
+            # clear BEFORE syncing: a worker event landing mid-sync sets
+            # the flag again and the next frame resyncs (never lost)
             self._dmap_dirty = False
+            with self.map.lock:
+                self._dmap.sync(self.map)
         self._update_last_frame()
         T_pred = self.velocity @ last.pose
         res, flat = self._fused.track(
@@ -504,22 +548,23 @@ class Tracking:
             assign >= 0, np.where(frame.u_right >= 0, 3, 2), 0
         ).astype(np.int32)
         good = assign >= 0
-        self.map.increase_found(assign[good])
-        self.n_inliers = int(
-            sum(1 for pid in assign[good] if self.map.pt_obs[pid])
-        )
-        if self.n_inliers < 30:
-            # roll back associations; the classic path will retry
-            frame.map_pt[:] = -1
-            return False
-        # reference keyframe: the most-voted observer of our matches
-        counter = {}
-        for pid in assign[good]:
-            for kf_id in self.map.pt_obs[pid]:
-                counter[kf_id] = counter.get(kf_id, 0) + 1
-        if counter:
-            self.ref_kf = max(counter, key=counter.get)
-            frame.ref_kf = self.ref_kf
+        with self.map.lock:
+            self.map.increase_found(assign[good])
+            self.n_inliers = int(
+                sum(1 for pid in assign[good] if self.map.pt_obs[pid])
+            )
+            if self.n_inliers < 30:
+                # roll back associations; the classic path will retry
+                frame.map_pt[:] = -1
+                return False
+            # reference keyframe: the most-voted observer of our matches
+            counter = {}
+            for pid in assign[good]:
+                for kf_id in self.map.pt_obs[pid]:
+                    counter[kf_id] = counter.get(kf_id, 0) + 1
+            if counter:
+                self.ref_kf = max(counter, key=counter.get)
+                frame.ref_kf = self.ref_kf
         return True
 
     def mark_map_dirty(self):
@@ -803,19 +848,25 @@ class Tracking:
     # ------------------------------------------------------------ keyframes
 
     def _need_new_keyframe(self) -> bool:
-        """Tracking.cc:1694-1772, single-threaded (mapper always idle)."""
+        """Tracking.cc:1694-1772. Worker mode adds the reference's
+        busy-mapper backpressure: with >= 3 keyframes still queued the
+        insert is refused (LocalMapping.cc mlNewKeyFrames gate)."""
+        if (self.local_mapping._worker is not None
+                and self.local_mapping.pending_count() >= 3):
+            return False
         frame = self.current
-        n_kfs = self.map.n_keyframes
-        n_min_obs = 3 if n_kfs > 2 else 2
-        ref_frame = self.map.kf_frames[self.ref_kf]
-        n_ref_matches = 0
-        if ref_frame is not None:
-            for pid in ref_frame.map_pt[ref_frame.map_pt >= 0]:
-                if (
-                    self.map.pt_alive[pid]
-                    and self.map.n_observations(pid) >= n_min_obs
-                ):
-                    n_ref_matches += 1
+        with self.map.lock:
+            n_kfs = self.map.n_keyframes
+            n_min_obs = 3 if n_kfs > 2 else 2
+            ref_frame = self.map.kf_frames[self.ref_kf]
+            n_ref_matches = 0
+            if ref_frame is not None:
+                for pid in ref_frame.map_pt[ref_frame.map_pt >= 0]:
+                    if (
+                        self.map.pt_alive[pid]
+                        and self.map.n_observations(pid) >= n_min_obs
+                    ):
+                        n_ref_matches += 1
         close = (frame.depth > 0) & (frame.depth < self.cfg.camera.depth_threshold)
         tracked = (frame.map_pt >= 0) & ~frame.outlier
         n_tracked_close = int((close & tracked).sum())
@@ -832,8 +883,47 @@ class Tracking:
 
     def _create_new_keyframe(self):
         """Tracking.cc:1774-1860: promote frame to KF, create close stereo
-        map points, run local mapping inline."""
+        map points, then run local mapping — inline (single-threaded
+        LoopOnce semantics) or handed to the worker thread."""
         frame = self.current
+        # pull the keyframe's descriptors to the host BEFORE taking the
+        # map lock (lazy property = one device RPC; the distinctive-
+        # descriptor pass below needs it)
+        _ = frame.desc
+        with self.map.lock:
+            self._create_new_keyframe_locked(frame)
+        if self.local_mapping._worker is not None:
+            self.local_mapping.kick_async(
+                run_ba=frame.frame_id
+                % max(self.cfg.iv.tracking_ba_rate, 1) == 0
+            )
+            return
+        run_ba = (
+            frame.frame_id % max(self.cfg.iv.tracking_ba_rate, 1) == 0
+        )
+        self.local_mapping.loop_once(run_ba=run_ba)
+        if (
+            self.cfg.system.enable_loop_closing
+            and hasattr(self, "loop_closing")
+            and self.map.kf_alive[self.ref_kf]
+        ):
+            # merge a deferred global BA from an earlier closure before
+            # anything else touches the map at this keyframe event (the
+            # reference's RunGlobalBundleAdjustment merge-back runs
+            # concurrently; here the next keyframe event is the join point)
+            if self.loop_closing.collect_gba():
+                self._dmap_dirty = True
+            # force-join any async local BA before a potential loop
+            # correction: a stale merge after CorrectLoop would overwrite
+            # the corrected poses (the reference sets mbAbortBA +
+            # mbStopGBA before correcting, LoopClosing.cc:437-449)
+            self.local_mapping.apply_pending_ba()
+            if self.loop_closing.process_keyframe(
+                self.ref_kf, fix_scale=self.cfg.system.sensor != "mono"
+            ):
+                self._dmap_dirty = True
+
+    def _create_new_keyframe_locked(self, frame):
         kf_id = self.map.add_keyframe(frame)
         self.ref_kf = kf_id
         frame.ref_kf = kf_id
@@ -872,30 +962,6 @@ class Tracking:
         self.last_kf_frame_id = frame.frame_id
         self._dmap_dirty = True
         self.local_mapping.insert_keyframe(kf_id)
-        run_ba = (
-            frame.frame_id % max(self.cfg.iv.tracking_ba_rate, 1) == 0
-        )
-        self.local_mapping.loop_once(run_ba=run_ba)
-        if (
-            self.cfg.system.enable_loop_closing
-            and hasattr(self, "loop_closing")
-            and self.map.kf_alive[kf_id]
-        ):
-            # merge a deferred global BA from an earlier closure before
-            # anything else touches the map at this keyframe event (the
-            # reference's RunGlobalBundleAdjustment merge-back runs
-            # concurrently; here the next keyframe event is the join point)
-            if self.loop_closing.collect_gba():
-                self._dmap_dirty = True
-            # force-join any async local BA before a potential loop
-            # correction: a stale merge after CorrectLoop would overwrite
-            # the corrected poses (the reference sets mbAbortBA +
-            # mbStopGBA before correcting, LoopClosing.cc:437-449)
-            self.local_mapping.apply_pending_ba()
-            if self.loop_closing.process_keyframe(
-                kf_id, fix_scale=self.cfg.system.sensor != "mono"
-            ):
-                self._dmap_dirty = True
 
     # -------------------------------------------------------- relocalization
 
@@ -1054,6 +1120,12 @@ class Tracking:
         self._reset()
 
     def _reset(self):
+        # drain the worker before discarding the map it is mutating
+        try:
+            self.local_mapping.join()
+        except Exception:
+            pass  # a failed event on a map being reset is moot
+        self.local_mapping.stop_worker()
         # bake out this sub-session's absolute poses before dropping the map
         # (the reference saves per-sub-session trajectories on each failure,
         # Tracking.cc:2433-2504)
@@ -1064,6 +1136,8 @@ class Tracking:
             scale_factor=self.cfg.orb.scale_factor,
         )
         self.local_mapping = LocalMapping(self.cfg, self.map)
+        if self.cfg.system.threaded_local_mapping:
+            self._setup_threaded_mapping()
         self.state = State.NOT_INITIALIZED
         self.velocity = None
         self.ref_kf = -1

@@ -337,13 +337,23 @@ def apply_local_ba(handle: LBAHandle, m):
     """Merge a finished (or force-joined) async local BA into the map.
     Every write revalidates against the live map exactly like the
     synchronous path — points killed or re-observed while the solve ran
-    keep their newer state (MapPoint::Replace-safe)."""
+    keep their newer state (MapPoint::Replace-safe). The device readback
+    happens OUTSIDE the map lock (threaded-LocalMapping mode holds it
+    only for the host mutations)."""
     import jax
 
     new_poses, new_pts, inlier_all, chi2_all = jax.device_get(
         (handle.res.kf_pose, handle.res.pt_pos,
          handle.res.e_inlier, handle.res.e_chi2)
     )
+    with m.lock:
+        _apply_local_ba_data(
+            handle, m, new_poses, new_pts, inlier_all, chi2_all
+        )
+
+
+def _apply_local_ba_data(handle, m, new_poses, new_pts, inlier_all,
+                         chi2_all):
     for i, k in enumerate(handle.all_kfs[: handle.n_local]):
         if not handle.kf_fixed[i] and m.kf_alive[k]:
             m.set_kf_pose(k, new_poses[i])
@@ -503,6 +513,11 @@ def apply_global_ba(handle: GBAHandle, m):
     new_kf_poses, new_pt_pos = jax.device_get(  # blocks until GBA done
         (handle.res.kf_pose, handle.res.pt_pos)
     )
+    with m.lock:
+        _apply_global_ba_data(handle, m, new_kf_poses, new_pt_pos)
+
+
+def _apply_global_ba_data(handle, m, new_kf_poses, new_pt_pos):
     slot = {k: i for i, k in enumerate(handle.kf_ids)}
 
     before = {}
