@@ -51,17 +51,10 @@ def search_by_bow(
         best_d.astype(jnp.float32) < nn_ratio * second_d.astype(jnp.float32)
     )
 
-    # one-to-one: keep lowest distance per b-feature
-    m = desc_b.shape[0]
-    d_claim = jnp.where(ok, best_d, big)
-    best_for_b = jnp.full(m, big, jnp.int32).at[best_j].min(d_claim)
-    wins = ok & (d_claim == best_for_b[best_j])
-    first = (
-        jnp.full(m, 1 << 30, jnp.int32)
-        .at[best_j]
-        .min(jnp.where(wins, jnp.arange(best_j.shape[0]), 1 << 30))
-    )
-    wins &= first[best_j] == jnp.arange(best_j.shape[0])
+    # one-to-one: keep lowest distance per b-feature (scatter-free)
+    from .match import resolve_one_to_one
+
+    _b_assign, wins = resolve_one_to_one(best_j, best_d, ok, desc_b.shape[0])
     assign = jnp.where(wins, best_j, -1)
 
     if check_orientation:

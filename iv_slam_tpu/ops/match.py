@@ -36,6 +36,35 @@ TH_LOW = 50
 HISTO_LENGTH = 30
 
 
+def resolve_one_to_one(best_j, best_d, ok, m):
+    """Scatter-free one-to-one assignment resolution.
+
+    Each of n claimants proposes target best_j with distance best_d (valid
+    when ok); per target keep the lowest-distance claimant, ties broken by
+    lowest claimant index — exactly the reference matchers' overwrite
+    semantics. XLA:TPU lowers non-unique-index scatter-min to a serial
+    per-element loop (milliseconds for thousands of rows); the dense
+    (n, m) masked reductions here are three vectorized passes instead.
+
+    Returns (assign (m,) int32 claimant-or--1, wins (n,) bool)."""
+    n = best_j.shape[0]
+    big = jnp.int32(1 << 20)
+    n_idx = jnp.arange(n, dtype=jnp.int32)
+    W = best_j[:, None] == jnp.arange(m, dtype=jnp.int32)[None, :]
+    d_claim = jnp.where(ok, best_d.astype(jnp.int32), big)
+    best_for = jnp.min(jnp.where(W, d_claim[:, None], big), axis=0)
+    wins = ok & (d_claim == best_for[best_j])
+    INF = jnp.int32(1 << 30)
+    first = jnp.min(
+        jnp.where(W & wins[:, None], n_idx[:, None], INF), axis=0
+    )
+    wins = wins & (first[best_j] == n_idx)
+    assign = jnp.max(
+        jnp.where(W & wins[:, None], n_idx[:, None], -1), axis=0
+    )
+    return assign, wins
+
+
 def rotation_consistency_mask(
     angle_query: jnp.ndarray, angle_matched: jnp.ndarray, matched: jnp.ndarray
 ) -> jnp.ndarray:
@@ -45,8 +74,13 @@ def rotation_consistency_mask(
     rot = jnp.where(rot < 0.0, rot + 360.0, rot)
     bin_idx = jnp.round(rot * (HISTO_LENGTH / 360.0)).astype(jnp.int32)
     bin_idx = jnp.where(bin_idx == HISTO_LENGTH, 0, bin_idx)
-    counts = jnp.zeros(HISTO_LENGTH, jnp.int32).at[bin_idx].add(
-        matched.astype(jnp.int32)
+    # one-hot reduction, not scatter-add (serial on TPU)
+    counts = jnp.sum(
+        (
+            (bin_idx[:, None] == jnp.arange(HISTO_LENGTH)[None, :])
+            & matched[:, None]
+        ).astype(jnp.int32),
+        axis=0,
     )
     top3 = jax.lax.top_k(counts, 3)
     c1, c2, c3 = top3[0][0], top3[0][1], top3[0][2]
@@ -132,22 +166,8 @@ def search_by_projection_last_frame(
     point_matched = best_d <= TH_HIGH
 
     # resolve conflicts: keep lowest distance per current keypoint
-    m = cur_xy.shape[0]
-    d_claim = jnp.where(point_matched, best_d, big)
-    best_for_kp = (
-        jnp.full(m, big, jnp.int32).at[best_j].min(d_claim)
-    )
-    wins = point_matched & (d_claim == best_for_kp[best_j])
-    # among equal-distance claimants keep the lowest point index
-    first_claim = (
-        jnp.full(m, 1 << 30, jnp.int32)
-        .at[best_j]
-        .min(jnp.where(wins, jnp.arange(best_j.shape[0]), 1 << 30))
-    )
-    wins &= first_claim[best_j] == jnp.arange(best_j.shape[0])
-
-    assign = jnp.full(m, -1, jnp.int32).at[best_j].max(
-        jnp.where(wins, jnp.arange(best_j.shape[0]), -1)
+    assign, _wins = resolve_one_to_one(
+        best_j, best_d, point_matched, cur_xy.shape[0]
     )
     matched_kp = assign >= 0
 
@@ -198,16 +218,7 @@ def search_for_initialization(
         best_d.astype(jnp.float32) < nn_ratio * second_d.astype(jnp.float32)
     )
     # one-to-one resolution by lowest distance
-    m = xy2.shape[0]
-    d_claim = jnp.where(ok, best_d, big)
-    best_for_kp = jnp.full(m, big, jnp.int32).at[best_j].min(d_claim)
-    wins = ok & (d_claim == best_for_kp[best_j])
-    first = (
-        jnp.full(m, 1 << 30, jnp.int32)
-        .at[best_j]
-        .min(jnp.where(wins, jnp.arange(best_j.shape[0]), 1 << 30))
-    )
-    wins &= first[best_j] == jnp.arange(best_j.shape[0])
+    _t_assign, wins = resolve_one_to_one(best_j, best_d, ok, xy2.shape[0])
     assign = jnp.where(wins, best_j, -1)
     if check_orientation:
         safe = jnp.maximum(assign, 0)
@@ -313,18 +324,8 @@ def search_by_projection_local_map(
     )
     point_matched = (best_d <= TH_HIGH) & ~ratio_fail
 
-    m = cur_xy.shape[0]
-    d_claim = jnp.where(point_matched, best_d, big)
-    best_for_kp = jnp.full(m, big, jnp.int32).at[best_j].min(d_claim)
-    wins = point_matched & (d_claim == best_for_kp[best_j])
-    first_claim = (
-        jnp.full(m, 1 << 30, jnp.int32)
-        .at[best_j]
-        .min(jnp.where(wins, jnp.arange(best_j.shape[0]), 1 << 30))
-    )
-    wins &= first_claim[best_j] == jnp.arange(best_j.shape[0])
-    assign = jnp.full(m, -1, jnp.int32).at[best_j].max(
-        jnp.where(wins, jnp.arange(best_j.shape[0]), -1)
+    assign, _wins = resolve_one_to_one(
+        best_j, best_d, point_matched, cur_xy.shape[0]
     )
     return assign, jnp.sum((assign >= 0).astype(jnp.int32))
 
@@ -428,3 +429,46 @@ def fuse_into_keyframes(
     return jax.vmap(one_target)(
         kf_xy, kf_oct, kf_desc, kf_valid, kf_ur, kf_T, pt_mask_nb
     )
+
+
+# fused matches per keyframe event are O(100-1000); the dense (NB, P)
+# assignment is 0.25-2 MB of mostly -1 rows per download
+F_CAP = 4096
+
+
+@functools.partial(jax.jit, static_argnames=("scw",))
+def fuse_into_keyframes_compact(
+    kf_xy, kf_oct, kf_desc, kf_valid, kf_ur, kf_T,
+    pt_pos, pt_desc, pt_normal, pt_mind, pt_maxd, pt_mask_nb,
+    scale_factors, log_scale,
+    fx, fy, cx, cy, width, height, bf,
+    radius_th,
+    scw: bool = False,
+) -> jnp.ndarray:
+    """fuse_into_keyframes with the matches COMPACTED on device: one
+    (F_CAP, 3) table of [target_t, point_i, feature] triples plus the true
+    count, in the dense pack's (target-major, point) order — the host
+    apply loop sees identical matches in identical order while the
+    download shrinks ~20-40x. Returns flat (F_CAP*3 + 1,) float32."""
+    assign = fuse_into_keyframes(
+        kf_xy, kf_oct, kf_desc, kf_valid, kf_ur, kf_T,
+        pt_pos, pt_desc, pt_normal, pt_mind, pt_maxd, pt_mask_nb,
+        scale_factors, log_scale,
+        fx, fy, cx, cy, width, height, bf, radius_th, scw=scw,
+    )                                                # (NB, P)
+    nb, p = assign.shape
+    f32 = jnp.float32
+    flat = assign.reshape(-1)
+    good = flat >= 0
+    ti = jnp.repeat(jnp.arange(nb, dtype=jnp.int32), p)
+    pi = jnp.tile(jnp.arange(p, dtype=jnp.int32), nb)
+    rows = jnp.stack(
+        [ti.astype(f32), pi.astype(f32), flat.astype(f32)], axis=1
+    )
+    pos = jnp.cumsum(good) - 1
+    keep = good & (pos < F_CAP)
+    out = jnp.zeros((F_CAP, 3), f32).at[
+        jnp.where(keep, pos, F_CAP)
+    ].set(rows, mode="drop")
+    count = jnp.sum(good.astype(jnp.int32))
+    return jnp.concatenate([out.reshape(-1), count.astype(f32)[None]])

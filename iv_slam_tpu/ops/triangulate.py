@@ -80,17 +80,10 @@ def search_for_triangulation(
     best_j = jnp.argmin(masked, axis=1)
     best_d = jnp.take_along_axis(masked, best_j[:, None], axis=1)[:, 0]
     ok = best_d < TH_LOW
-    # one-to-one
-    m = xy2.shape[0]
-    d_claim = jnp.where(ok, best_d, big)
-    best_for = jnp.full(m, big, jnp.int32).at[best_j].min(d_claim)
-    wins = ok & (d_claim == best_for[best_j])
-    first = (
-        jnp.full(m, 1 << 30, jnp.int32)
-        .at[best_j]
-        .min(jnp.where(wins, jnp.arange(best_j.shape[0]), 1 << 30))
-    )
-    wins &= first[best_j] == jnp.arange(best_j.shape[0])
+    # one-to-one (scatter-free: ops/match.py resolve_one_to_one)
+    from .match import resolve_one_to_one
+
+    _t_assign, wins = resolve_one_to_one(best_j, best_d, ok, xy2.shape[0])
     assign = jnp.where(wins, best_j, -1)
     return assign, jnp.sum(wins.astype(jnp.int32))
 
@@ -164,6 +157,89 @@ def triangulate_event(
         [assign.astype(jnp.float32)[:, :, None],
          good.reshape(nb, n1, 1).astype(jnp.float32),
          X.reshape(nb, n1, 3)], axis=-1,
+    )
+
+
+# accepted (neighbor, feature) pairs per event are O(100); the dense
+# (NB, N1, 5) pack is ~650 KB of mostly-rejected rows per download
+T_CAP = 2048
+
+
+@functools.partial(jax.jit, static_argnames=())
+def triangulate_event_compact(
+    xy1, desc1, free1, ur1, depth1, sig2_1, scale1,
+    xy2_nb, desc2_nb, free2_nb, ur2_nb, depth2_nb, sig2_2_nb, scale2_nb,
+    F12_nb, epipole2_nb, ex_check_nb,
+    T1w, T2w_nb,
+    fx, fy, cx, cy, bf,
+) -> jnp.ndarray:
+    """triangulate_event with the accepted pairs COMPACTED on device: the
+    host downloads one (T_CAP, 6) table [nb_i, f1, f2, X_world] plus the
+    true count instead of the dense (NB, N1, 5) pack — ~25 KB instead of
+    ~650 KB per keyframe event through the host link. Rows keep the dense
+    pack's (neighbor-major, feature) order, so the host apply loop is
+    order-identical. Returns a flat (T_CAP*6 + 2,) float32 vector; the
+    tail is [accepted count, raw epipolar-match count] (the caller warns
+    on > T_CAP overflow — geometrically implausible at default caps but
+    never silent)."""
+    assign, _ = jax.vmap(
+        search_for_triangulation,
+        in_axes=(None, None, None, 0, 0, 0, 0, 0, 0, 0, 0),
+    )(
+        xy1, desc1, free1, xy2_nb, desc2_nb, free2_nb, F12_nb,
+        sig2_2_nb, epipole2_nb, ex_check_nb, sig2_2_nb,
+    )                                               # (NB, N1)
+    nb, n1 = assign.shape
+    f32 = jnp.float32
+
+    # ---- compact the accepted epipolar matches BEFORE triangulation:
+    # only O(100) of the NB*N1 pairs match, and the per-pair DLT (a 4x4
+    # SVD each) dominates the event's device time when run densely.
+    # Scatter the (nb, f1) pair indices into a T_CAP-row table in stable
+    # row-major order, gather pair data, and triangulate T_CAP rows
+    # instead of NB*N1 — ~16x less SVD work at the default caps.
+    matched = (assign >= 0).reshape(-1)
+    pos = jnp.cumsum(matched) - 1
+    keep = matched & (pos < T_CAP)
+    slot = jnp.where(keep, pos, T_CAP)
+    nbi_all = jnp.repeat(jnp.arange(nb, dtype=jnp.int32), n1)
+    f1_all = jnp.tile(jnp.arange(n1, dtype=jnp.int32), nb)
+    nbi = jnp.zeros(T_CAP, jnp.int32).at[slot].set(nbi_all, mode="drop")
+    f1 = jnp.zeros(T_CAP, jnp.int32).at[slot].set(f1_all, mode="drop")
+    pair_valid = (
+        jnp.zeros(T_CAP, bool).at[slot].set(matched, mode="drop")
+    )
+    f2 = assign[nbi, f1]                            # (T_CAP,)
+    j2 = jnp.maximum(f2, 0)
+
+    X, good = triangulate_checked(
+        xy1[f1], xy2_nb[nbi, j2],
+        ur1[f1], depth1[f1],
+        ur2_nb[nbi, j2], depth2_nb[nbi, j2],
+        sig2_1[f1], sig2_2_nb[nbi, j2],
+        scale1[f1], scale2_nb[nbi, j2],
+        pair_valid,
+        T1w, T2w_nb[nbi], fx, fy, cx, cy, bf,
+    )                                               # (T_CAP, ...)
+
+    # ---- second compaction: keep only pairs that triangulated
+    rows = jnp.stack(
+        [nbi.astype(f32), f1.astype(f32), f2.astype(f32),
+         X[:, 0], X[:, 1], X[:, 2]], axis=1,
+    )                                               # (T_CAP, 6)
+    pos2 = jnp.cumsum(good) - 1
+    keep2 = good & (pos2 < T_CAP)
+    out = jnp.zeros((T_CAP, 6), f32).at[
+        jnp.where(keep2, pos2, T_CAP)
+    ].set(rows, mode="drop")
+    # tail: [accepted count, raw epipolar-match count] — the second lets
+    # the caller warn when matches overflowed T_CAP before triangulation
+    # (never silent)
+    n_good = jnp.sum(good.astype(jnp.int32))
+    n_matched = jnp.sum(matched.astype(jnp.int32))
+    return jnp.concatenate(
+        [out.reshape(-1), n_good.astype(f32)[None],
+         n_matched.astype(f32)[None]]
     )
 
 

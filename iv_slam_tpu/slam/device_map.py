@@ -31,6 +31,17 @@ def _splice(packed, desc, valid, packed_rows, desc_rows, valid_rows):
     )
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _scatter(packed, desc, valid, idx, packed_rows, desc_rows, valid_rows):
+    """Scatter-update individual rows of the persistent tables (the delta
+    sync). Padded slots carry idx == capacity and are dropped."""
+    return (
+        packed.at[idx].set(packed_rows, mode="drop"),
+        desc.at[idx].set(desc_rows, mode="drop"),
+        valid.at[idx].set(valid_rows, mode="drop"),
+    )
+
+
 class DeviceMap:
     def __init__(self, capacity: int = 32768):
         self.capacity = capacity
@@ -54,6 +65,10 @@ class DeviceMap:
         self.max_dist = dev[:, 7]
         self.quality = dev[:, 8]
 
+    # delta-sync row buckets: pow-4 ladder, each a prewarmable shape; a
+    # dirty set larger than the top bucket falls back to the full splice
+    DELTA_RUNGS = (256, 1024, 4096)
+
     def sync(self, m, force: bool = False):
         """Upload the live point tables from the host MapStore after
         keyframe insertion / BA / loop correction.
@@ -73,6 +88,18 @@ class DeviceMap:
         while cap < n:
             cap *= 4
         cap = min(cap, self.capacity)
+        # ---- delta path: when the live bucket is unchanged and the host
+        # tracked which rows mutated (MapStore._dirty), scatter just those
+        # rows — a keyframe event touches O(100-2k) of the O(10k) live
+        # rows, so the recurring sync upload shrinks 5-20x.
+        if not force and cap == self.live_cap:
+            idx = m.take_dirty(n, self.DELTA_RUNGS[-1])
+            if idx is not None:
+                if len(idx):
+                    self._scatter_rows(m, idx)
+                return
+        else:
+            m.take_dirty(n, -1)  # consume: the full splice covers it
         packed = np.zeros((cap, 9), np.float32)
         desc = np.zeros((cap, 32), np.uint8)
         valid = np.zeros(cap, bool)
@@ -98,6 +125,38 @@ class DeviceMap:
             self.pos[:cap], self.desc[:cap], self.normal[:cap],
             self.min_dist[:cap], self.max_dist[:cap], self.quality[:cap],
             self.valid[:cap],
+        )
+
+    def _scatter_rows(self, m, idx):
+        """Upload only the dirty rows (idx) and scatter them into the
+        persistent tables; idx is padded to the smallest DELTA_RUNGS
+        bucket (fixed shapes -> no recompiles; pads carry idx=capacity,
+        dropped by the scatter)."""
+        k = len(idx)
+        cap = next(r for r in self.DELTA_RUNGS if r >= k)
+        pidx = np.full(cap, self.capacity, np.int32)
+        pidx[:k] = idx
+        packed = np.zeros((cap, 9), np.float32)
+        packed[:k, 0:3] = m.pt_pos[idx]
+        packed[:k, 3:6] = m.pt_normal[idx]
+        packed[:k, 6] = m.pt_min_dist[idx]
+        packed[:k, 7] = m.pt_max_dist[idx]
+        packed[:k, 8] = m.pt_quality[idx]
+        desc = np.zeros((cap, 32), np.uint8)
+        desc[:k] = m.pt_desc[idx]
+        valid = np.zeros(cap, bool)
+        valid[:k] = m.pt_alive[idx]
+        self._packed, self.desc, self.valid = _scatter(
+            self._packed, self.desc, self.valid,
+            jnp.asarray(pidx), jnp.asarray(packed), jnp.asarray(desc),
+            jnp.asarray(valid),
+        )
+        self._reslice()
+        self._views = (
+            self.pos[:self.live_cap], self.desc[:self.live_cap],
+            self.normal[:self.live_cap], self.min_dist[:self.live_cap],
+            self.max_dist[:self.live_cap], self.quality[:self.live_cap],
+            self.valid[:self.live_cap],
         )
 
     def live_views(self):

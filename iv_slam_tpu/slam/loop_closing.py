@@ -316,6 +316,9 @@ class LoopClosing:
         # join any previous deferred GBA before correcting on top of it
         self.collect_gba()
         m = self.map
+        # a loop correction rewrites poses + points wholesale: the device
+        # mirror's delta tracking can't follow it — force a full resync
+        m.mark_all_dirty()
         corrected, uncorrected, corrected_sim3, corrected_ref = (
             self._propagate_correction(kf_id, loop_kf, S_corr, fix_scale)
         )
@@ -411,12 +414,11 @@ class LoopClosing:
         for okf, ofeat in list(m.pt_obs[kill].items()):
             of = m.kf_frames[okf]
             if okf not in m.pt_obs[keep]:
-                m.pt_obs[keep][okf] = ofeat
+                m.add_observation(keep, okf, ofeat)
                 of.map_pt[ofeat] = keep
             else:
                 of.map_pt[ofeat] = -1
-        m.pt_obs[kill].clear()
-        m.pt_alive[kill] = False
+        m.retire_point(kill)
         m.pt_found[keep] += m.pt_found[kill]
         m.pt_visible[keep] += m.pt_visible[kill]
 

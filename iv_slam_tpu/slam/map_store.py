@@ -59,7 +59,19 @@ class MapStore:
         self.pt_first_kf = np.full(max_points, -1, np.int32)
         self.pt_ref_kf = np.full(max_points, -1, np.int32)
         self.pt_obs: List[Dict[int, int]] = [dict() for _ in range(max_points)]
+        # incrementally-maintained weighted observation count (stereo
+        # observations count 2, MapPoint::AddObservation) — the per-frame
+        # tracking decisions (NeedNewKeyFrame, inlier accounting) read
+        # thousands of counts per frame; the dict-walk version was a
+        # measurable host tax on the 1-core box
+        self.pt_n_obs = np.zeros(max_points, np.int32)
         self.n_points = 0
+        # dirty-row tracking for the device-map delta sync
+        # (slam/device_map.py): every mutation of a device-mirrored point
+        # column (pos/desc/normal/dists/quality/alive) marks its row;
+        # bulk rewrites (global BA merge, loop correction) set dirty_all.
+        self._dirty = np.zeros(max_points, bool)
+        self._dirty_all = True
 
         # --- keyframes ------------------------------------------------------
         self.kf_pose = np.zeros((max_keyframes, 4, 4), np.float32)  # Tcw
@@ -71,6 +83,30 @@ class MapStore:
         self.kf_img_name: List[str] = [""] * max_keyframes
         self.n_keyframes = 0
         self.origin_kf: int = -1
+
+    # --- device-mirror dirty tracking --------------------------------------
+
+    def mark_dirty(self, pids):
+        """Record that device-mirrored columns of these rows changed."""
+        self._dirty[pids] = True
+
+    def mark_all_dirty(self):
+        self._dirty_all = True
+
+    def take_dirty(self, n: int, cap: int):
+        """Consume the dirty set for rows [0, n). Returns None when a full
+        sync is required (dirty_all, or more than `cap` rows); otherwise
+        the row indices, with the consumed flags cleared."""
+        if self._dirty_all:
+            self._dirty_all = False
+            self._dirty[:n] = False
+            return None
+        idx = np.nonzero(self._dirty[:n])[0]
+        if len(idx) > cap:
+            self._dirty[:n] = False
+            return None
+        self._dirty[idx] = False
+        return idx
 
     # --- point lifecycle ----------------------------------------------------
 
@@ -87,37 +123,56 @@ class MapStore:
         self.pt_ref_kf[pid] = ref_kf
         self.pt_visible[pid] = 1
         self.pt_found[pid] = 1
+        self._dirty[pid] = True
         return pid
 
+    def _obs_weight(self, kf_id: int, feat_idx: int) -> int:
+        """Stereo observations count 2 (MapPoint::AddObservation)."""
+        frame = self.kf_frames[kf_id]
+        return 2 if (frame is not None and frame.u_right[feat_idx] >= 0) else 1
+
     def add_observation(self, pid: int, kf_id: int, feat_idx: int):
+        old = self.pt_obs[pid].get(kf_id)
+        if old is not None:
+            self.pt_n_obs[pid] -= self._obs_weight(kf_id, old)
         self.pt_obs[pid][kf_id] = feat_idx
+        self.pt_n_obs[pid] += self._obs_weight(kf_id, feat_idx)
 
     def erase_observation(self, pid: int, kf_id: int):
-        self.pt_obs[pid].pop(kf_id, None)
+        old = self.pt_obs[pid].pop(kf_id, None)
+        if old is not None:
+            self.pt_n_obs[pid] -= self._obs_weight(kf_id, old)
         if self.pt_ref_kf[pid] == kf_id and self.pt_obs[pid]:
             self.pt_ref_kf[pid] = next(iter(self.pt_obs[pid]))
         # MapPoint::EraseObservation: dead when nObs <= 2 (stereo counts 2)
-        if self.n_observations(pid) <= 2:
+        if self.pt_n_obs[pid] <= 2:
             self.kill_point(pid)
 
     def kill_point(self, pid: int):
         if not self.pt_alive[pid]:
             return
         self.pt_alive[pid] = False
+        self._dirty[pid] = True
         for kf_id, feat_idx in list(self.pt_obs[pid].items()):
             frame = self.kf_frames[kf_id]
             if frame is not None and frame.map_pt[feat_idx] == pid:
                 frame.map_pt[feat_idx] = -1
         self.pt_obs[pid].clear()
+        self.pt_n_obs[pid] = 0
+
+    def retire_point(self, pid: int):
+        """Drop a point whose observations were already rewired elsewhere
+        (MapPoint::Replace tail): clears bookkeeping WITHOUT touching the
+        observing frames' feature slots."""
+        self.pt_obs[pid].clear()
+        self.pt_n_obs[pid] = 0
+        self.pt_alive[pid] = False
+        self._dirty[pid] = True
 
     def n_observations(self, pid: int) -> int:
-        """Observation count with stereo observations counted twice
-        (MapPoint::AddObservation: nObs += 2 for stereo)."""
-        n = 0
-        for kf_id, feat_idx in self.pt_obs[pid].items():
-            frame = self.kf_frames[kf_id]
-            n += 2 if (frame is not None and frame.u_right[feat_idx] >= 0) else 1
-        return n
+        """Weighted observation count (stereo counts 2) — incrementally
+        maintained in pt_n_obs."""
+        return int(self.pt_n_obs[pid])
 
     def compute_distinctive_descriptor(self, pid: int):
         """Min-median-Hamming descriptor among observations
@@ -133,6 +188,7 @@ class MapStore:
         dist = _hamming_np(D[:, None, :], D[None, :, :])
         medians = np.median(np.sort(dist, axis=1), axis=1)
         self.pt_desc[pid] = D[int(np.argmin(medians))]
+        self._dirty[pid] = True
 
     def compute_distinctive_descriptor_batch(self, pids):
         """Vectorized compute_distinctive_descriptor over many points —
@@ -178,6 +234,7 @@ class MapStore:
         valid = counts > 0
         idx = np.asarray(pids)[valid]
         self.pt_desc[idx] = D[np.arange(P)[valid], best[valid]]
+        self._dirty[idx] = True
 
     def update_normal_and_depth_batch(self, pids):
         """Vectorized update_normal_and_depth over many points (one
@@ -211,6 +268,7 @@ class MapStore:
         self.pt_normal[pid_arr[has]] = (
             sums[has] / n_ok[has, None]
         ).astype(np.float32)
+        self._dirty[pid_arr] = True
 
         # reference-keyframe scale range, grouped by ref keyframe
         refs = self.pt_ref_kf[pid_arr]
@@ -263,6 +321,7 @@ class MapStore:
         self.pt_min_dist[pid] = (
             self.pt_max_dist[pid] / self.scale_factors[self.n_levels - 1]
         )
+        self._dirty[pid] = True
 
     def increase_visible(self, pids):
         self.pt_visible[pids] += 1
@@ -415,6 +474,10 @@ class MapStore:
                 gt_pose=fd["gt_pose"],
             )
             m.kf_frames[kf] = f
+        for pid in range(n):  # rebuild the incremental counts
+            m.pt_n_obs[pid] = sum(
+                m._obs_weight(k, f) for k, f in m.pt_obs[pid].items()
+            )
         return m
 
     def live_point_arrays(self):

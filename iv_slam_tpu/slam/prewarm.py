@@ -68,13 +68,21 @@ def _warm_fused_step(tracker, dmap_cls, cfg, N: int, live_rungs):
 def _warm_splice(dmap_cls, live_rungs):
     import jax.numpy as jnp
 
-    from .device_map import _splice
+    from .device_map import DeviceMap, _scatter, _splice
 
     dmap = dmap_cls()
     packed, desc, valid = dmap._packed, dmap.desc, dmap.valid
     for rung in live_rungs:
         packed, desc, valid = _splice(
             packed, desc, valid,
+            jnp.zeros((rung, 9), jnp.float32),
+            jnp.zeros((rung, 32), jnp.uint8),
+            jnp.zeros(rung, bool),
+        )
+    for rung in DeviceMap.DELTA_RUNGS:
+        packed, desc, valid = _scatter(
+            packed, desc, valid,
+            jnp.full(rung, dmap.capacity, jnp.int32),
             jnp.zeros((rung, 9), jnp.float32),
             jnp.zeros((rung, 32), jnp.uint8),
             jnp.zeros(rung, bool),
@@ -98,7 +106,7 @@ def _warm_fuse(cfg, N: int, shapes):
     rng = np.random.default_rng(1)
     for nb, p in shapes:
         assign = argpack.call_packed(
-            match_ops.fuse_into_keyframes,
+            match_ops.fuse_into_keyframes_compact,
             jnp.asarray(rng.uniform(0, 300, (nb, N, 2)).astype(f32)),
             jnp.asarray(rng.integers(0, L, (nb, N)).astype(np.int32)),
             jnp.asarray(rng.integers(0, 256, (nb, N, 32)).astype(np.uint8)),
@@ -134,7 +142,7 @@ def _warm_triangulate(cfg, N: int, nb: int = 16):
     f32 = np.float32
     rng = np.random.default_rng(2)
     pack = argpack.call_packed(
-        tri.triangulate_event,
+        tri.triangulate_event_compact,
         rng.uniform(0, 300, (N, 2)).astype(f32),
         jnp.asarray(rng.integers(0, 256, (N, 32)).astype(np.uint8)),
         np.ones(N, bool),
@@ -225,7 +233,11 @@ def prewarm_async(tracking, live_rungs=None, fuse_shapes=None,
             r *= 4
         live_rungs.append(cap)
     if fuse_shapes is None:
-        fuse_shapes = [(16, 1024), (16, 4096), (16, 8192)]
+        # nb=16 covers the early session; nb=64 is where a KITTI-scale
+        # covisibility graph lands within ~30 keyframes (10 first-order +
+        # 5x second-order targets, local_mapping._assemble_fuse) — leaving
+        # it unwarmed put a multi-second compile INSIDE the tracking loop
+        fuse_shapes = [(16, 1024), (16, 4096), (64, 4096), (64, 8192)]
     if ba_rungs is None:
         ba_rungs = LBA_RUNGS
 

@@ -511,18 +511,21 @@ class Tracking:
             # clear BEFORE syncing: a worker event landing mid-sync sets
             # the flag again and the next frame resyncs (never lost)
             self._dmap_dirty = False
-            with self.map.lock:
-                self._dmap.sync(self.map)
+            with self._stage("dmap_sync"):
+                with self.map.lock:
+                    self._dmap.sync(self.map)
         self._update_last_frame()
         T_pred = self.velocity @ last.pose
-        res, flat = self._fused.track(
-            frame, last, last.map_pt, T_pred, self._dmap
-        )
+        with self._stage("fused_dispatch"):
+            res, flat = self._fused.track(
+                frame, last, last.map_pt, T_pred, self._dmap
+            )
         # ONE readback (single RPC) for the fused results AND the deferred
         # frontend host views: the tunneled runtime pays a full link
         # round-trip per materialized array, so everything host-bound
         # ships as one flat float32 vector packed on device
-        out = np.asarray(flat)
+        with self._stage("fused_readback"):
+            out = np.asarray(flat)
         n = frame.u_right.shape[0]
         pack = out[: 10 * n].reshape(n, 10)
         small = out[10 * n:]
@@ -551,7 +554,7 @@ class Tracking:
         with self.map.lock:
             self.map.increase_found(assign[good])
             self.n_inliers = int(
-                sum(1 for pid in assign[good] if self.map.pt_obs[pid])
+                np.count_nonzero(self.map.pt_n_obs[assign[good]] > 0)
             )
             if self.n_inliers < 30:
                 # roll back associations; the classic path will retry
@@ -662,6 +665,7 @@ class Tracking:
         updated = np.minimum(mpt_q, frame.qual_score[idx])
         changed = np.abs(updated - mpt_q) > 0.01
         self.map.pt_quality[pids[changed]] = updated[changed]
+        self.map.mark_dirty(pids[changed])
         frame.qual_score[idx] = updated
 
     def _track_reference_keyframe(self) -> bool:
@@ -732,11 +736,7 @@ class Tracking:
         frame.outlier[out] = False
         good = frame.map_pt >= 0
         # matches to points with observations (in the map)
-        n_map = 0
-        for pid in frame.map_pt[good]:
-            if self.map.pt_obs[pid]:
-                n_map += 1
-        return n_map
+        return int(np.count_nonzero(self.map.pt_n_obs[frame.map_pt[good]] > 0))
 
     def _track_local_map(self) -> bool:
         frame = self.current
@@ -752,7 +752,7 @@ class Tracking:
             self.n_inliers = int(good.sum())
         else:
             self.n_inliers = int(
-                sum(1 for pid in frame.map_pt[good] if self.map.pt_obs[pid])
+                np.count_nonzero(self.map.pt_n_obs[frame.map_pt[good]] > 0)
             )
         bad = (frame.map_pt >= 0) & frame.outlier
         frame.map_pt[bad] = -1  # stereo sensor path
@@ -861,12 +861,11 @@ class Tracking:
             ref_frame = self.map.kf_frames[self.ref_kf]
             n_ref_matches = 0
             if ref_frame is not None:
-                for pid in ref_frame.map_pt[ref_frame.map_pt >= 0]:
-                    if (
-                        self.map.pt_alive[pid]
-                        and self.map.n_observations(pid) >= n_min_obs
-                    ):
-                        n_ref_matches += 1
+                pids = ref_frame.map_pt[ref_frame.map_pt >= 0]
+                n_ref_matches = int(np.count_nonzero(
+                    self.map.pt_alive[pids]
+                    & (self.map.pt_n_obs[pids] >= n_min_obs)
+                ))
         close = (frame.depth > 0) & (frame.depth < self.cfg.camera.depth_threshold)
         tracked = (frame.map_pt >= 0) & ~frame.outlier
         n_tracked_close = int((close & tracked).sum())

@@ -242,6 +242,7 @@ def _run_ba(
         if not kf_fixed[i]:
             m.set_kf_pose(k, new_poses[i])
     m.pt_pos[pts] = new_pts[: len(pts)]
+    m.mark_dirty(pts)
 
     if erase_outliers:
         inlier = inlier_all[:E]
@@ -360,6 +361,7 @@ def _apply_local_ba_data(handle, m, new_poses, new_pts, inlier_all,
     pts_arr = np.asarray(handle.pts)
     alive = m.pt_alive[pts_arr]
     m.pt_pos[pts_arr[alive]] = new_pts[: len(pts_arr)][alive]
+    m.mark_dirty(pts_arr[alive])
 
     inlier = inlier_all[: handle.E]
     for idx in np.nonzero(~inlier)[0]:
@@ -396,6 +398,7 @@ def local_bundle_adjustment_vis(cfg, m, kf_id: int):
         th_min = chi2_dist.ppf(0.5, dof)
         scaled = np.clip((chi2_sum - th_min) / (th_max - th_min), 0.0, 1.0)
         m.pt_quality[pid] = 2.0 * (1.0 / (1.0 + scaled)) - 1.0
+        m.mark_dirty(pid)
 
 
 def constrained_local_bundle_adjustment(cfg, m, kf_id: int):
@@ -565,3 +568,4 @@ def _apply_global_ba_data(handle, m, new_kf_poses, new_pt_pos):
     alive = m.pt_alive[snap_ids]
     m.pt_pos[snap_ids[alive]] = new_pt_pos[: len(snap_ids)][alive]
     m.update_normal_and_depth_batch(snap_ids[alive])
+    m.mark_all_dirty()  # a global merge rewrites most live rows

