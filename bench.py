@@ -129,15 +129,21 @@ def bench_frontend():
     batch_fps = max(batch_window() for _ in range(3))
 
     # --- staged replay: inputs already on device (chip capability) -------
-    Ld, Rd = jnp.asarray(Ls), jnp.asarray(Rs)
+    # K=16 frames per dispatch amortizes the per-dispatch + download tax
+    # further than the wire-bound K=8 batch above
+    K2 = 16
+    Ls2 = np.stack([left] * K2)
+    Rs2 = np.stack([right] * K2)
+    Ld, Rd = jnp.asarray(Ls2), jnp.asarray(Rs2)
     jax.block_until_ready((Ld, Rd))
+    np.asarray(replay_j(Ld, Rd))  # compile+warm the K=16 variant
 
     def staged_window(n_batches=4):
         t0 = time.perf_counter()
         for _ in range(n_batches):
             out = replay_j(Ld, Rd)
         np.asarray(out)
-        return n_batches * K / (time.perf_counter() - t0)
+        return n_batches * K2 / (time.perf_counter() - t0)
 
     staged_fps = max(staged_window() for _ in range(3))
     return fps, batch_fps, staged_fps
@@ -193,6 +199,7 @@ def bench_full_loop(n_frames: int = 80, ramp: int = 15):
     cfg.system.prewarm = True  # background-compile the program ladder
     cfg.system.async_local_ba = True
     cfg.system.threaded_local_mapping = True  # KF events off the loop
+    cfg.system.chained_tracking = True  # one-frame device pipelining
 
     t_ramp0 = time.perf_counter()
     sys_ = System(cfg, H, W)

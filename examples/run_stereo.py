@@ -87,6 +87,11 @@ def parse_args():
     p.add_argument("--prewarm", action="store_true",
                    help="background-compile the fused program ladder at "
                         "startup (slam/prewarm.py; needs --fused_tracking)")
+    p.add_argument("--chained_tracking", action="store_true",
+                   help="one-frame speculative pipelining of the fused "
+                        "step: device program for frame n+1 dispatches "
+                        "from frame n's device results; host bookkeeping "
+                        "runs one frame behind (needs --fused_tracking)")
     p.add_argument("--rectify_images", action="store_true",
                    help="rectify with the settings' LEFT./RIGHT. blocks "
                         "(stereo_kitti.cc:286-343)")
@@ -125,6 +130,7 @@ def main():
     # BA, culling, loop closing) on a worker thread — the reference's
     # default thread architecture (System.cc:172-197)
     cfg.system.threaded_local_mapping = not args.run_single_threaded
+    cfg.system.chained_tracking = args.chained_tracking
 
     if args.dataset == "kitti":
         seq = datasets.load_kitti_stereo(

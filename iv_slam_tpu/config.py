@@ -218,6 +218,16 @@ class SystemConfig:
     # by MapStore.lock (the reference's mMutexMapUpdate). Implies
     # async_local_ba semantics for the BA stage.
     threaded_local_mapping: bool = False
+    # speculative one-frame pipelining of the fused tracking step: frame
+    # n+1's device program is dispatched from frame n's DEVICE results
+    # (pose chain + assignments stay on device) before frame n's host
+    # bookkeeping runs, so the device compute + host-link round-trip
+    # leave the critical path. Consumption validates the speculation
+    # (MapStore.poses_ver unchanged, previous frame accepted) and falls
+    # back to a fresh dispatch otherwise — semantics match the unchained
+    # fused path except that a no-op pose re-anchor is skipped when
+    # nothing moved. Needs fused_tracking; stereo only.
+    chained_tracking: bool = False
 
 
 @dataclass

@@ -431,9 +431,11 @@ def fuse_into_keyframes(
     )
 
 
-# fused matches per keyframe event are O(100-1000); the dense (NB, P)
-# assignment is 0.25-2 MB of mostly -1 rows per download
-F_CAP = 4096
+# fused matches per keyframe event are O(1000); the dense (NB, P)
+# assignment is 0.25-2 MB of mostly -1 rows per download. KITTI-scale
+# events produce 4-6k matches across 64 targets (profiled), so the cap
+# sits above that; overflow is warned, never silent.
+F_CAP = 8192
 
 
 @functools.partial(jax.jit, static_argnames=("scw",))

@@ -302,8 +302,13 @@ def triangulate_checked(
                 b[1] * p2[2] - p2[1],
             ]
         )
-        _, _, Vt = jnp.linalg.svd(A)
-        X = Vt[-1]
+        # nullspace of A = eigenvector of AᵀA (4x4 symmetric PSD) at the
+        # smallest eigenvalue — the same subspace as the smallest right-
+        # singular vector the reference takes from cv::SVD
+        # (LocalMapping.cc:397), but eigh's batched small-matrix path is
+        # far cheaper than SVD on TPU
+        _w, V = jnp.linalg.eigh(A.T @ A)
+        X = V[:, 0]  # ascending eigenvalues
         return X[:3] / jnp.where(jnp.abs(X[3]) > 1e-12, X[3], 1e-12)
 
     X_dlt = jax.vmap(dlt)(xn1, xn2, P2)

@@ -51,7 +51,27 @@ class FusedTracker:
         self.log_scale = jnp.float32(np.log(cfg.orb.scale_factor))
         self.height = height
         self.width = width
-        self._step = jax.jit(self._build_step())
+        self._step_fn = self._build_step()
+        self._step = jax.jit(self._step_fn)
+
+        def step_chained(
+            cur_xy, cur_oct, cur_angle, cur_desc, cur_ur, cur_valid,
+            cur_qual, cur_depth,
+            last_xy, last_oct, last_angle, last_valid,
+            last_pt_ids, T_i, T_im1,
+            *map_views,
+        ):
+            # motion model on device: T_pred = (T_i · T_{i-1}^-1) · T_i —
+            # the pose chain never touches the host (chained tracking)
+            T_pred = (T_i @ jnp.linalg.inv(T_im1)) @ T_i
+            return self._step_fn(
+                cur_xy, cur_oct, cur_angle, cur_desc, cur_ur, cur_valid,
+                cur_qual, cur_depth,
+                last_xy, last_oct, last_angle, last_valid,
+                last_pt_ids, T_pred, T_i, *map_views,
+            )
+
+        self._step_chained = step_chained
 
     def _build_step(self):
         cfg = self.cfg
@@ -187,5 +207,26 @@ class FusedTracker:
             last_pt_ids.astype(np.int32),
             np.asarray(T_pred, np.float32),
             np.asarray(last_frame.pose, np.float32),
+            *dmap.live_views(),
+        )
+
+    def track_chained(self, frame, last_frame, last_assign_dev, T_dev,
+                      T_prev_dev, dmap):
+        """Speculative dispatch for frame n+1 from frame n's DEVICE
+        results: every argument is device-resident (the assignment map and
+        pose chain come from the previous FusedResult), so the dispatch
+        carries no host upload and no host sync — the whole estimation
+        chain pipelines on device while the host consumes results one
+        frame behind (Tracking._track_stereo_chained)."""
+        from ..utils import argpack
+
+        return argpack.call_packed(
+            self._step_chained,
+            frame.kp.xy, frame.kp.octave, frame.kp.angle, frame.kp.desc,
+            jnp.asarray(frame.u_right), frame.kp.valid,
+            jnp.asarray(frame.qual_score), jnp.asarray(frame.depth),
+            last_frame.kp.xy, last_frame.kp.octave, last_frame.kp.angle,
+            last_frame.kp.valid,
+            last_assign_dev, T_dev, T_prev_dev,
             *dmap.live_views(),
         )

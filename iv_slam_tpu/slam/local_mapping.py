@@ -385,38 +385,58 @@ class LocalMapping:
         # round-trip; re-lock for the apply loop (which revalidates)
         with self._stage("lm_fuse.assemble"):
             with m.lock:
-                args, meta = self._assemble_fuse(kf_id)
-        if args is None:
-            return
+                fwd, rev = self._assemble_fuse(kf_id)
+        results = []
         with self._stage("lm_fuse.device"):
-            # compact download: (F_CAP, 3) match-triple table + count
-            flat = np.asarray(
-                argpack.call_packed(
+            # two compact calls: forward (targets x current KF's own
+            # points, point axis <= the 2048 frame capacity) and reverse
+            # (ONE target x the neighbors' point union). The old single
+            # call padded EVERY target to the union's point axis —
+            # 64 x 8192 pairs where 64 x 2048 + 1 x 16384 suffices
+            # (~3.7x less device work per event). Both dispatch before
+            # either downloads, so the pulls overlap the compute and the
+            # event pays ONE extra link sync, not two.
+            handles = []
+            for args, targets, pid_arr in (fwd, rev):
+                if args is None:
+                    handles.append((targets, pid_arr, None))
+                    continue
+                handles.append((targets, pid_arr, argpack.call_packed(
                     match_ops.fuse_into_keyframes_compact, *args
+                )))
+            for targets, pid_arr, h in handles:
+                results.append(
+                    (targets, pid_arr,
+                     np.asarray(h) if h is not None else None)
                 )
-            )
-        all_targets, pid_arr = meta
-        triples = flat[:-1].reshape(match_ops.F_CAP, 3)
-        count = int(flat[-1])
-        if count > match_ops.F_CAP:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "fuse: %d matches > cap %d; extras dropped this event",
-                count, match_ops.F_CAP,
-            )
-        triples = triples[: min(count, match_ops.F_CAP)].astype(np.int64)
-        # padded target slots repeat real frames; drop their phantom rows
-        triples = triples[triples[:, 0] < len(all_targets)]
         with self._stage("lm_fuse.apply"):
             with m.lock:
-                self._apply_fuse_triples(kf_id, all_targets, pid_arr, triples)
+                for targets, pid_arr, flat in results:
+                    if flat is None:
+                        continue
+                    triples = flat[:-1].reshape(match_ops.F_CAP, 3)
+                    count = int(flat[-1])
+                    if count > match_ops.F_CAP:
+                        import logging
+
+                        logging.getLogger(__name__).warning(
+                            "fuse: %d matches > cap %d; extras dropped "
+                            "this event", count, match_ops.F_CAP,
+                        )
+                    triples = triples[: min(count, match_ops.F_CAP)]
+                    triples = triples.astype(np.int64)
+                    triples = triples[triples[:, 0] < len(targets)]
+                    self._apply_fuse_triples(kf_id, targets, pid_arr,
+                                             triples)
 
     def _assemble_fuse(self, kf_id: int):
-        import jax.numpy as jnp
-
+        """Build the two fuse call sets: FORWARD (covisible targets x the
+        current keyframe's own points — point axis bounded by the 2048
+        frame capacity) and REVERSE (the current keyframe as the single
+        target x the union of the targets' points). Returns
+        ((args, targets, pid_arr), (args, targets, pid_arr)); args is None
+        for an empty side."""
         m = self.map
-        cam = self.cfg.camera
         targets = []
         for nb, _w in m.covisible_keyframes(kf_id)[:10]:
             targets.append(nb)
@@ -434,58 +454,61 @@ class LocalMapping:
                 if m.pt_alive[p]:
                     fuse_pts.add(int(p))
         fuse_pts = sorted(fuse_pts)
-        all_targets = targets + [kf_id]
-        union = sorted(set(cur_pts) | set(fuse_pts))
-        if not union or not targets:
-            return None, None
-        # coarse rungs (x4 growth, hard cap): at most 3 point-axis shapes
-        # and 2 target-axis shapes per session, all prewarmable. Beyond the
-        # cap the reverse-fuse candidate set is truncated (the forward set
-        # — the current keyframe's own points — always fits first because
-        # union is ordered with cur_pts interleaved; at KITTI scale the
-        # union stays well under the cap).
-        P_CAP, NB_CAP = 8192, 64
-        if len(union) > P_CAP:
-            cur_set = set(cur_pts)
-            union = sorted(cur_set) + [p for p in fuse_pts
-                                       if p not in cur_set][: P_CAP - len(cur_set)]
-            union = sorted(union)
-        pid_arr = np.asarray(union, np.int64)
-        slot = {p: i for i, p in enumerate(union)}
-        p_cap = 1024
-        while p_cap < len(union):
-            p_cap *= 4
-        p_cap = min(p_cap, P_CAP)
-        all_targets = all_targets[: NB_CAP - 1] + [kf_id] \
-            if len(all_targets) > NB_CAP else all_targets
-        nb_cap = 16 if len(all_targets) <= 16 else NB_CAP
+        NB_CAP = 64
+        targets = targets[:NB_CAP]
+        empty = (None, [], None)
+        if not targets:
+            return empty, empty
+        fwd_set = (
+            self._fuse_args(targets, cur_pts, fwd_p_cap=2048)
+            if cur_pts else empty
+        )
+        rev_set = (
+            self._fuse_args([kf_id], fuse_pts)
+            if fuse_pts else empty
+        )
+        return fwd_set, rev_set
 
-        # per-target eligibility: forward targets see cur_pts, the current
-        # keyframe sees the neighbors' points. The already-observed gate
-        # (`nb in pt_obs`) lives in the apply loop — per-point matches are
-        # independent, so pre-masking them changes nothing
+    # reverse-fuse point-axis cap: the union of up to 64 covisible
+    # keyframes' points; beyond it the candidate set is truncated (warned
+    # by the F_CAP overflow path, never silent)
+    P_CAP = 16384
+
+    def _fuse_args(self, targets, pts, fwd_p_cap=None):
+        import jax.numpy as jnp
+
+        m = self.map
+        cam = self.cfg.camera
+        if fwd_p_cap is not None:
+            p_cap = fwd_p_cap          # frame capacity bounds cur_pts
+            pts = pts[:p_cap]
+        else:
+            pts = pts[: self.P_CAP]
+            p_cap = 4096
+            while p_cap < len(pts):
+                p_cap *= 2
+            p_cap = min(p_cap, self.P_CAP)
+        pid_arr = np.asarray(pts, np.int64)
+        # target-axis rungs {1, 16, 64}: 1 is the reverse side's shape
+        nb_cap = 1 if len(targets) == 1 else (16 if len(targets) <= 16
+                                              else 64)
         mask = np.zeros((nb_cap, p_cap), bool)
-        fwd = np.zeros(p_cap, bool)
-        fwd[[slot[p] for p in cur_pts]] = True
-        rev = np.zeros(p_cap, bool)
-        rev[[slot[p] for p in fuse_pts if p in slot]] = True
-        for t, nb in enumerate(all_targets):
-            mask[t] = rev if nb == kf_id else fwd
+        mask[: len(targets), : len(pts)] = True
 
         pos = np.zeros((p_cap, 3), np.float32)
         desc = np.zeros((p_cap, 32), np.uint8)
         normal = np.zeros((p_cap, 3), np.float32)
         mind = np.ones(p_cap, np.float32)
         maxd = np.ones(p_cap, np.float32)
-        pos[: len(union)] = m.pt_pos[pid_arr]
-        desc[: len(union)] = m.pt_desc[pid_arr]
-        normal[: len(union)] = m.pt_normal[pid_arr]
-        mind[: len(union)] = m.pt_min_dist[pid_arr]
-        maxd[: len(union)] = m.pt_max_dist[pid_arr]
+        pos[: len(pts)] = m.pt_pos[pid_arr]
+        desc[: len(pts)] = m.pt_desc[pid_arr]
+        normal[: len(pts)] = m.pt_normal[pid_arr]
+        mind[: len(pts)] = m.pt_min_dist[pid_arr]
+        maxd[: len(pts)] = m.pt_max_dist[pid_arr]
 
-        frames = [m.kf_frames[nb] for nb in all_targets]
+        frames = [m.kf_frames[nb] for nb in targets]
         f0 = frames[0]
-        pad = nb_cap - len(all_targets)
+        pad = nb_cap - len(targets)
         sf = m.scale_factors
         # host arrays + scalars ship as ONE packed upload (7 arrays + 8
         # scalars were separate RPCs through the tunnel)
@@ -498,8 +521,8 @@ class LocalMapping:
             np.stack([np.asarray(f.u_right) for f in frames]
                      + [np.asarray(f0.u_right)] * pad).astype(f32s),
             np.stack(
-                [m.kf_pose[nb] for nb in all_targets]
-                + [m.kf_pose[all_targets[0]]] * pad
+                [m.kf_pose[nb] for nb in targets]
+                + [m.kf_pose[targets[0]]] * pad
             ).astype(f32s),
             pos, desc, normal, mind, maxd, mask,
             np.asarray(sf, f32s),
@@ -511,7 +534,7 @@ class LocalMapping:
             np.asarray(cam.bf, f32s),
             np.asarray(3.0, f32s),
         )
-        return args, (all_targets, pid_arr)
+        return args, targets, pid_arr
 
     def _apply_fuse_triples(self, kf_id, all_targets, pid_arr, triples):
         """Apply the compacted (target, point, feature) fuse matches —

@@ -46,6 +46,8 @@ class LoopClosing:
         self.kf_nodes: Dict[int, np.ndarray] = {}
         self.kf_bow: Dict[int, dict] = {}
         self.n_loops_closed = 0
+        # optional per-stage wall-clock tracing (tools/bench_loop_closing)
+        self.stage_timer = None
         # persistent loop-closure edges (KeyFrame::GetLoopEdges): past
         # closures stay as normal edges in later essential graphs
         self.loop_edges: set = set()
@@ -69,21 +71,32 @@ class LoopClosing:
 
     # ----------------------------------------------------------- main loop
 
+    def _stage(self, name: str):
+        import contextlib
+
+        if self.stage_timer is None:
+            return contextlib.nullcontext()
+        return self.stage_timer.time(name)
+
     def process_keyframe(self, kf_id: int, fix_scale: bool = True) -> bool:
         """Returns True if a loop was detected and corrected."""
-        self._ensure_bow(kf_id)
-        self.kfdb.add(kf_id, self.kf_bow[kf_id])
+        with self._stage("lc_bow"):
+            self._ensure_bow(kf_id)
+            self.kfdb.add(kf_id, self.kf_bow[kf_id])
         if self.map.n_keyframes < 11 or kf_id < self.last_loop_kf + 10:
             return False
-        candidates = self._detect_loop(kf_id)
+        with self._stage("lc_detect"):
+            candidates = self._detect_loop(kf_id)
         if not candidates:
             return False
-        match = self._compute_sim3(kf_id, candidates, fix_scale)
+        with self._stage("lc_sim3"):
+            match = self._compute_sim3(kf_id, candidates, fix_scale)
         if match is None:
             return False
         loop_kf, S_corr, matched = match
-        self._correct_loop(kf_id, loop_kf, S_corr, matched,
-                           fix_scale=fix_scale)
+        with self._stage("lc_correct"):
+            self._correct_loop(kf_id, loop_kf, S_corr, matched,
+                               fix_scale=fix_scale)
         self.last_loop_kf = kf_id
         self.n_loops_closed += 1
         return True

@@ -83,6 +83,7 @@ class MapStore:
         self.kf_img_name: List[str] = [""] * max_keyframes
         self.n_keyframes = 0
         self.origin_kf: int = -1
+        self.poses_ver = 0  # bumped by set_kf_pose (see there)
 
     # --- device-mirror dirty tracking --------------------------------------
 
@@ -355,6 +356,11 @@ class MapStore:
 
     def set_kf_pose(self, kf_id: int, T: np.ndarray):
         self.kf_pose[kf_id] = T
+        # generation counter for keyframe-pose rewrites (BA merges, loop
+        # corrections): chained tracking validates its speculative
+        # dispatches against this — a changed counter means the dispatch
+        # saw stale poses and the frame re-tracks fresh
+        self.poses_ver += 1
         frame = self.kf_frames[kf_id]
         if frame is not None:
             frame.pose = np.asarray(T, np.float32).copy()

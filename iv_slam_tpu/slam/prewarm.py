@@ -43,13 +43,19 @@ def _dummy_frame_args(N: int, L: int):
 
 def _warm_fused_step(tracker, dmap_cls, cfg, N: int, live_rungs):
     """Residency must match FusedTracker.track: frame views on device,
-    (ids, T_pred, T_last) host numpy riding the packed upload."""
+    (ids, T_pred, T_last) host numpy riding the packed upload. The
+    chained variant (track_chained: everything device-resident) is its
+    own program per rung and is walked too."""
+    import jax.numpy as jnp
+
     from ..utils import argpack
 
     L = cfg.orb.n_levels
     xy, octave, angle, desc, ur, valid, qual, depth = _dummy_frame_args(N, L)
     ids = np.full(N, -1, np.int32)
     T = np.eye(4, dtype=np.float32)
+    ids_dev = jnp.asarray(ids)
+    T_dev = jnp.asarray(T)
     dmap = dmap_cls()
     for rung in live_rungs:
         views = (
@@ -61,6 +67,12 @@ def _warm_fused_step(tracker, dmap_cls, cfg, N: int, live_rungs):
             tracker._step,
             xy, octave, angle, desc, ur, valid, qual, depth,
             xy, octave, angle, valid, ids, T, T, *views,
+        )
+        flat.block_until_ready()
+        res, flat = argpack.call_packed(
+            tracker._step_chained,
+            xy, octave, angle, desc, ur, valid, qual, depth,
+            xy, octave, angle, valid, ids_dev, T_dev, T_dev, *views,
         )
         flat.block_until_ready()
 
@@ -93,7 +105,11 @@ def _warm_splice(dmap_cls, live_rungs):
 def _warm_fuse(cfg, N: int, shapes):
     """Host/device residency here must MATCH the runtime call in
     local_mapping._search_in_neighbors exactly — the packed wrapper
-    (utils/argpack.py) is cached per (fn, residency, spec)."""
+    (utils/argpack.py) is cached per (fn, residency, spec). The stacked
+    device inputs are built with the SAME jnp.stack-of-per-frame-arrays
+    expressions as _assemble_fuse: those stack/concat programs are remote
+    compiles too (profiled as a multi-second stall inside the first
+    keyframe event when only the big program was prewarmed)."""
     import jax.numpy as jnp
 
     from ..ops import match as match_ops
@@ -104,13 +120,18 @@ def _warm_fuse(cfg, N: int, shapes):
     sf = cfg.orb.scale_factors()
     f32 = np.float32
     rng = np.random.default_rng(1)
+    # per-frame device arrays, stacked the way _assemble_fuse stacks them
+    xy_1 = jnp.asarray(rng.uniform(0, 300, (N, 2)).astype(f32))
+    oct_1 = jnp.asarray(rng.integers(0, L, N).astype(np.int32))
+    desc_1 = jnp.asarray(rng.integers(0, 256, (N, 32)).astype(np.uint8))
+    valid_1 = jnp.asarray(np.ones(N, bool))
     for nb, p in shapes:
         assign = argpack.call_packed(
             match_ops.fuse_into_keyframes_compact,
-            jnp.asarray(rng.uniform(0, 300, (nb, N, 2)).astype(f32)),
-            jnp.asarray(rng.integers(0, L, (nb, N)).astype(np.int32)),
-            jnp.asarray(rng.integers(0, 256, (nb, N, 32)).astype(np.uint8)),
-            jnp.asarray(np.ones((nb, N), bool)),
+            jnp.stack([xy_1] * nb),
+            jnp.stack([oct_1] * nb),
+            jnp.stack([desc_1] * nb),
+            jnp.stack([valid_1] * nb),
             rng.uniform(0, 300, (nb, N)).astype(f32),
             np.tile(np.eye(4, dtype=f32), (nb, 1, 1)),
             rng.uniform(-5, 5, (p, 3)).astype(f32),
@@ -141,17 +162,20 @@ def _warm_triangulate(cfg, N: int, nb: int = 16):
     cam = cfg.camera
     f32 = np.float32
     rng = np.random.default_rng(2)
+    # the neighbor descriptor stack is built from per-frame device arrays
+    # at runtime — warm the same stack program, not just the big event
+    desc_1 = jnp.asarray(rng.integers(0, 256, (N, 32)).astype(np.uint8))
     pack = argpack.call_packed(
         tri.triangulate_event_compact,
         rng.uniform(0, 300, (N, 2)).astype(f32),
-        jnp.asarray(rng.integers(0, 256, (N, 32)).astype(np.uint8)),
+        desc_1,
         np.ones(N, bool),
         rng.uniform(0, 300, N).astype(f32),
         rng.uniform(1, 30, N).astype(f32),
         np.ones(N, f32),
         np.ones(N, f32),
         rng.uniform(0, 300, (nb, N, 2)).astype(f32),
-        jnp.asarray(rng.integers(0, 256, (nb, N, 32)).astype(np.uint8)),
+        jnp.stack([desc_1] * nb),
         np.ones((nb, N), bool),
         rng.uniform(0, 300, (nb, N)).astype(f32),
         rng.uniform(1, 30, (nb, N)).astype(f32),
@@ -207,6 +231,52 @@ def _warm_local_ba(cfg, rungs):
         jax.block_until_ready(res)
 
 
+def _warm_classic_fallbacks(tracking, cfg, N: int):
+    """The fused path's fallback programs (motion-model search, pose LM,
+    bucketed local-map search) — rare at runtime, but their first call
+    was a multi-second mid-run compile stall (profiled at frame ~16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..geometry import camera as cam_mod
+    from ..ops import match as match_ops
+    from ..solvers import pose_opt
+
+    cam = cfg.camera
+    K = cam_mod.Intrinsics.from_config(cam)
+    L = cfg.orb.n_levels
+    sf = jnp.asarray(cfg.orb.scale_factors())
+    xy, octave, angle, desc, ur, valid, qual, depth = _dummy_frame_args(N, L)
+    T = jnp.eye(4)
+    f32 = jnp.float32
+    assign, _ = match_ops.search_by_projection_last_frame(
+        xy, octave, angle, desc, ur, valid,
+        jnp.zeros((N, 3)), desc, octave, angle, valid, T, T,
+        f32(cam.fx), f32(cam.fy), f32(cam.cx), f32(cam.cy),
+        f32(cam.bf), f32(cam.baseline),
+        f32(cam.width), f32(cam.height), sf, f32(7.0),
+    )
+    assign.block_until_ready()
+    res = pose_opt.pose_optimization(
+        T, jnp.zeros((N, 3)),
+        jnp.concatenate([xy, ur[:, None]], axis=1),
+        jnp.ones(N, jnp.float32), qual, valid, K,
+        n_rounds=cfg.iv.optimizer_pose_opt_iter_count,
+    )
+    jax.block_until_ready(res.T)
+    for p in (1024, 4096, 16384):
+        assign, _ = match_ops.search_by_projection_local_map(
+            xy, octave, desc, ur, valid, valid & False,
+            jnp.zeros((p, 3)), jnp.zeros((p, 32), jnp.uint8),
+            jnp.zeros((p, 3)), jnp.ones(p), jnp.ones(p),
+            jnp.ones(p, bool), T,
+            f32(cam.fx), f32(cam.fy), f32(cam.cx), f32(cam.cy), f32(cam.bf),
+            f32(cam.width), f32(cam.height), sf,
+            f32(np.log(cfg.orb.scale_factor)), f32(1.0), f32(0.8),
+        )
+        assign.block_until_ready()
+
+
 def prewarm_async(tracking, live_rungs=None, fuse_shapes=None,
                   ba_rungs=None) -> threading.Thread:
     """Start the prewarm walk on a daemon thread for a Tracking instance
@@ -233,14 +303,19 @@ def prewarm_async(tracking, live_rungs=None, fuse_shapes=None,
             r *= 4
         live_rungs.append(cap)
     if fuse_shapes is None:
-        # nb=16 covers the early session; nb=64 is where a KITTI-scale
-        # covisibility graph lands within ~30 keyframes (10 first-order +
-        # 5x second-order targets, local_mapping._assemble_fuse) — leaving
-        # it unwarmed put a multi-second compile INSIDE the tracking loop
-        fuse_shapes = [(16, 1024), (16, 4096), (64, 4096), (64, 8192)]
+        # forward fuse (targets x current-KF points, frame-capacity axis)
+        # at both target rungs, plus the single-target reverse side's
+        # point-axis ladder (local_mapping._fuse_args). An unwarmed shape
+        # puts a multi-second remote compile INSIDE the tracking loop.
+        fuse_shapes = [(1, 2048), (16, 2048), (64, 2048),
+                       (1, 4096), (1, 8192), (1, 16384)]
     if ba_rungs is None:
         ba_rungs = LBA_RUNGS
 
+    # STRICTLY SERIAL walk: concurrent compiles wedge the remote-compile
+    # service (verified empirically — a 3-thread walker stalled with zero
+    # progress for 17 minutes; the same ladder compiles serially in
+    # ~8-14 min cold and loads from the persistent cache afterwards).
     def run():
         try:
             _warm_splice(DeviceMap, live_rungs)
@@ -248,6 +323,7 @@ def prewarm_async(tracking, live_rungs=None, fuse_shapes=None,
             _warm_triangulate(cfg, N)
             _warm_fuse(cfg, N, fuse_shapes)
             _warm_local_ba(cfg, ba_rungs)
+            _warm_classic_fallbacks(tracking, cfg, N)
         except Exception as e:  # best-effort: a failed warm just means a
             t.exc = e           # compile happens later, on the tracking path
 

@@ -131,6 +131,7 @@ class System:
 
     def shutdown(self):
         self._shutdown = True
+        self.tracking.flush_chain()
         self.tracking.local_mapping.join()
         self.tracking.local_mapping.stop_worker()
 
@@ -160,6 +161,7 @@ class System:
     def save_keyframe_trajectory_tum(self, path: str):
         """SaveKeyFrameTrajectoryTUM (System.cc:614-676): keyframe poses
         only, sorted by id, timestamp + Twc quaternion per line."""
+        self.tracking.flush_chain()
         self.tracking.local_mapping.join()
         if getattr(self.tracking, "loop_closing", None) is not None:
             self.tracking.loop_closing.collect_gba()

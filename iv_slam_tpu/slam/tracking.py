@@ -85,6 +85,10 @@ class Tracking:
         self._finalized_twc: List[np.ndarray] = []  # frames of closed sub-sessions
         self._session_start = 0
         self.datagen = None  # introspection DataGenerator (training mode)
+        # chained-tracking pipeline state (cfg.system.chained_tracking)
+        self._pending = None   # dispatched-but-unprocessed frame record
+        self._spec = None      # speculation record consumed by _track_fused
+        self._chain_ok = False
         # optional per-stage wall-clock tracing (utils/profiling.StageTimer;
         # the reference's only instrumentation is whole-TrackStereo timing,
         # stereo_kitti.cc:437-441 — this is the stage-level superset)
@@ -148,28 +152,27 @@ class Tracking:
         overlap the frontend's device work with host-side tracking — the
         reference's I/O-vs-tracking thread overlap, jax-async style.
 
+        In chained mode (cfg.system.chained_tracking) the fused device
+        program for this frame is dispatched speculatively and host
+        bookkeeping runs ONE FRAME BEHIND; the returned pose is then the
+        previous frame's (None until it exists). Flush points (trajectory
+        reads, shutdown, reset) drain the lag.
+
         gt_depth_map: optional full-resolution GT depth image (AirSim PFM
         path, stereo_airsim.cc:339-360); sampled per keypoint as the
         reference's mvKeysGTDepth (Frame.cc:152-191)."""
-        # join a finished deferred global BA as soon as its device result
-        # is ready (the reference's GBA thread merges the moment it
-        # finishes, LoopClosing.cc:649) — non-blocking probe per frame
-        lc = getattr(self, "loop_closing", None)
-        if (lc is not None and lc.pending_gba is not None
-                and lc.pending_gba.res.kf_pose.is_ready()):
-            lc.collect_gba()
-            self._dmap_dirty = True
-        # worker-thread mode: a finished keyframe event means the device
-        # map mirror is stale — resync before the next fused step
-        if self.local_mapping.poll_map_changed():
-            self._dmap_dirty = True
-        # likewise join a finished async LOCAL BA (threaded-LocalMapping
-        # semantics): non-blocking readiness probe, merge costs one RPC.
-        # In worker mode the worker owns the merge (its next event force-
-        # joins); the per-frame poll would contend the same handle.
-        if (self.local_mapping._worker is None
-                and self.local_mapping.apply_pending_ba(only_if_ready=True)):
-            self._dmap_dirty = True
+        if (
+            self.cfg.system.chained_tracking
+            and self.cfg.system.fused_tracking
+            and gt_depth_map is None
+            and not self.only_tracking
+        ):
+            return self._track_stereo_chained(
+                img_left, img_right, timestamp, cost_map, gt_pose, gt_cov,
+                img_name, frontend_handle,
+            )
+        self.flush_chain()
+        self._poll_async_merges()
         # Defer the frontend host-view download when the fused step will
         # run: the fused dispatch launches against device arrays first and
         # one batched device_get then drains views + results together
@@ -205,6 +208,175 @@ class Tracking:
             self._track()
         return frame.pose
 
+    def _poll_async_merges(self):
+        """Non-blocking per-frame probes for finished background device
+        work (deferred global BA, worker keyframe events, async local BA);
+        a merge marks the device map mirror stale."""
+        # join a finished deferred global BA as soon as its device result
+        # is ready (the reference's GBA thread merges the moment it
+        # finishes, LoopClosing.cc:649)
+        lc = getattr(self, "loop_closing", None)
+        if (lc is not None and lc.pending_gba is not None
+                and lc.pending_gba.res.kf_pose.is_ready()):
+            lc.collect_gba()
+            self._dmap_dirty = True
+        # worker-thread mode: a finished keyframe event means the device
+        # map mirror is stale — resync before the next fused step
+        if self.local_mapping.poll_map_changed():
+            self._dmap_dirty = True
+        # likewise join a finished async LOCAL BA (threaded-LocalMapping
+        # semantics): non-blocking readiness probe, merge costs one RPC.
+        # In worker mode the worker owns the merge (its next event force-
+        # joins); the per-frame poll would contend the same handle.
+        if (self.local_mapping._worker is None
+                and self.local_mapping.apply_pending_ba(only_if_ready=True)):
+            self._dmap_dirty = True
+
+    # ------------------------------------------------- chained (pipelined)
+
+    def _track_stereo_chained(
+        self, img_left, img_right, timestamp, cost_map, gt_pose, gt_cov,
+        img_name, frontend_handle,
+    ) -> Optional[np.ndarray]:
+        """One-frame-pipelined tracking: dispatch this frame's fused device
+        program immediately (from the previous frame's DEVICE results when
+        a chain is live, or from host state to start one), then run the
+        previous frame's host bookkeeping while the device computes. The
+        critical path per frame drops to dispatch + host work — the fused
+        step's device time and the result download overlap the next frame.
+
+        Speculation is validated at consumption (_track_fused): a keyframe-
+        pose rewrite (MapStore.poses_ver) or a rejected predecessor forces
+        a fresh dispatch with exact unchained semantics."""
+        import jax.numpy as jnp
+
+        self._poll_async_merges()
+        with self._stage("frontend"):
+            if frontend_handle is not None:
+                frame = self.frontend.collect(
+                    frontend_handle, timestamp, gt_pose, gt_cov, img_name,
+                    defer=True,
+                )
+            else:
+                frame = self.frontend.process(
+                    img_left, img_right, timestamp, cost_map, gt_pose,
+                    gt_cov, img_name, defer=True,
+                )
+        pending = self._pending
+        spec = None
+        if pending is not None and self.state == State.OK:
+            # speculative dispatch for THIS frame from the pending
+            # frame's device results (no host upload, no sync)
+            if self._dmap_dirty:
+                self._dmap_dirty = False
+                with self._stage("dmap_sync"), self.map.lock:
+                    self._dmap.sync(self.map)
+            with self._stage("spec_dispatch"):
+                res, flat = self._fused.track_chained(
+                    frame, pending["frame"], pending["res"].assign_map,
+                    pending["res"].T, pending["T_prev"], self._dmap,
+                )
+            spec = dict(frame=frame, res=res, flat=flat,
+                        ver=self.map.poses_ver,
+                        T_prev=pending["res"].T,
+                        fut=self._pull_async(flat))
+        # ---- process the pending (previous) frame completely
+        prev_pose = None
+        if pending is not None:
+            self._pending = None
+            self.current = pending["frame"]
+            self._spec = pending
+            self._chain_ok = False
+            self._used_spec = False
+            with self._stage("track"):
+                self._track()
+            self._spec = None
+            prev_pose = pending["frame"].pose
+            if spec is not None and (
+                not self._chain_ok or not self._used_spec or self._dmap_dirty
+            ):
+                # Drop the successor speculation when (a) the
+                # predecessor's fused result was rejected, (b) the
+                # predecessor was re-dispatched fresh — this spec chained
+                # off the DISCARDED speculative device result, not the
+                # accepted one — or (c) processing changed the map
+                # (keyframe created / merge landed) after we dispatched,
+                # so the speculation saw a mirror without the event's new
+                # points (fewer inliers -> runaway keyframe cadence).
+                # Falling through re-seeds the chain from CURRENT host
+                # state below — one host-dispatched frame, no cascade (a
+                # ver=-1 re-dispatch-at-consumption scheme left every
+                # later frame chained to stale results: profiled 65/78
+                # fresh dispatches).
+                spec = None
+        if spec is not None:
+            self._pending = spec
+            return prev_pose
+        # ---- no live chain: start one when the fused gate holds, else
+        # process this frame immediately (init / lost / fallback paths)
+        if (
+            self.state == State.OK
+            and self.velocity is not None
+            and self.last_frame is not None
+            and self.last_frame.pose is not None
+        ):
+            if not hasattr(self, "_fused"):
+                from .device_map import DeviceMap
+                from .fused_track import FusedTracker
+
+                self._fused = FusedTracker(self.cfg, self.height, self.width)
+                self._dmap = DeviceMap()
+            if self._dmap_dirty:
+                self._dmap_dirty = False
+                with self._stage("dmap_sync"), self.map.lock:
+                    self._dmap.sync(self.map)
+            self._update_last_frame()
+            T_pred = self.velocity @ self.last_frame.pose
+            with self._stage("spec_dispatch"):
+                res, flat = self._fused.track(
+                    frame, self.last_frame, self.last_frame.map_pt, T_pred,
+                    self._dmap,
+                )
+            self._pending = dict(
+                frame=frame, res=res, flat=flat, ver=self.map.poses_ver,
+                T_prev=jnp.asarray(self.last_frame.pose),
+                fut=self._pull_async(flat),
+            )
+            return prev_pose
+        self.current = frame
+        with self._stage("track"):
+            self._track()
+        return frame.pose
+
+    def _pull_async(self, flat):
+        """Start the device->host pull of a result pack on a helper thread
+        (copy_to_host_async is a no-op on some backends; a concurrent
+        device_get releases the GIL and lands the bytes before the frame
+        is consumed, so the per-frame host sync stops paying the link
+        round-trip)."""
+        if not hasattr(self, "_puller"):
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._puller = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="iv-result-pull"
+            )
+        return self._puller.submit(np.asarray, flat)
+
+    def flush_chain(self):
+        """Drain the one-frame pipeline: process the pending frame (if
+        any) so host state is current. Called by trajectory readers,
+        shutdown, reset, and any non-chained entry point."""
+        pending = getattr(self, "_pending", None)
+        if pending is None:
+            return
+        self._pending = None
+        self.current = pending["frame"]
+        self._spec = pending
+        self._chain_ok = False
+        with self._stage("track"):
+            self._track()
+        self._spec = None
+
     def submit_frontend(self, img_left, img_right, cost_map=None):
         handle = self.frontend.submit(img_left, img_right, cost_map)
         # classic path downloads the host pack in collect(); start the
@@ -231,6 +403,7 @@ class Tracking:
         gt_depth_map: optional GT depth image sampled per keypoint
         (mono_airsim.cc supports PFM GT depth for the feature evaluator's
         reprojection path, same as stereo_airsim.cc:339-360)."""
+        self.flush_chain()
         from .frame import MonoFrontend
 
         if not hasattr(self, "mono_frontend"):
@@ -389,6 +562,7 @@ class Tracking:
         through the stereo state machine (vanilla ORB-SLAM2 behavior — the
         reference's introspection paths fatal out for RGBD,
         Tracking.cc:377-379)."""
+        self.flush_chain()
         from .frame import RGBDFrontend
 
         if not hasattr(self, "rgbd_frontend"):
@@ -405,7 +579,10 @@ class Tracking:
     def _track(self):
         frame = self.current
         if frame.defer and not (
-            self.cfg.system.fused_tracking and self.state == State.OK
+            self.cfg.system.fused_tracking
+            and self.state == State.OK
+            and self.velocity is not None
+            and not self.only_tracking
         ):
             frame.materialize()  # safety: only the fused path defers
         if self.state in (State.NO_IMAGES_YET, State.NOT_INITIALIZED):
@@ -501,31 +678,48 @@ class Tracking:
 
         frame = self.current
         last = self.last_frame
-        if last is None or last.pose is None:
-            frame.materialize()  # classic fallback needs the host views
-            return False
-        if not hasattr(self, "_fused"):
-            self._fused = FusedTracker(self.cfg, self.height, self.width)
-            self._dmap = DeviceMap()
-        if self._dmap_dirty:
-            # clear BEFORE syncing: a worker event landing mid-sync sets
-            # the flag again and the next frame resyncs (never lost)
-            self._dmap_dirty = False
-            with self._stage("dmap_sync"):
-                with self.map.lock:
-                    self._dmap.sync(self.map)
-        self._update_last_frame()
-        T_pred = self.velocity @ last.pose
-        with self._stage("fused_dispatch"):
-            res, flat = self._fused.track(
-                frame, last, last.map_pt, T_pred, self._dmap
-            )
+        spec = self._spec
+        used_spec = (
+            spec is not None
+            and spec.get("ver") == self.map.poses_ver
+            and spec["frame"] is frame
+        )
+        self._used_spec = used_spec
+        if used_spec:
+            # consume the speculative dispatch: its inputs are provably
+            # identical to what a fresh dispatch would see (no keyframe
+            # pose moved since — the _update_last_frame re-anchor would
+            # have been a numeric no-op), so this is the unchained result
+            # minus the critical-path wait
+            res, flat = spec["res"], spec["flat"]
+        else:
+            if last is None or last.pose is None:
+                frame.materialize()  # classic fallback needs the host views
+                return False
+            if not hasattr(self, "_fused"):
+                self._fused = FusedTracker(self.cfg, self.height, self.width)
+                self._dmap = DeviceMap()
+            if self._dmap_dirty:
+                # clear BEFORE syncing: a worker event landing mid-sync
+                # sets the flag again and the next frame resyncs
+                self._dmap_dirty = False
+                with self._stage("dmap_sync"):
+                    with self.map.lock:
+                        self._dmap.sync(self.map)
+            self._update_last_frame()
+            T_pred = self.velocity @ last.pose
+            with self._stage("fused_dispatch"):
+                res, flat = self._fused.track(
+                    frame, last, last.map_pt, T_pred, self._dmap
+                )
         # ONE readback (single RPC) for the fused results AND the deferred
         # frontend host views: the tunneled runtime pays a full link
         # round-trip per materialized array, so everything host-bound
-        # ships as one flat float32 vector packed on device
+        # ships as one flat float32 vector packed on device. Chained
+        # frames had the pull started on the helper thread at dispatch.
         with self._stage("fused_readback"):
-            out = np.asarray(flat)
+            fut = spec.get("fut") if used_spec else None
+            out = fut.result() if fut is not None else np.asarray(flat)
         n = frame.u_right.shape[0]
         pack = out[: 10 * n].reshape(n, 10)
         small = out[10 * n:]
@@ -568,6 +762,7 @@ class Tracking:
             if counter:
                 self.ref_kf = max(counter, key=counter.get)
                 frame.ref_kf = self.ref_kf
+        self._chain_ok = True  # fused result accepted: chain stays valid
         return True
 
     def mark_map_dirty(self):
@@ -823,6 +1018,18 @@ class Tracking:
             # visible bump for frustum points happens inside the matcher path;
             # the reference also skips points already matched this frame
             pt_valid &= ~in_cur
+        # pad the point axis to a coarse bucket: the local set's size is
+        # data-dependent and every distinct size would compile a fresh
+        # multi-second program through the remote link (this path runs on
+        # fused-tracking fallbacks and the classic configuration). The
+        # x4 ladder from 1024 matches prewarm's _warm_classic_fallbacks.
+        cap = 1024
+        while cap < len(pts):
+            cap *= 4
+        if cap != len(pts):
+            pad = cap - len(pts)
+            pts = np.concatenate([pts, np.zeros(pad, pts.dtype)])
+            pt_valid = np.concatenate([pt_valid, np.zeros(pad, bool)])
         assign, n = match_ops.search_by_projection_local_map(
             frame.kp.xy, frame.kp.octave, frame.kp.desc,
             jnp.asarray(frame.u_right), frame.kp.valid,
@@ -1119,6 +1326,7 @@ class Tracking:
         self._reset()
 
     def _reset(self):
+        self._pending = None  # a dispatched frame mirrors a dead map now
         # drain the worker before discarding the map it is mutating
         try:
             self.local_mapping.join()
@@ -1178,4 +1386,5 @@ class Tracking:
     def trajectory_poses(self) -> List[np.ndarray]:
         """Absolute Twc per frame, composed like SaveTrajectoryKITTI
         (System.cc:709-772): Tcw = Tcr * Trw with the *current* KF poses."""
+        self.flush_chain()
         return self._finalized_twc + self._compose_session()

@@ -1,0 +1,76 @@
+"""Chained (one-frame-pipelined) fused tracking equivalence.
+
+cfg.system.chained_tracking dispatches frame n+1's fused device program
+from frame n's device results and runs host bookkeeping one frame behind;
+consumption validates the speculation (keyframe-pose generation counter)
+and falls back to a fresh dispatch with exact unchained semantics. These
+tests pin: (a) trajectories match the unchained fused path, (b) flush
+points drain the pipeline, (c) the full frame count lands in the
+trajectory.
+"""
+
+import numpy as np
+
+from iv_slam_tpu.config import Config, CameraConfig, ORBConfig
+from iv_slam_tpu.io import trajectory
+from iv_slam_tpu.slam.system import System
+from iv_slam_tpu.slam.tracking import State
+
+import synth_world
+
+H, W = 240, 320
+N_FRAMES = 14
+
+
+def _cfg(chained: bool) -> Config:
+    cfg = Config()
+    cfg.camera = CameraConfig(
+        fx=400.0, fy=400.0, cx=160.0, cy=120.0, bf=200.0,
+        width=W, height=H, th_depth=35.0, fps=10.0,
+    )
+    cfg.orb = ORBConfig(n_features=600, n_levels=4)
+    cfg.system.fused_tracking = True
+    cfg.system.chained_tracking = chained
+    return cfg
+
+
+def _run(cfg, frames, gt):
+    sys_ = System(cfg, H, W)
+    for i, (left, right) in enumerate(frames):
+        sys_.track_stereo(left, right, timestamp=i * 0.1)
+    est = sys_.trajectory_twc()
+    assert sys_.state == State.OK
+    ate = trajectory.ate_rmse(est, gt[-len(est):])
+    n_kfs = int(sys_.tracking.map.kf_alive[: sys_.tracking.map.n_keyframes]
+                .sum())
+    sys_.shutdown()
+    return est, float(ate), n_kfs
+
+
+def test_chained_matches_unchained(rng):
+    world, frames, gt = synth_world.make_sequence(rng, n_frames=N_FRAMES,
+                                                  step=0.08)
+    est_u, ate_u, kfs_u = _run(_cfg(False), frames, gt)
+    est_c, ate_c, kfs_c = _run(_cfg(True), frames, gt)
+    # every frame must appear in the trajectory (the pipeline flushed)
+    assert len(est_c) == len(est_u) == N_FRAMES
+    # same accuracy: the chained path consumes speculative results whose
+    # inputs are identical up to a skipped no-op pose re-anchor
+    assert abs(ate_c - ate_u) < 0.02, (ate_c, ate_u)
+    assert ate_c < 0.2
+    assert abs(kfs_c - kfs_u) <= 1
+
+
+def test_chained_mid_sequence_flush(rng):
+    world, frames, gt = synth_world.make_sequence(rng, n_frames=10,
+                                                  step=0.08)
+    sys_ = System(_cfg(True), H, W)
+    for i, (left, right) in enumerate(frames[:6]):
+        sys_.track_stereo(left, right, timestamp=i * 0.1)
+    # mid-run trajectory read must flush the in-flight frame
+    assert len(sys_.trajectory_twc()) == 6
+    for i, (left, right) in enumerate(frames[6:], start=6):
+        sys_.track_stereo(left, right, timestamp=i * 0.1)
+    assert len(sys_.trajectory_twc()) == 10
+    assert sys_.state == State.OK
+    sys_.shutdown()

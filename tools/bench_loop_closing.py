@@ -1,0 +1,134 @@
+"""Loop-closure timing at realistic scale (VERDICT r2 item #9).
+
+Runs the full system with BoW enabled over a loop-shaped trajectory (out
+along +x, arc back to the start) on the plane world, with the vocabulary
+at a chosen scale, and reports per-stage LoopClosing timings: lc_bow
+(transform + db add per KF), lc_detect (DetectLoop: covisible min-score +
+inverted-file query + temporal consistency), lc_sim3 (per-candidate BoW
+match + Sim3 RANSAC + guided reprojection), lc_correct (CorrectLoop:
+propagation, SearchAndFuse, essential graph, global BA kick).
+
+The ORBvoc-scale tree (k=10, L=6, 10^6 leaves) is the reference's
+vocabulary shape (Thirdparty/DBoW2, build.sh); --voc small uses k=9, L=4
+for quick runs.
+
+Usage: /opt/venv/bin/python tools/bench_loop_closing.py \
+    [--frames 240] [--voc orbvoc|small]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+H, W = 240, 320
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=240)
+    p.add_argument("--voc", choices=("orbvoc", "small"), default="orbvoc")
+    args = p.parse_args()
+
+    import jax
+
+    if jax.default_backend() != "cpu":
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_tpu_cache")
+
+    import synth_world
+
+    from iv_slam_tpu.config import Config, CameraConfig, ORBConfig
+    from iv_slam_tpu.slam.system import System
+    from iv_slam_tpu.slam.vocabulary import Vocabulary
+    from iv_slam_tpu.utils.profiling import StageTimer
+
+    rng = np.random.default_rng(3)
+    world = synth_world.PlaneWorld(
+        rng, tex_size=8192, res=60.0, fx=400.0, fy=400.0, cx=160.0,
+        cy=120.0, w=W, h=H, baseline=0.5,
+    )
+    # loop trajectory: straight out, wide arc back, re-approach the start
+    n = args.frames
+    frames, gt = [], []
+    for i in range(n):
+        s = i / n
+        ang = 2 * np.pi * s
+        r = 6.0
+        t = np.array(
+            [r * np.sin(ang), r * (1 - np.cos(ang)), 0.0], np.float32
+        )
+        Twc = synth_world.camera_pose(t, height=10.0, yaw=0.0)
+        frames.append(world.render_stereo(Twc))
+        gt.append(Twc)
+
+    cfg = Config()
+    cfg.camera = CameraConfig(
+        fx=400.0, fy=400.0, cx=160.0, cy=120.0, bf=200.0,
+        width=W, height=H, th_depth=35.0, fps=10.0,
+    )
+    cfg.orb = ORBConfig(n_features=800, n_levels=8)
+    cfg.system.use_bow = True
+    cfg.system.enable_loop_closing = True
+    cfg.system.fused_tracking = True
+    cfg.system.prewarm = jax.default_backend() != "cpu"
+    cfg.system.threaded_local_mapping = True
+    cfg.system.async_local_ba = True
+    cfg.system.chained_tracking = True
+
+    t0 = time.perf_counter()
+    if args.voc == "orbvoc":
+        voc = Vocabulary.synthesize(k=10, L=6, seed=0)
+    else:
+        voc = Vocabulary.synthesize(k=9, L=4, seed=0)
+    t_voc = time.perf_counter() - t0
+    print(f"voc: {voc.n_words} words, built in {t_voc:.1f}s", flush=True)
+
+    sys_ = System(cfg, H, W)
+    sys_.attach_vocabulary(voc)
+    lc = sys_.tracking.loop_closing
+    lc.stage_timer = StageTimer()
+    if sys_._prewarm_thread is not None:
+        sys_._prewarm_thread.join()
+
+    t0 = time.perf_counter()
+    for i, (left, right) in enumerate(frames):
+        sys_.track_stereo(left, right, timestamp=i * 0.1)
+        if i % 40 == 39:
+            print(f"frame {i + 1}/{n}", flush=True)
+    wall = time.perf_counter() - t0
+    est = sys_.trajectory_twc()
+    m = sys_.tracking.map
+    n_kfs = int(m.kf_alive[: m.n_keyframes].sum())
+
+    print("\n== loop-closing stages ==")
+    print(lc.stage_timer.report())
+    stats = lc.stage_timer.stats()
+    from iv_slam_tpu.io import trajectory
+
+    ate = trajectory.ate_rmse(est, gt[-len(est):])
+    out = {
+        "frames": n,
+        "fps": round(n / wall, 2),
+        "n_keyframes": n_kfs,
+        "n_loops_closed": lc.n_loops_closed,
+        "ate_m": round(float(ate), 4),
+        "voc_words": voc.n_words,
+    }
+    for k, s in stats.items():
+        out[k + "_med_ms"] = round(s["median"] * 1e3, 1)
+        out[k + "_n"] = s["n"]
+    sys_.shutdown()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

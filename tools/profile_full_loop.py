@@ -26,6 +26,7 @@ def main():
     p.add_argument("--frames", type=int, default=80)
     p.add_argument("--ramp", type=int, default=15)
     p.add_argument("--no-threaded", action="store_true")
+    p.add_argument("--no-chained", action="store_true")
     p.add_argument("--log_compiles", action="store_true")
     args = p.parse_args()
 
@@ -70,6 +71,7 @@ def main():
     cfg.system.prewarm = True
     cfg.system.async_local_ba = True
     cfg.system.threaded_local_mapping = not args.no_threaded
+    cfg.system.chained_tracking = not args.no_chained
 
     t0 = time.perf_counter()
     sys_ = System(cfg, H, W)
