@@ -228,7 +228,9 @@ def _warm_local_ba(cfg, rungs):
             e_valid=np.ones(ne, bool),
         )
         res = _ba_solve_packed(prob, K, n_iters1=5, n_iters2=10)
-        jax.block_until_ready(res)
+        from ..solvers.local_ba import _flatten_ba_result
+
+        _flatten_ba_result(res).block_until_ready()
 
 
 def _warm_classic_fallbacks(tracking, cfg, N: int):

@@ -181,6 +181,45 @@ def _ba_solve_packed(prob, K, n_iters1=5, n_iters2=10, kernel2=False,
     )
 
 
+def _flat_ba_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def flat(kf_pose, pt_pos, e_inlier, e_chi2):
+        return jnp.concatenate([
+            kf_pose.reshape(-1), pt_pos.reshape(-1),
+            e_inlier.astype(jnp.float32), e_chi2,
+        ])
+
+    return flat
+
+
+_FLAT_BA = None
+
+
+def _flatten_ba_result(res):
+    """Pack the four host-bound result arrays into ONE device vector so
+    the merge pays a single link round-trip (4 serial pulls measured
+    ~25 ms each through the tunnel = most of the BA join time)."""
+    global _FLAT_BA
+    if _FLAT_BA is None:
+        _FLAT_BA = _flat_ba_jit()
+    return _FLAT_BA(res.kf_pose, res.pt_pos, res.e_inlier, res.e_chi2)
+
+
+def _unflatten_ba_result(flat_np, n_kf, n_pt, n_e):
+    o1 = n_kf * 16
+    o2 = o1 + n_pt * 3
+    o3 = o2 + n_e
+    return (
+        flat_np[:o1].reshape(n_kf, 4, 4),
+        flat_np[o1:o2].reshape(n_pt, 3),
+        flat_np[o2:o3] != 0.0,
+        flat_np[o3:o3 + n_e],
+    )
+
+
 def _trim_window(m, local_kfs, fixed_kfs, pts):
     """Shrink an oversized local-BA window to the largest LBA rung:
     weakest-covisibility local keyframes, then most-redundant fixed
@@ -233,10 +272,9 @@ def _run_ba(
 
     # ONE link round-trip for everything host-bound (the tunneled runtime
     # pays a full RTT per materialized array)
-    import jax
-
-    new_poses, new_pts, inlier_all, chi2_all = jax.device_get(
-        (res.kf_pose, res.pt_pos, res.e_inlier, res.e_chi2)
+    new_poses, new_pts, inlier_all, chi2_all = _unflatten_ba_result(
+        np.asarray(_flatten_ba_result(res)),
+        res.kf_pose.shape[0], res.pt_pos.shape[0], res.e_chi2.shape[0],
     )
     for i, k in enumerate(all_kfs[:n_local]):
         if not kf_fixed[i]:
@@ -304,6 +342,10 @@ class LBAHandle:
 
     def __init__(self, res, all_kfs, kf_fixed, n_local, pts, e_feat, E):
         self.res = res
+        # flattened on device at dispatch: the merge pulls ONE array
+        self.flat = _flatten_ba_result(res)
+        self.shapes = (res.kf_pose.shape[0], res.pt_pos.shape[0],
+                       res.e_chi2.shape[0])
         self.all_kfs = all_kfs
         self.kf_fixed = kf_fixed
         self.n_local = n_local
@@ -313,7 +355,7 @@ class LBAHandle:
 
     def is_ready(self) -> bool:
         try:
-            return self.res.kf_pose.is_ready()
+            return self.flat.is_ready()
         except AttributeError:  # CPU backend arrays may lack is_ready
             return True
 
@@ -341,11 +383,8 @@ def apply_local_ba(handle: LBAHandle, m):
     keep their newer state (MapPoint::Replace-safe). The device readback
     happens OUTSIDE the map lock (threaded-LocalMapping mode holds it
     only for the host mutations)."""
-    import jax
-
-    new_poses, new_pts, inlier_all, chi2_all = jax.device_get(
-        (handle.res.kf_pose, handle.res.pt_pos,
-         handle.res.e_inlier, handle.res.e_chi2)
+    new_poses, new_pts, inlier_all, chi2_all = _unflatten_ba_result(
+        np.asarray(handle.flat), *handle.shapes
     )
     with m.lock:
         _apply_local_ba_data(
