@@ -170,17 +170,23 @@ class DataGenerator:
             thresh = fe.BAD_ERR_THRESH_REPROJ
         else:
             if ref_source == "prev":
-                ref_gt0 = prev_frame.gt_pose
                 ref_name = prev_frame.img_name
             else:
-                # one transform per call batched by the dominant ref KF
-                # (the reference computes this per keypoint)
                 ref_kf0 = int(m.pt_ref_kf[int(frame.map_pt[keep[0]])])
-                ref_gt0 = m.kf_gt_pose[ref_kf0]
                 ref_name = m.kf_frames[ref_kf0].img_name
-            T_rel = np.asarray(fe.relative_transform(
-                jnp.asarray(frame.gt_pose), jnp.asarray(ref_gt0)
-            ))
+            # PER-KEYPOINT relative GT transform: the reference recomputes
+            # CalculateRelativeTransform from each map point's OWN
+            # reference keyframe (fe.cpp:2545-2560); a single dominant-KF
+            # transform mis-pairs every point observed from another
+            # keyframe and systematically inflates the scores (measured
+            # 3-4x vs the oracle before this fix)
+            Tcw_cur = np.linalg.inv(frame.gt_pose)
+            ref_stack = np.stack(ref_gt_pose)[:cap].astype(np.float64)
+            T_rel = np.matmul(Tcw_cur[None], ref_stack).astype(np.float32)
+            T_rel = np.pad(
+                T_rel, ((0, max(cap - len(ref_stack), 0)), (0, 0), (0, 0))
+            )
+            T_rel[len(ref_stack):, range(4), range(4)] = 1.0  # pad = identity
             # loaded relative-pose uncertainty -> per-pair covariance
             # (fe.cpp:1398-1407; disables the x4 no-cov normalization)
             sigma_w = sigma_t = np.zeros((3, 3))
@@ -194,9 +200,14 @@ class DataGenerator:
                 if cov is not None:
                     sigma_w, sigma_t = cov
                     has_cov = True
+            # argument order matters: the epipolar line comes from the
+            # REFERENCE keypoint carried through T_rel (ref->cur) and the
+            # distance is measured at the CURRENT keypoint (fe.cpp
+            # CalculateEpipolarErrorVec); the swapped call paired the
+            # line with the wrong image and inflated every score
             scores = fe.epipolar_scores(
-                jnp.asarray(kp_cur_a.astype(np.float32)),
                 jnp.asarray(kp_ref_a.astype(np.float32)),
+                jnp.asarray(kp_cur_a.astype(np.float32)),
                 jnp.asarray(sig_a),
                 jnp.asarray(valid),
                 jnp.asarray(T_rel.astype(np.float32)),

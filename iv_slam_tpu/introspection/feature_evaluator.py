@@ -73,17 +73,26 @@ def epipolar_scores(
     kp_cur: jnp.ndarray,      # (N, 2) matched keypoints in the current frame
     level_sigma2: jnp.ndarray,  # (N,) keypoint scale variance (curr octave)
     valid: jnp.ndarray,       # (N,) bool
-    T_rel: jnp.ndarray,       # (4, 4) ref-cam -> curr-cam GT transform
+    T_rel: jnp.ndarray,       # (4, 4) or (N, 4, 4) ref-cam -> curr-cam GT
+                              # transform — PER KEYPOINT when batched (the
+                              # reference recomputes it per map point from
+                              # that point's OWN reference keyframe,
+                              # fe.cpp:2545-2560; one shared transform is
+                              # only correct when every scored point has
+                              # the same reference keyframe)
     Kmat: jnp.ndarray,        # (3, 3) intrinsics
     sigma_w: jnp.ndarray,     # (3, 3) rotational covariance of T_rel
     sigma_t: jnp.ndarray,     # (3, 3) translational covariance of T_rel
     has_cov: jnp.ndarray,     # () bool — scalar flag
 ) -> EpipolarScores:
-    R = T_rel[:3, :3]
-    t = T_rel[:3, 3]
+    n = kp_ref.shape[0]
+    if T_rel.ndim == 2:
+        T_rel = jnp.broadcast_to(T_rel, (n, 4, 4))
+    R = T_rel[:, :3, :3]                             # (N, 3, 3)
+    t = T_rel[:, :3, 3]                              # (N, 3)
     fx, fy = Kmat[0, 0], Kmat[1, 1]
     cx, cy = Kmat[0, 2], Kmat[1, 2]
-    baseline_ok = jnp.linalg.norm(t) >= MIN_BASELINE
+    baseline_ok = jnp.linalg.norm(t, axis=-1) >= MIN_BASELINE
 
     # --- raw epipolar error (CalculateEpipolarErrorVec, fe.cpp:2754-2830) --
     # normalized ref points: K^-1 [u, v, 1]
@@ -103,9 +112,9 @@ def epipolar_scores(
     # epipolar line l = F p_ref with F = [K t]_x (K R K^-1) and p_ref the
     # PIXEL homogeneous coordinate (fe.cpp:1849-1866 normalizes by z, not
     # by K). Since K^-1 p_ref = xr, B = K R K^-1 p_ref = K R xr.
-    B = (Kmat @ R) @ xr[..., None]                   # (N, 3, 1)
-    KT = Kmat @ t
-    l = (_hat(KT)[None] @ B)[..., 0]                 # (N, 3)
+    B = (Kmat[None] @ R) @ xr[..., None]             # (N, 3, 1)
+    KT = t @ Kmat.T                                  # (N, 3) = K t per point
+    l = (_hat(KT) @ B)[..., 0]                       # (N, 3)
     Ln = jnp.maximum(jnp.linalg.norm(l[:, :2], axis=-1), 1e-12)
     L3 = Ln ** 3
 
@@ -114,7 +123,7 @@ def epipolar_scores(
         [jnp.cross(Kmat[:, i][None, :], B[..., 0]) for i in range(3)], axis=-1
     )  # (N, 3, 3)
     C = R @ xr[..., None]
-    Jl_w = -(_hat(KT)[None] @ (Kmat[None] @ _hat(C[..., 0])))  # (N, 3, 3)
+    Jl_w = -(_hat(KT) @ (Kmat[None] @ _hat(C[..., 0])))  # (N, 3, 3)
 
     xn = jnp.concatenate([kp_cur, jnp.ones((kp_cur.shape[0], 1))], axis=-1)
     xl = jnp.sum(xn * l, axis=-1)                    # x^T l

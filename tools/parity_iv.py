@@ -33,16 +33,51 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tools"))
+sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
 def generate(work: str):
-    """seqA from parity_reference + GT poses in the KITTI 12-number
-    format LoadImagesWithGT parses (stereo_kitti.cc:755-770)."""
+    """Sequences + GT poses in the KITTI 12-number format
+    LoadImagesWithGT parses (stereo_kitti.cc:755-770).
+
+    seqA/seqB come from parity_reference (the ATE-parity fixtures).
+    seqC adds camera-height oscillation: the ATE fixtures translate
+    EXACTLY parallel to the image plane (camera-frame t.z == 0), which
+    puts the epipole at infinity and makes the reference's normalized
+    epipolar error NaN on every pair (feature_evaluator.cpp
+    CalculateEpipolarErrorVec) — a degenerate case of the synthetic
+    world, not of either system. The IV comparison runs on seqC."""
+    import cv2
+
     import parity_reference as pr
+    import synth_world
 
     pr.generate(work)
     pr.train_vocab(work)
-    for name, _seed, _n in pr.SEQUENCES:
+    seqc = os.path.join(work, "seqC")
+    if not os.path.exists(os.path.join(seqc, "gt_twc.npy")):
+        os.makedirs(seqc + "/image_0", exist_ok=True)
+        os.makedirs(seqc + "/image_1", exist_ok=True)
+        rng = np.random.default_rng(7)
+        world = synth_world.PlaneWorld(rng)
+        n = 100
+        gt = []
+        for i in range(n):
+            t = np.array(
+                [i * 0.12, 0.02 * np.sin(i * 0.4), 0.0], np.float32
+            )
+            Twc = synth_world.camera_pose(
+                t, height=10.0 + 0.15 * np.sin(i * 0.5),
+                yaw=0.02 * np.sin(i * 0.3),
+            )
+            L, R = world.render_stereo(Twc)
+            cv2.imwrite(f"{seqc}/image_0/{i:06d}.png", L)
+            cv2.imwrite(f"{seqc}/image_1/{i:06d}.png", R)
+            gt.append(Twc)
+        np.savetxt(f"{seqc}/times.txt", [i * 0.1 for i in range(n)],
+                   fmt="%.6f")
+        np.save(f"{seqc}/gt_twc.npy", np.stack(gt))
+    for name in ("seqA", "seqB", "seqC"):
         gt = np.load(os.path.join(work, name, "gt_twc.npy"))
         rows = gt[:, :3, :].reshape(len(gt), 12)
         np.savetxt(os.path.join(work, name, "gt_kitti.txt"), rows,
@@ -65,11 +100,7 @@ def run_reference(work: str, seq: str, ref_bin: str) -> str:
          "--enable_viewer=false", "--run_single_threaded=true"],
         check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
-    # the reference nests the session dir; find generated_training_data
-    for root, dirs, _files in os.walk(out):
-        if "generated_training_data" in dirs:
-            return os.path.join(root, "generated_training_data")
-    raise SystemExit(f"reference produced no dataset under {out}")
+    return _find_dataset(out, "reference")
 
 
 def run_ours(work: str, seq: str) -> str:
@@ -78,6 +109,10 @@ def run_ours(work: str, seq: str) -> str:
         "import jax, runpy, sys;"
         "jax.config.update('jax_platforms', 'cpu');"
         "jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache');"
+        # mirror the oracle build's relaxed good-for-training gate
+        # (kMinBadMatchPercent_ = -1): heatmaps on every tracked frame
+        "import iv_slam_tpu.introspection.feature_evaluator as fe;"
+        "fe.MIN_BAD_PERCENT = -1.0;"
         f"sys.argv = ['run_stereo.py', '--dataset', 'kitti',"
         f" '--data_path', '{work}/{seq}',"
         f" '--ground_truth_path', '{work}/{seq}/gt_kitti.txt',"
@@ -92,10 +127,17 @@ def run_ours(work: str, seq: str) -> str:
     )
     subprocess.run([sys.executable, "-c", code], check=True,
                    stderr=subprocess.DEVNULL)
+    return _find_dataset(out, "ours")
+
+
+def _find_dataset(out: str, who: str) -> str:
+    """The dataset root is wherever bad_region_heatmap/ lives (the
+    reference writes straight under --out_dataset_path; ours nests a
+    generated_training_data session dir)."""
     for root, dirs, _files in os.walk(out):
-        if "generated_training_data" in dirs:
-            return os.path.join(root, "generated_training_data")
-    raise SystemExit(f"ours produced no dataset under {out}")
+        if "bad_region_heatmap" in dirs:
+            return root
+    raise SystemExit(f"{who} produced no dataset under {out}")
 
 
 def compare(ref_ds: str, our_ds: str) -> dict:
@@ -130,6 +172,20 @@ def compare(ref_ds: str, our_ds: str) -> dict:
         res["heatmap_corr_median"] = round(float(np.median(corrs)), 3)
         res["heatmap_corr_mean"] = round(float(np.mean(corrs)), 3)
         res["heatmap_mad_median"] = round(float(np.median(mads)), 2)
+    # frame-level intensity agreement: mean heat per image, both sides
+    if common:
+        ma, mb = [], []
+        for name in common:
+            a = iio.imread(os.path.join(rdir, name)).astype(np.float64)
+            b = iio.imread(os.path.join(odir, name)).astype(np.float64)
+            ma.append(float(a.mean()))
+            mb.append(float(b.mean()))
+        ma, mb = np.asarray(ma), np.asarray(mb)
+        res["heatmap_mean_ref"] = round(float(ma.mean()), 2)
+        res["heatmap_mean_ours"] = round(float(mb.mean()), 2)
+        if ma.std() > 1e-9 and mb.std() > 1e-9:
+            res["frame_mean_corr"] = round(float(np.corrcoef(ma, mb)[0, 1]),
+                                           3)
 
     # --- masks: IoU ---------------------------------------------------
     rm = os.path.join(ref_ds, "bad_region_heatmap_mask")
@@ -154,6 +210,10 @@ def compare(ref_ds: str, our_ds: str) -> dict:
             continue
         with open(kp_path) as f:
             kp = json.load(f)
+        if not isinstance(kp, dict):
+            # the reference writes "null" unless enforce_supervised_
+            # feature_eval filled the keypoints object
+            continue
         err = np.asarray(kp.get("epipolar_err", []), np.float64)
         res[f"kp_count_{tag}"] = int(len(err))
         if len(err):
@@ -167,7 +227,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--work", default="/tmp/parity_iv")
     ap.add_argument("--reference_bin", required=True)
-    ap.add_argument("--seq", default="seqA")
+    ap.add_argument("--seq", default="seqC")
     ap.add_argument("--skip_ours", action="store_true")
     ap.add_argument("--skip_ref", action="store_true")
     args = ap.parse_args()
@@ -175,9 +235,11 @@ def main():
     generate(args.work)
     ref_ds = (run_reference(args.work, args.seq, args.reference_bin)
               if not args.skip_ref
-              else os.path.join(args.work, f"ref_iv_{args.seq}"))
+              else _find_dataset(
+                  os.path.join(args.work, f"ref_iv_{args.seq}"), "reference"))
     our_ds = (run_ours(args.work, args.seq) if not args.skip_ours
-              else os.path.join(args.work, f"our_iv_{args.seq}"))
+              else _find_dataset(
+                  os.path.join(args.work, f"our_iv_{args.seq}"), "ours"))
     print(json.dumps(compare(ref_ds, our_ds), indent=1))
 
 
