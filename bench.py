@@ -138,7 +138,7 @@ def bench_frontend():
     jax.block_until_ready((Ld, Rd))
     np.asarray(replay_j(Ld, Rd))  # compile+warm the K=16 variant
 
-    def staged_window(n_batches=4):
+    def staged_window(n_batches=8):
         t0 = time.perf_counter()
         for _ in range(n_batches):
             out = replay_j(Ld, Rd)

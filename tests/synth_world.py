@@ -152,9 +152,12 @@ class ShimmerWorld(PlaneWorld):
         self._frame_noise = None  # shared by the L/R renders of one frame
 
     def new_frame(self):
-        """Advance the shimmer: call once per stereo frame so left/right
-        see the SAME noise field (maximally confusing for stereo SAD
-        refinement while FAST still fires inside the band)."""
+        """Advance the shimmer field. Called per RENDER, so the left and
+        right images of a stereo pair see INDEPENDENT noise: SAD
+        refinement inside the band locks onto random correspondences and
+        produces plausible-but-wrong depths — the poisoned map points the
+        introspection model exists to discount (vs shared noise, which
+        yields zero-disparity matches the depth gate simply rejects)."""
         x0, x1, y0, y1 = self._pixel_region()
         noise = self._noise_rng.uniform(
             0, 255, size=(y1 - y0, x1 - x0)
@@ -168,14 +171,9 @@ class ShimmerWorld(PlaneWorld):
         return (int(fx0 * self.w), int(fx1 * self.w),
                 int(fy0 * self.h), int(fy1 * self.h))
 
-    def render_stereo(self, Twc):
-        self.new_frame()
-        return super().render_stereo(Twc)
-
     def render(self, Twc):
         img = super().render(Twc)
-        if self._frame_noise is None:
-            self.new_frame()
+        self.new_frame()
         x0, x1, y0, y1 = self._pixel_region()
         band = img[y0:y1, x0:x1].astype(np.float32)
         mixed = (1.0 - self.strength) * band + self.strength * self._frame_noise
@@ -185,6 +183,71 @@ class ShimmerWorld(PlaneWorld):
 
     def bad_region_mask(self):
         """(H, W) bool mask of the degraded band (evaluation ground truth)."""
+        x0, x1, y0, y1 = self._pixel_region()
+        m = np.zeros((self.h, self.w), bool)
+        m[y0:y1, x0:x1] = True
+        return m
+
+
+class ReflectionWorld(PlaneWorld):
+    """Plane world with a STATIC image-space texture band — the
+    windshield-reflection / lens-glare case that motivates IV-SLAM
+    (CoRL 2020). The band's corners sit at fixed pixel coordinates every
+    frame, so frame-to-frame matching on them is self-consistent with a
+    NON-MOVING camera: the pose optimizer cannot reject them by residual
+    (they agree with a biased pose), and the estimate drags toward zero
+    motion. The right image's band is shifted by a fixed disparity so
+    stereo assigns the phantom structure a plausible mid-range depth.
+    Ground-truth-referenced epipolar scoring flags exactly these
+    features, so a trained introspection model can suppress the band."""
+
+    def __init__(self, rng, region=(0.55, 1.0, 0.1, 0.9), alpha=0.65,
+                 disparity=6.0, **kw):
+        super().__init__(rng, **kw)
+        self.region = region
+        self.alpha = alpha
+        self.disparity = disparity
+        x0, x1, y0, y1 = self._pixel_region()
+        tex = rng.uniform(0, 255, size=(y1 - y0, x1 - x0 + 64)).astype(
+            np.float32
+        )
+        for _ in range(250):
+            yy = rng.integers(0, max(y1 - y0 - 7, 1))
+            xx = rng.integers(0, x1 - x0 + 57)
+            tex[yy:yy + 6, xx:xx + 6] = rng.uniform(0, 255)
+        import cv2
+
+        self._band = cv2.GaussianBlur(tex, (7, 7), 1.5)
+        self._right_view = False
+
+    def _pixel_region(self):
+        fx0, fx1, fy0, fy1 = self.region
+        return (int(fx0 * self.w), int(fx1 * self.w),
+                int(fy0 * self.h), int(fy1 * self.h))
+
+    def render_stereo(self, Twc):
+        self._right_view = False
+        left = self.render(Twc)
+        Twc_r = Twc.copy()
+        Twc_r[:3, 3] = Twc[:3, 3] + Twc[:3, :3] @ np.array(
+            [self.baseline, 0, 0], np.float32
+        )
+        self._right_view = True
+        right = self.render(Twc_r)
+        self._right_view = False
+        return left, right
+
+    def render(self, Twc):
+        img = super().render(Twc).astype(np.float32)
+        x0, x1, y0, y1 = self._pixel_region()
+        off = int(round(self.disparity)) if self._right_view else 0
+        band = self._band[:, off:off + (x1 - x0)]
+        img[y0:y1, x0:x1] = (
+            (1.0 - self.alpha) * img[y0:y1, x0:x1] + self.alpha * band
+        )
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    def bad_region_mask(self):
         x0, x1, y0, y1 = self._pixel_region()
         m = np.zeros((self.h, self.w), bool)
         m[y0:y1, x0:x1] = True

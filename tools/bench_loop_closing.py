@@ -73,7 +73,11 @@ def main():
     cfg = Config()
     cfg.camera = CameraConfig(
         fx=400.0, fy=400.0, cx=160.0, cy=120.0, bf=200.0,
-        width=W, height=H, th_depth=35.0, fps=10.0,
+        width=W, height=H, th_depth=35.0,
+        # fps sets Tracking.max_frames (KF at least every N frames):
+        # a dense keyframe ladder so DetectLoop's 10-KF warmup + 3-in-a-
+        # row consistency window actually gets exercised on the revisit
+        fps=4.0,
     )
     cfg.orb = ORBConfig(n_features=800, n_levels=8)
     cfg.system.use_bow = True

@@ -98,7 +98,9 @@ def main():
     p.add_argument("--frames", type=int, default=50)
     p.add_argument("--train_frames", type=int, default=30)
     p.add_argument("--step", type=float, default=0.10)
-    p.add_argument("--strength", type=float, default=0.85)
+    p.add_argument("--strength", type=float, default=0.65)
+    p.add_argument("--world", default="ReflectionWorld",
+                   choices=("ReflectionWorld", "ShimmerWorld"))
     p.add_argument("--seed", type=int, default=5)
     p.add_argument("--epochs", type=int, default=4)
     p.add_argument("--work", default="")
@@ -113,9 +115,12 @@ def main():
 
     work = args.work or tempfile.mkdtemp(prefix="iv_ablation_")
     rng = np.random.default_rng(args.seed)
-    world = synth_world.ShimmerWorld(
-        rng, strength=args.strength, fx=400.0, fy=400.0, cx=160.0, cy=120.0,
-        w=W, h=H, baseline=0.5,
+    world_cls = getattr(synth_world, args.world)
+    kw = (dict(strength=args.strength) if args.world == "ShimmerWorld"
+          else dict(alpha=args.strength))
+    world = world_cls(
+        rng, fx=400.0, fy=400.0, cx=160.0, cy=120.0,
+        w=W, h=H, baseline=0.5, **kw,
     )
 
     # eval sequence (both modes see identical pixels: pre-rendered)
