@@ -149,7 +149,7 @@ def bench_frontend():
     return fps, batch_fps, staged_fps
 
 
-def bench_full_loop(n_frames: int = 80, ramp: int = 15):
+def bench_full_loop(n_frames: int = 120, ramp: int = 15):
     """Full tracking loop, threaded LocalMapping, honest steady-state
     window.
 
@@ -230,8 +230,12 @@ def bench_full_loop(n_frames: int = 80, ramp: int = 15):
     est = sys_.trajectory_twc()
     k = len(est)
     ate = trajectory.ate_rmse(est, gt[-k:]) if k >= 2 else float("nan")
+    # trajectory length so the ATE reads as drift-per-meter (a longer
+    # steady window than r2 means a longer, more drift-accumulating path)
+    c = np.stack([g[:3, 3] for g in gt])
+    length_m = float(np.linalg.norm(np.diff(c, axis=0), axis=1).sum())
     sys_.shutdown()
-    return fps, ate, ramp_s
+    return fps, ate, ramp_s, length_m
 
 
 def main():
@@ -242,7 +246,7 @@ def main():
         jax.config.update("jax_compilation_cache_dir", "/root/.jax_tpu_cache")
 
     fps, batch_fps, staged_fps = bench_frontend()
-    full_fps, full_ate, ramp_s = bench_full_loop()
+    full_fps, full_ate, ramp_s, length_m = bench_full_loop()
 
     print(
         json.dumps(
@@ -256,6 +260,8 @@ def main():
                 "full_loop_fps": round(full_fps, 2),
                 "full_loop_vs_baseline": round(full_fps / 10.0, 2),
                 "full_loop_ate_m": round(full_ate, 4),
+                "full_loop_len_m": round(length_m, 1),
+                "full_loop_drift_pct": round(100.0 * full_ate / length_m, 3),
                 "full_loop_ramp_s": round(ramp_s, 1),
             }
         )

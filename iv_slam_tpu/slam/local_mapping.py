@@ -23,6 +23,23 @@ from ..config import Config
 from ..utils import argpack
 
 
+def _concat2(a, b):
+    """Jitted 2-array concat so a keyframe event's two fuse results ship
+    in ONE device->host pull (each separate pull pays the ~25 ms link
+    round-trip)."""
+    import jax
+
+    global _CONCAT2
+    if _CONCAT2 is None:
+        import jax.numpy as jnp
+
+        _CONCAT2 = jax.jit(lambda x, y: jnp.concatenate([x, y]))
+    return _CONCAT2(a, b)
+
+
+_CONCAT2 = None
+
+
 class LocalMapping:
     def __init__(self, cfg: Config, map_store):
         self.cfg = cfg
@@ -404,10 +421,18 @@ class LocalMapping:
                 handles.append((targets, pid_arr, argpack.call_packed(
                     match_ops.fuse_into_keyframes_compact, *args
                 )))
+            live = [h for _t, _p, h in handles if h is not None]
+            if len(live) == 2:
+                # one link round-trip for both sides
+                both = np.asarray(_concat2(live[0], live[1]))
+                flats = iter((both[: live[0].shape[0]],
+                              both[live[0].shape[0]:]))
+            else:
+                flats = iter(np.asarray(h) for h in live)
             for targets, pid_arr, h in handles:
                 results.append(
                     (targets, pid_arr,
-                     np.asarray(h) if h is not None else None)
+                     next(flats) if h is not None else None)
                 )
         with self._stage("lm_fuse.apply"):
             with m.lock:
