@@ -62,11 +62,13 @@ def rng():
     return np.random.default_rng(42)
 
 
-# Optional fast-compile mode for local iteration: XLA:CPU spends most of
-# the suite's wall-clock compiling; IVT_FAST_COMPILE=1 disables most HLO
-# optimization passes (identical semantics, slower kernels, much faster
-# compiles). Not default until timings/goldens are validated under it.
+# Fast-compile mode: XLA:CPU spends most of the suite's wall-clock
+# compiling; disabling most HLO optimization passes keeps semantics
+# identical with slower kernels but much faster compiles. Validated
+# across the full non-slow suite (169 passed, 16:49 vs 22:36) and now
+# the DEFAULT for tests; export IVT_FAST_COMPILE=0 to measure with full
+# optimizations.
 import os as _os
 
-if _os.environ.get("IVT_FAST_COMPILE"):
+if _os.environ.get("IVT_FAST_COMPILE", "1") != "0":
     jax.config.update("jax_disable_most_optimizations", True)
