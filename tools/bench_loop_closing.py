@@ -33,16 +33,89 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 H, W = 240, 320
 
 
+def bench_loop_solvers(n_kf: int = 256, n_edges: int = 1024):
+    """Warm device timings for the loop-CORRECTION solvers at scale —
+    the stages an organic synthetic run rarely triggers (the plane
+    world's self-similar texture starves DetectLoop's consistency
+    window): Sim3 RANSAC (300 hypotheses x 3-point Horn + dual-direction
+    reprojection gating, Sim3Solver.cc semantics) and the essential-graph
+    Sim(3) pose-graph solve over n_kf keyframes / n_edges edges
+    (Optimizer::OptimizeEssentialGraph at several-hundred-KF scale)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from iv_slam_tpu.geometry import sim3 as s3
+    from iv_slam_tpu.solvers import essential_graph as eg
+    from iv_slam_tpu.solvers import sim3_solver
+
+    rng = np.random.default_rng(9)
+    out = {}
+
+    # --- Sim3 RANSAC at frame capacity ------------------------------
+    n = 512
+    P1 = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+    P1[:, 2] += 10.0
+    R = np.eye(3, dtype=np.float32)
+    P2 = (P1 @ R.T + np.array([0.3, 0.1, 0.05], np.float32))
+    uv1 = np.stack([400 * P1[:, 0] / P1[:, 2] + 160,
+                    400 * P1[:, 1] / P1[:, 2] + 120], 1).astype(np.float32)
+    uv2 = np.stack([400 * P2[:, 0] / P2[:, 2] + 160,
+                    400 * P2[:, 1] / P2[:, 2] + 120], 1).astype(np.float32)
+    args = (jnp.asarray(P1), jnp.asarray(P2), jnp.asarray(uv1),
+            jnp.asarray(uv2), jnp.ones(n), jnp.ones(n, bool),
+            400.0, 400.0, 160.0, 120.0, jax.random.PRNGKey(0))
+    res = sim3_solver.sim3_ransac(*args)
+    jax.block_until_ready(res)
+    t0 = time.perf_counter()
+    np.asarray(sim3_solver.sim3_ransac(*args).n_inliers)
+    out["sim3_ransac_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+
+    # --- essential graph at n_kf keyframes --------------------------
+    Rk = np.tile(np.eye(3, dtype=np.float32), (n_kf, 1, 1))
+    t = rng.normal(0, 1, (n_kf, 3)).astype(np.float32)
+    s = np.ones(n_kf, np.float32)
+    fixed = np.zeros(n_kf, bool)
+    fixed[0] = True
+    e_i = rng.integers(0, n_kf, n_edges).astype(np.int32)
+    e_j = np.clip(e_i + rng.integers(1, 8, n_edges), 0,
+                  n_kf - 1).astype(np.int32)
+    e_R = np.tile(np.eye(3, dtype=np.float32), (n_edges, 1, 1))
+    e_t = (t[e_j] - t[e_i]).astype(np.float32)
+    e_s = np.ones(n_edges, np.float32)
+    prob = eg.EGProblem(
+        R=jnp.asarray(Rk), t=jnp.asarray(t), s=jnp.asarray(s),
+        fixed=jnp.asarray(fixed),
+        e_i=jnp.asarray(e_i), e_j=jnp.asarray(e_j),
+        e_R=jnp.asarray(e_R), e_t=jnp.asarray(e_t), e_s=jnp.asarray(e_s),
+        e_valid=jnp.asarray(e_i != e_j),
+    )
+    res = eg.optimize_essential_graph(prob, n_iters=20)
+    jax.block_until_ready(res)
+    t0 = time.perf_counter()
+    jax.tree.map(np.asarray, eg.optimize_essential_graph(prob, n_iters=20))
+    out["essential_graph_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+    out["essential_graph_kfs"] = n_kf
+    out["essential_graph_edges"] = n_edges
+    return out
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=240)
     p.add_argument("--voc", choices=("orbvoc", "small"), default="orbvoc")
+    p.add_argument("--solvers_only", action="store_true")
     args = p.parse_args()
 
     import jax
 
     if jax.default_backend() != "cpu":
         jax.config.update("jax_compilation_cache_dir", "/root/.jax_tpu_cache")
+
+    if args.solvers_only:
+        print(json.dumps(bench_loop_solvers()))
+        return
 
     import synth_world
 
