@@ -39,6 +39,45 @@ import time
 import numpy as np
 
 
+def link_probe(n_rtt: int = 12):
+    """~5-second characterization of the host<->device link so the
+    headline numbers are jitter-attributable (VERDICT r3 #4: the live
+    frontend fps swung 43->30 across rounds with no recorded covariate).
+
+    * link_rtt_ms: median of n_rtt forced scalar round-trips (dispatch a
+      tiny program + download its result — on this backend only a
+      device->host download is a true sync fence).
+    * upload_mbps: measured from the DELTA between a 1 MB and a 5 MB
+      upload+reduce+download cycle, so the fixed RTT/dispatch cost
+      cancels.
+    """
+    import jax.numpy as jnp
+
+    x = jnp.ones((8, 8), jnp.float32)
+    np.asarray(x @ x)  # warm
+    rtts = []
+    for _ in range(n_rtt):
+        t0 = time.perf_counter()
+        np.asarray(x @ x)
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+
+    def up_cycle(nbytes):
+        a = np.empty(nbytes, np.uint8)
+        t0 = time.perf_counter()
+        d = jnp.asarray(a)
+        np.asarray(jnp.sum(d[:: 4096].astype(jnp.int32)))
+        return time.perf_counter() - t0
+
+    up_cycle(1 << 20)  # warm both program shapes
+    up_cycle(5 << 20)
+    t1 = min(up_cycle(1 << 20) for _ in range(3))
+    t5 = min(up_cycle(5 << 20) for _ in range(3))
+    mbps = 4.0 / max(t5 - t1, 1e-9)
+    return {"link_rtt_ms": round(rtt * 1e3, 1),
+            "upload_mbps": round(mbps, 1)}
+
+
 def _test_pair(H, W, seed=0):
     rng = np.random.default_rng(seed)
     base = rng.uniform(0, 255, size=(H, W + 64)).astype(np.float32)
@@ -89,7 +128,10 @@ def bench_frontend():
                 fe.collect(q.popleft(), float(i))
         return n_iter / (time.perf_counter() - t0)
 
-    fps = max(window() for _ in range(3))
+    # median of N windows is the headline (max kept as a separate field:
+    # VERDICT r3 #4 — a best-of-3 headline is not a regression gate on a
+    # link whose RTT swings between sessions)
+    fps_runs = sorted(window() for _ in range(5))
 
     # --- batched replay: k frames per upload, ONE dispatch ---------------
     # lax.map (not vmap) so the Pallas finish/SAD kernels run unmodified
@@ -126,7 +168,7 @@ def bench_frontend():
         np.asarray(pend)
         return n_batches * K / (time.perf_counter() - t0)
 
-    batch_fps = max(batch_window() for _ in range(3))
+    batch_runs = sorted(batch_window() for _ in range(3))
 
     # --- staged replay: inputs already on device (chip capability) -------
     # K=16 frames per dispatch amortizes the per-dispatch + download tax
@@ -139,14 +181,22 @@ def bench_frontend():
     np.asarray(replay_j(Ld, Rd))  # compile+warm the K=16 variant
 
     def staged_window(n_batches=8):
+        # EVERY batch's host pack is downloaded (VERDICT r3 weak #3: on
+        # this backend block_until_ready is a no-op, so an unforced batch
+        # may never have computed inside the window). Depth-1 pipelining:
+        # batch i+1 dispatches before batch i's download is forced.
+        pend = None
         t0 = time.perf_counter()
         for _ in range(n_batches):
-            out = replay_j(Ld, Rd)
-        np.asarray(out)
+            h = replay_j(Ld, Rd)
+            if pend is not None:
+                np.asarray(pend)
+            pend = h
+        np.asarray(pend)
         return n_batches * K2 / (time.perf_counter() - t0)
 
-    staged_fps = max(staged_window() for _ in range(3))
-    return fps, batch_fps, staged_fps
+    staged_runs = sorted(staged_window() for _ in range(3))
+    return fps_runs, batch_runs, staged_runs
 
 
 def bench_full_loop(n_frames: int = 120, ramp: int = 15):
@@ -245,7 +295,11 @@ def main():
     if jax.default_backend() != "cpu":
         jax.config.update("jax_compilation_cache_dir", "/root/.jax_tpu_cache")
 
-    fps, batch_fps, staged_fps = bench_frontend()
+    probe = link_probe()
+    fps_runs, batch_runs, staged_runs = bench_frontend()
+    fps = float(np.median(fps_runs))
+    batch_fps = float(np.median(batch_runs))
+    staged_fps = float(np.median(staged_runs))
     full_fps, full_ate, ramp_s, length_m = bench_full_loop()
 
     print(
@@ -255,13 +309,17 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / 10.0, 2),
+                **probe,
+                "frontend_fps_max": round(fps_runs[-1], 2),
                 "frontend_batch8_fps": round(batch_fps, 2),
                 "frontend_staged_fps": round(staged_fps, 2),
+                "frontend_staged_fps_max": round(staged_runs[-1], 2),
                 "full_loop_fps": round(full_fps, 2),
                 "full_loop_vs_baseline": round(full_fps / 10.0, 2),
                 "full_loop_ate_m": round(full_ate, 4),
                 "full_loop_len_m": round(length_m, 1),
-                "full_loop_drift_pct": round(100.0 * full_ate / length_m, 3),
+                "full_loop_drift_pct": round(
+                    100.0 * full_ate / max(length_m, 1e-9), 3),
                 "full_loop_ramp_s": round(ramp_s, 1),
             }
         )

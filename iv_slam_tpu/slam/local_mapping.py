@@ -351,6 +351,11 @@ class LocalMapping:
         rows = rows[: min(n_good, tri.T_CAP)]
 
         with self._stage("lm_tri.apply"), m.lock:
+            # explicit range guard (mirrors the fuse apply's
+            # `triples[:,0] < len(targets)`): padded neighbor slots carry
+            # all-False masks upstream, but a device-side masking
+            # regression must not turn into an IndexError here
+            rows = rows[rows[:, 0] < len(cand)]
             new_pids = []
             for nb_i, f1, f2, x, y, z in rows:
                 c = cand[int(nb_i)]

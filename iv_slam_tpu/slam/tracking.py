@@ -683,6 +683,13 @@ class Tracking:
             spec is not None
             and spec.get("ver") == self.map.poses_ver
             and spec["frame"] is frame
+            # a worker event landing between dispatch and consumption sets
+            # _dmap_dirty without necessarily moving poses: the speculative
+            # result was computed against a mirror missing that event's
+            # new/culled points, so fall through to a fresh dispatch (one
+            # extra dispatch per worker event; keeps chained semantics
+            # exactly equal to the unchained fused path)
+            and not self._dmap_dirty
         )
         self._used_spec = used_spec
         if used_spec:
