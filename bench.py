@@ -199,7 +199,8 @@ def bench_frontend():
     return fps_runs, batch_runs, staged_runs
 
 
-def bench_full_loop(n_frames: int = 120, ramp: int = 15):
+def bench_full_loop(n_frames: int = 120, ramp: int = 15,
+                    staged: bool = False):
     """Full tracking loop, threaded LocalMapping, honest steady-state
     window.
 
@@ -208,7 +209,13 @@ def bench_full_loop(n_frames: int = 120, ramp: int = 15):
     ~0.8 m/frame; keyframe events fire every ~6 frames. Timing starts at
     frame `ramp`, AFTER the prewarm walker has compiled the entire
     program ladder (blocking join — its cost lands in ramp_s, not in the
-    window)."""
+    window).
+
+    staged=True pre-uploads every stereo pair to device memory before
+    the timed window and submits via submit_frontend_device: the labeled
+    chip-capability variant — identical tracking/mapping work, with the
+    per-frame image transfer (the dev tunnel's ~0.9 MB/frame upload tax)
+    excluded, as frontend_staged_fps does for the frontend alone."""
     import os
     import sys
 
@@ -259,14 +266,27 @@ def bench_full_loop(n_frames: int = 120, ramp: int = 15):
     if sys_._prewarm_thread is not None:
         sys_._prewarm_thread.join()
 
-    handle = tr.submit_frontend(*frames[0])
+    if staged:
+        import jax
+        import jax.numpy as jnp
+
+        dev_pairs = [jnp.asarray(np.stack(f)) for f in frames]
+        jax.block_until_ready(dev_pairs)
+
+        def submit(i):
+            return tr.submit_frontend_device(dev_pairs[i])
+    else:
+        def submit(i):
+            return tr.submit_frontend(*frames[i])
+
+    handle = submit(0)
     t_start = None
     n_timed = 0
     ramp_s = None
     for i, (left, right) in enumerate(frames):
         cur = handle
         if i + 1 < len(frames):
-            handle = tr.submit_frontend(*frames[i + 1])
+            handle = submit(i + 1)
         sys_.track_stereo(left, right, timestamp=i * 0.1,
                           frontend_handle=cur)
         if i == ramp - 1:
@@ -301,6 +321,7 @@ def main():
     batch_fps = float(np.median(batch_runs))
     staged_fps = float(np.median(staged_runs))
     full_fps, full_ate, ramp_s, length_m = bench_full_loop()
+    sfull_fps, sfull_ate, _sramp, _slen = bench_full_loop(staged=True)
 
     print(
         json.dumps(
@@ -321,6 +342,8 @@ def main():
                 "full_loop_drift_pct": round(
                     100.0 * full_ate / max(length_m, 1e-9), 3),
                 "full_loop_ramp_s": round(ramp_s, 1),
+                "full_loop_staged_fps": round(sfull_fps, 2),
+                "full_loop_staged_ate_m": round(sfull_ate, 4),
             }
         )
     )

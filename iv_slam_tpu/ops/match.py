@@ -231,6 +231,33 @@ def _radius_by_viewing_cos(cos_v: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(cos_v > 0.998, 2.5, 4.0)
 
 
+def frustum_gate(
+    pt_world, pt_normal, pt_min_dist, pt_max_dist, pt_valid,
+    T_cw, fx, fy, cx, cy, img_w, img_h,
+):
+    """Frame::isInFrustum as a (P,) mask — the exact per-point gate
+    search_by_projection_local_map applies before its pair matrix
+    (projection in-image + scale-invariance distance band + viewing
+    angle < 60 deg). Factored out so the fused tracking step can COMPACT
+    the live map table to the gated survivors before paying the (P, N)
+    Hamming/window work: at the 16k live rung only ~1-3k points survive
+    a forward-motion frustum, so compaction cuts the matcher's dominant
+    cost ~4x with identical results (the matcher re-applies the same
+    gate on the compacted rows)."""
+    pc = se3.transform_points(T_cw, pt_world)
+    z = pc[:, 2]
+    invz = 1.0 / jnp.where(z != 0, z, 1.0)
+    u = fx * pc[:, 0] * invz + cx
+    v = fy * pc[:, 1] * invz + cy
+    in_img = (z > 0) & (u >= 0) & (u < img_w) & (v >= 0) & (v < img_h)
+    cam_center = se3.inverse(T_cw)[:3, 3]
+    po_vec = pt_world - cam_center[None, :]
+    dist = jnp.linalg.norm(po_vec, axis=-1)
+    dist_ok = (dist >= 0.8 * pt_min_dist) & (dist <= 1.2 * pt_max_dist)
+    view_cos = jnp.sum(po_vec * pt_normal, axis=-1) / jnp.maximum(dist, 1e-9)
+    return pt_valid & in_img & dist_ok & (view_cos >= 0.5)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def search_by_projection_local_map(
     cur_xy: jnp.ndarray,
@@ -462,15 +489,61 @@ def fuse_into_keyframes_compact(
     f32 = jnp.float32
     flat = assign.reshape(-1)
     good = flat >= 0
-    ti = jnp.repeat(jnp.arange(nb, dtype=jnp.int32), p)
-    pi = jnp.tile(jnp.arange(p, dtype=jnp.int32), nb)
-    rows = jnp.stack(
-        [ti.astype(f32), pi.astype(f32), flat.astype(f32)], axis=1
+    # k-th-set-bit GATHER compaction (cumsum + vectorized binary search)
+    # — an .at[].set scatter here lowers to a serial per-row while loop
+    # on TPU (profiler-measured; see triangulate_event_compact)
+    cum = jnp.cumsum(good.astype(jnp.int32))
+    sel = jnp.searchsorted(
+        cum, jnp.arange(1, F_CAP + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    sel = jnp.minimum(sel, nb * p - 1)
+    slot_ok = jnp.arange(F_CAP) < cum[-1]
+    out = jnp.where(
+        slot_ok[:, None],
+        jnp.stack([(sel // p).astype(f32), (sel % p).astype(f32),
+                   flat[sel].astype(f32)], axis=1),
+        0.0,
     )
-    pos = jnp.cumsum(good) - 1
-    keep = good & (pos < F_CAP)
-    out = jnp.zeros((F_CAP, 3), f32).at[
-        jnp.where(keep, pos, F_CAP)
-    ].set(rows, mode="drop")
-    count = jnp.sum(good.astype(jnp.int32))
+    count = cum[-1]
     return jnp.concatenate([out.reshape(-1), count.astype(f32)[None]])
+
+
+@functools.partial(jax.jit, static_argnames=("scw",))
+def fuse_into_keyframes_compact_indexed(
+    kf_xy, kf_oct, kf_desc, kf_valid, kf_ur, kf_T,
+    kf_ok,                       # (NB,) bool: real (non-padded) targets
+    # FULL-capacity device-map mirror tables (slam/device_map.py
+    # full_views): constant shapes -> one compiled program per
+    # (NB, P_cap) rung for the whole session
+    map_pos, map_desc, map_normal, map_mind, map_maxd, map_valid,
+    pid_idx,                     # (P,) int32 rows into the mirror;
+                                 # >= capacity = padding
+    scale_factors, log_scale,
+    fx, fy, cx, cy, width, height, bf,
+    radius_th,
+    scw: bool = False,
+) -> jnp.ndarray:
+    """fuse_into_keyframes_compact with the candidate point tables
+    GATHERED from the device-resident map mirror by arena row index: the
+    keyframe event uploads a (P,) int32 index vector (~8-64 KB) instead
+    of re-uploading pos/desc/normal/distance tables (~0.5-1 MB) through
+    the link. The caller must have delta-synced the mirror first so
+    rows created by this event's triangulation are present. Output
+    format and match semantics are identical to
+    fuse_into_keyframes_compact (point index i = row i of pid_idx)."""
+    cap = map_valid.shape[0]
+    ok = pid_idx < cap
+    pid = jnp.minimum(pid_idx, cap - 1)
+    pt_pos = map_pos[pid]
+    pt_desc = map_desc[pid]
+    pt_normal = map_normal[pid]
+    pt_mind = map_mind[pid]
+    pt_maxd = map_maxd[pid]
+    pt_ok = ok & map_valid[pid]
+    mask_nb = kf_ok[:, None] & pt_ok[None, :]
+    return fuse_into_keyframes_compact(
+        kf_xy, kf_oct, kf_desc, kf_valid, kf_ur, kf_T,
+        pt_pos, pt_desc, pt_normal, pt_mind, pt_maxd, mask_nb,
+        scale_factors, log_scale,
+        fx, fy, cx, cy, width, height, bf, radius_th, scw=scw,
+    )

@@ -167,10 +167,10 @@ T_CAP = 2048
 
 @functools.partial(jax.jit, static_argnames=())
 def triangulate_event_compact(
-    xy1, desc1, free1, ur1, depth1, sig2_1, scale1,
-    xy2_nb, desc2_nb, free2_nb, ur2_nb, depth2_nb, sig2_2_nb, scale2_nb,
+    xy1, desc1, free1, ur1, depth1, oct1,
+    xy2_nb, desc2_nb, free2_nb, ur2_nb, depth2_nb, oct2_nb,
     F12_nb, epipole2_nb, ex_check_nb,
-    T1w, T2w_nb,
+    T1w, T2w_nb, scale_factors,
     fx, fy, cx, cy, bf,
 ) -> jnp.ndarray:
     """triangulate_event with the accepted pairs COMPACTED on device: the
@@ -181,7 +181,17 @@ def triangulate_event_compact(
     order-identical. Returns a flat (T_CAP*6 + 2,) float32 vector; the
     tail is [accepted count, raw epipolar-match count] (the caller warns
     on > T_CAP overflow — geometrically implausible at default caps but
-    never silent)."""
+    never silent).
+
+    Takes per-keypoint OCTAVES (+ the (L,) scale_factors ladder) and
+    derives sigma^2/scale in-program: the octave arrays are already
+    device-resident frontend outputs, so the event stops uploading four
+    (NB, N1) float tables through the link."""
+    sf = scale_factors
+    scale1 = sf[oct1]
+    sig2_1 = scale1 * scale1
+    scale2_nb = sf[oct2_nb]
+    sig2_2_nb = scale2_nb * scale2_nb
     assign, _ = jax.vmap(
         search_for_triangulation,
         in_axes=(None, None, None, 0, 0, 0, 0, 0, 0, 0, 0),
@@ -195,20 +205,20 @@ def triangulate_event_compact(
     # ---- compact the accepted epipolar matches BEFORE triangulation:
     # only O(100) of the NB*N1 pairs match, and the per-pair DLT (a 4x4
     # SVD each) dominates the event's device time when run densely.
-    # Scatter the (nb, f1) pair indices into a T_CAP-row table in stable
-    # row-major order, gather pair data, and triangulate T_CAP rows
-    # instead of NB*N1 — ~16x less SVD work at the default caps.
+    # k-th-set-bit GATHER (cumsum + vectorized binary search), stable in
+    # row-major order — NOT an .at[].set scatter: XLA:TPU lowers a
+    # non-unique-index scatter to a serial per-row while loop (profiler-
+    # measured at ~170 ms for these NB*N1 = 32k rows; the gather form is
+    # fully parallel).
     matched = (assign >= 0).reshape(-1)
-    pos = jnp.cumsum(matched) - 1
-    keep = matched & (pos < T_CAP)
-    slot = jnp.where(keep, pos, T_CAP)
-    nbi_all = jnp.repeat(jnp.arange(nb, dtype=jnp.int32), n1)
-    f1_all = jnp.tile(jnp.arange(n1, dtype=jnp.int32), nb)
-    nbi = jnp.zeros(T_CAP, jnp.int32).at[slot].set(nbi_all, mode="drop")
-    f1 = jnp.zeros(T_CAP, jnp.int32).at[slot].set(f1_all, mode="drop")
-    pair_valid = (
-        jnp.zeros(T_CAP, bool).at[slot].set(matched, mode="drop")
-    )
+    cum = jnp.cumsum(matched.astype(jnp.int32))
+    sel = jnp.searchsorted(
+        cum, jnp.arange(1, T_CAP + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    sel = jnp.minimum(sel, nb * n1 - 1)
+    pair_valid = jnp.arange(T_CAP) < cum[-1]
+    nbi = (sel // n1).astype(jnp.int32)
+    f1 = (sel % n1).astype(jnp.int32)
     f2 = assign[nbi, f1]                            # (T_CAP,)
     j2 = jnp.maximum(f2, 0)
 
@@ -222,16 +232,19 @@ def triangulate_event_compact(
         T1w, T2w_nb[nbi], fx, fy, cx, cy, bf,
     )                                               # (T_CAP, ...)
 
-    # ---- second compaction: keep only pairs that triangulated
+    # ---- second compaction: keep only pairs that triangulated (same
+    # gather form; see above for why not a scatter)
     rows = jnp.stack(
         [nbi.astype(f32), f1.astype(f32), f2.astype(f32),
          X[:, 0], X[:, 1], X[:, 2]], axis=1,
     )                                               # (T_CAP, 6)
-    pos2 = jnp.cumsum(good) - 1
-    keep2 = good & (pos2 < T_CAP)
-    out = jnp.zeros((T_CAP, 6), f32).at[
-        jnp.where(keep2, pos2, T_CAP)
-    ].set(rows, mode="drop")
+    cum2 = jnp.cumsum(good.astype(jnp.int32))
+    sel2 = jnp.searchsorted(
+        cum2, jnp.arange(1, T_CAP + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    sel2 = jnp.minimum(sel2, T_CAP - 1)
+    slot_ok2 = jnp.arange(T_CAP) < cum2[-1]
+    out = jnp.where(slot_ok2[:, None], rows[sel2], 0.0)
     # tail: [accepted count, raw epipolar-match count] — the second lets
     # the caller warn when matches overflowed T_CAP before triangulation
     # (never silent)

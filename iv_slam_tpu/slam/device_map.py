@@ -20,10 +20,15 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+@jax.jit
 def _splice(packed, desc, valid, packed_rows, desc_rows, valid_rows):
-    """Write the first n rows of the persistent tables in place (donated
-    buffers: no reallocation of the 32k-capacity tables)."""
+    """Write the first n rows of the persistent tables.
+
+    NOT donated: the keyframe-event worker gathers fuse candidates from
+    these tables while the tracking thread syncs them (and vice versa) —
+    donation would invalidate a buffer the other thread's just-captured
+    view still references. The copy costs ~2 MB of device memory per
+    sync; in-flight programs keep old buffers alive until they retire."""
     return (
         jax.lax.dynamic_update_slice(packed, packed_rows, (0, 0)),
         jax.lax.dynamic_update_slice(desc, desc_rows, (0, 0)),
@@ -31,10 +36,11 @@ def _splice(packed, desc, valid, packed_rows, desc_rows, valid_rows):
     )
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+@jax.jit
 def _scatter(packed, desc, valid, idx, packed_rows, desc_rows, valid_rows):
     """Scatter-update individual rows of the persistent tables (the delta
-    sync). Padded slots carry idx == capacity and are dropped."""
+    sync). Padded slots carry idx == capacity and are dropped. Not
+    donated — see _splice."""
     return (
         packed.at[idx].set(packed_rows, mode="drop"),
         desc.at[idx].set(desc_rows, mode="drop"),
@@ -163,3 +169,11 @@ class DeviceMap:
         """(pos, desc, normal, min_dist, max_dist, quality, valid) sliced
         to the current pow-2 live bucket."""
         return self._views
+
+    def full_views(self):
+        """(pos, desc, normal, min_dist, max_dist, valid) at FULL
+        capacity — constant shapes regardless of the live rung, so
+        programs that gather rows by index (the keyframe-event fuse)
+        compile once per session instead of once per rung."""
+        return (self.pos, self.desc, self.normal, self.min_dist,
+                self.max_dist, self.valid)

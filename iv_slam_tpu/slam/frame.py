@@ -56,6 +56,12 @@ class Frame:
     # (N, 7) device array [x, y, octave, valid, u_right, depth, qual] kept
     # for deferred frames so a fallback materialize is one RPC
     host_pack: object = None
+    # device-resident copies of u_right/depth, retained PAST
+    # materialization: keyframe events (triangulation, fuse) stack these
+    # per-target arrays on device instead of re-uploading ~0.5 MB of
+    # host float tables per event through the link
+    ur_dev: object = None
+    depth_dev: object = None
     _angle: np.ndarray = None
     _desc: np.ndarray = None
 
@@ -361,6 +367,12 @@ class StereoFrontend:
         for collect(). Submitting frame n+1 before collecting frame n
         pipelines uploads/compute against the link latency."""
         pair = jnp.asarray(np.stack([img_left, img_right]))
+        return self.submit_device(pair, cost_map)
+
+    def submit_device(self, pair, cost_map: Optional[np.ndarray] = None):
+        """submit() for an already-device-resident (2, H, W) stereo pair —
+        the staged-replay path (images pre-uploaded in batches so the
+        per-frame transfer leaves the tracking critical path)."""
         il, ir = pair[0], pair[1]
         if cost_map is not None:
             return self._jit_qual(il, ir, jnp.asarray(cost_map))
@@ -421,6 +433,7 @@ class StereoFrontend:
             xy=xy, octave=octave, valid=valid,
             defer=defer,
             host_pack=host_pack if defer else None,
+            ur_dev=handle[2], depth_dev=handle[3],
         )
 
     def process(

@@ -142,18 +142,61 @@ class FusedTracker:
             res1 = run_pose_opt(T_pred, slot1)
             slot1_in = jnp.where(res1.inlier, slot1, -1)
 
-            # local search over the full map table
+            # local search: at large live rungs, compact the map table to
+            # the frustum-gated survivors first — only ~1-3k of 16k live
+            # points can match a forward-motion frame, and the matcher's
+            # (P, N) pair work dominates the fused step's device time.
+            # The (P,) gate is exactly the matcher's own isInFrustum, so
+            # results are identical while gated count <= LOCAL_CAP (the
+            # count ships in the result pack; the host warns on overflow
+            # — never silent).
+            LOCAL_CAP = 4096
+            P = map_pos.shape[0]
+            fxj, fyj = jnp.float32(cam.fx), jnp.float32(cam.fy)
+            cxj, cyj = jnp.float32(cam.cx), jnp.float32(cam.cy)
+            wj, hj = jnp.float32(self.width), jnp.float32(self.height)
+            gate = match_ops.frustum_gate(
+                map_pos, map_normal, map_mind, map_maxd, map_valid,
+                res1.T, fxj, fyj, cxj, cyj, wj, hj,
+            )
+            n_gate = jnp.sum(gate.astype(jnp.int32))
+            if P > LOCAL_CAP:
+                # k-th-set-bit compaction (cumsum + vectorized binary
+                # search): scatter-free — TPU lowers non-unique scatters
+                # to serial loops
+                cum = jnp.cumsum(gate.astype(jnp.int32))
+                sel = jnp.searchsorted(
+                    cum, jnp.arange(1, LOCAL_CAP + 1, dtype=jnp.int32),
+                    side="left",
+                ).astype(jnp.int32)
+                sel = jnp.minimum(sel, P - 1)
+                sel_ok = jnp.arange(LOCAL_CAP) < cum[-1]
+                s_pos = map_pos[sel]
+                s_desc = map_desc[sel]
+                s_normal = map_normal[sel]
+                s_mind = map_mind[sel]
+                s_maxd = map_maxd[sel]
+                s_valid = map_valid[sel] & sel_ok
+            else:
+                sel = None
+                s_pos, s_desc, s_normal = map_pos, map_desc, map_normal
+                s_mind, s_maxd, s_valid = map_mind, map_maxd, map_valid
+
             assign2, _ = match_ops.search_by_projection_local_map(
                 cur_xy, cur_oct, cur_desc, cur_ur, cur_valid,
                 slot1_in >= 0,
-                map_pos, map_desc, map_normal, map_mind, map_maxd, map_valid,
+                s_pos, s_desc, s_normal, s_mind, s_maxd, s_valid,
                 res1.T,
-                jnp.float32(cam.fx), jnp.float32(cam.fy),
-                jnp.float32(cam.cx), jnp.float32(cam.cy), jnp.float32(cam.bf),
-                jnp.float32(self.width), jnp.float32(self.height),
+                fxj, fyj, cxj, cyj, jnp.float32(cam.bf),
+                wj, hj,
                 self.scale_factors, self.log_scale,
                 jnp.float32(1.0 * swm), jnp.float32(nn_local),
             )
+            if sel is not None:
+                # map compacted-row indices back to full-table slots
+                assign2 = jnp.where(
+                    assign2 >= 0, sel[jnp.maximum(assign2, 0)], -1
+                )
             merged = jnp.where(slot1_in >= 0, slot1_in, assign2)
             res2 = run_pose_opt(res1.T, merged)
             final_assign = jnp.where(res2.inlier, merged, -1)
@@ -180,8 +223,9 @@ class FusedTracker:
             small = jnp.concatenate(
                 [res2.T.reshape(16),
                  jnp.stack([n1.astype(jnp.float32),
-                            res2.n_inliers.astype(jnp.float32)])]
-            )                                            # (18,)
+                            res2.n_inliers.astype(jnp.float32),
+                            n_gate.astype(jnp.float32)])]
+            )                                            # (19,)
             flat = jnp.concatenate([pack.reshape(-1), small])
             return res, flat
 

@@ -55,6 +55,11 @@ class LocalMapping:
         self._worker = None
         self._map_changed = False   # worker -> tracking dmap-resync signal
         self.post_kf_hook = None    # loop closing, installed by Tracking
+        # device-resident map mirror (tracking's DeviceMap), installed by
+        # Tracking when fused tracking is active: fuse gathers candidate
+        # point tables from it by arena index instead of re-uploading
+        # them (the worker delta-syncs it right before assembling)
+        self.dmap = None
         # optional per-stage wall-clock tracing (utils/profiling.StageTimer)
         self.stage_timer = None
 
@@ -302,29 +307,44 @@ class LocalMapping:
                              else pad_value] * pad_nb
                 return np.stack(rows)
 
-            # every host array rides ONE packed upload (the tunneled
-            # runtime pays a full RPC per transferred array; 17 here)
+            # device-resident event: keypoint tables (xy/desc/octave/
+            # u_right/depth) stack straight from the frames' frontend
+            # outputs on device; only the free-masks, the 3x3 epipolar
+            # geometry, and poses ride the (single, packed) host upload —
+            # ~35 KB/event instead of ~2.5 MB of re-uploaded float tables
             f32s = np.float32
+
+            def dstack(get, fallback):
+                rows = []
+                for c in cand + [c0] * pad_nb:
+                    v = get(c)
+                    rows.append(v if v is not None else
+                                jnp.asarray(fallback(c)))
+                return jnp.stack(rows)
+
             args = (
-                np.asarray(cur.xy, f32s), cur.kp.desc, np.asarray(free1),
-                np.asarray(cur.u_right, f32s), np.asarray(cur.depth, f32s),
-                np.asarray(sf2[cur.octave], f32s),
-                np.asarray(sf[cur.octave], f32s),
-                np.asarray(stack(lambda c: c["nf"].xy), f32s),
-                jnp.stack([c["nf"].kp.desc for c in cand]
-                          + [c0["nf"].kp.desc] * pad_nb),
+                cur.kp.xy, cur.kp.desc, np.asarray(free1),
+                cur.ur_dev if cur.ur_dev is not None
+                else np.asarray(cur.u_right, f32s),
+                cur.depth_dev if cur.depth_dev is not None
+                else np.asarray(cur.depth, f32s),
+                cur.kp.octave,
+                dstack(lambda c: c["nf"].kp.xy, None),
+                dstack(lambda c: c["nf"].kp.desc, None),
                 # padded neighbor slots are all-False masks: zero matches
                 np.asarray(stack(
                     lambda c: c["free2"], np.zeros_like(c0["free2"]))),
-                np.asarray(stack(lambda c: c["nf"].u_right), f32s),
-                np.asarray(stack(lambda c: c["nf"].depth), f32s),
-                np.asarray(stack(lambda c: sf2[c["nf"].octave]), f32s),
-                np.asarray(stack(lambda c: sf[c["nf"].octave]), f32s),
+                dstack(lambda c: c["nf"].ur_dev,
+                       lambda c: np.asarray(c["nf"].u_right, f32s)),
+                dstack(lambda c: c["nf"].depth_dev,
+                       lambda c: np.asarray(c["nf"].depth, f32s)),
+                dstack(lambda c: c["nf"].kp.octave, None),
                 np.asarray(stack(lambda c: c["F12"]), f32s),
                 np.asarray(stack(lambda c: c["epipole2"]), f32s),
                 np.full(nb_cap, is_mono),
                 np.asarray(T1, f32s),
                 np.asarray(stack(lambda c: c["T2"]), f32s),
+                np.asarray(sf, f32s),
                 np.asarray(cam.fx, f32s), np.asarray(cam.fy, f32s),
                 np.asarray(cam.cx, f32s), np.asarray(cam.cy, f32s),
                 np.asarray(cam.bf, f32s),
@@ -403,6 +423,13 @@ class LocalMapping:
 
         m = self.map
         cam = self.cfg.camera
+        # delta-sync the device mirror first (under the map lock) so the
+        # indexed fuse sees this event's triangulated points — the sync
+        # uploads only the dirty rows (~70 KB) where the legacy path
+        # re-uploaded full candidate tables (~0.5-1 MB)
+        if self.dmap is not None:
+            with self._stage("lm_fuse.sync"), m.lock:
+                self.dmap.sync(m)
         # snapshot host reads under the map lock; unlock for the device
         # round-trip; re-lock for the apply loop (which revalidates)
         with self._stage("lm_fuse.assemble"):
@@ -419,13 +446,12 @@ class LocalMapping:
             # either downloads, so the pulls overlap the compute and the
             # event pays ONE extra link sync, not two.
             handles = []
-            for args, targets, pid_arr in (fwd, rev):
+            for fn, args, targets, pid_arr in (fwd, rev):
                 if args is None:
                     handles.append((targets, pid_arr, None))
                     continue
-                handles.append((targets, pid_arr, argpack.call_packed(
-                    match_ops.fuse_into_keyframes_compact, *args
-                )))
+                handles.append((targets, pid_arr,
+                                argpack.call_packed(fn, *args)))
             live = [h for _t, _p, h in handles if h is not None]
             if len(live) == 2:
                 # one link round-trip for both sides
@@ -474,28 +500,30 @@ class LocalMapping:
                 if nb2 != kf_id and nb2 not in targets:
                     targets.append(nb2)
         cur = m.kf_frames[kf_id]
-        cur_pts = [int(p) for p in cur.map_pt[cur.map_pt >= 0]
-                   if m.pt_alive[p]]
-        # reverse fuse: neighbors' points into the current keyframe
-        fuse_pts = set()
-        for nb in targets:
-            nf = m.kf_frames[nb]
-            for p in nf.map_pt[nf.map_pt >= 0]:
-                if m.pt_alive[p]:
-                    fuse_pts.add(int(p))
-        fuse_pts = sorted(fuse_pts)
+        mp = cur.map_pt[cur.map_pt >= 0]
+        cur_pts = mp[m.pt_alive[mp]]          # feature order, as before
+        # reverse fuse: neighbors' points into the current keyframe —
+        # np.unique == sorted(set(...)) but vectorized (the python
+        # set loop over ~10-20k ids cost ~10 ms per event)
+        if targets:
+            all_nb = np.concatenate(
+                [m.kf_frames[nb].map_pt for nb in targets])
+            all_nb = all_nb[all_nb >= 0]
+            fuse_pts = np.unique(all_nb[m.pt_alive[all_nb]])
+        else:
+            fuse_pts = np.zeros(0, np.int64)
         NB_CAP = 64
         targets = targets[:NB_CAP]
-        empty = (None, [], None)
+        empty = (None, None, [], None)
         if not targets:
             return empty, empty
         fwd_set = (
             self._fuse_args(targets, cur_pts, fwd_p_cap=2048)
-            if cur_pts else empty
+            if len(cur_pts) else empty
         )
         rev_set = (
             self._fuse_args([kf_id], fuse_pts)
-            if fuse_pts else empty
+            if len(fuse_pts) else empty
         )
         return fwd_set, rev_set
 
@@ -506,6 +534,8 @@ class LocalMapping:
 
     def _fuse_args(self, targets, pts, fwd_p_cap=None):
         import jax.numpy as jnp
+
+        from ..ops import match as match_ops
 
         m = self.map
         cam = self.cfg.camera
@@ -522,9 +552,58 @@ class LocalMapping:
         # target-axis rungs {1, 16, 64}: 1 is the reverse side's shape
         nb_cap = 1 if len(targets) == 1 else (16 if len(targets) <= 16
                                               else 64)
+        frames = [m.kf_frames[nb] for nb in targets]
+        f0 = frames[0]
+        pad = nb_cap - len(targets)
+        sf = m.scale_factors
+        f32s = np.float32
+
+        def ur_stack():
+            rows = [f.ur_dev if f.ur_dev is not None
+                    else jnp.asarray(np.asarray(f.u_right, f32s))
+                    for f in frames]
+            return jnp.stack(rows + [rows[0]] * pad)
+
+        kf_args = (
+            jnp.stack([f.kp.xy for f in frames] + [f0.kp.xy] * pad),
+            jnp.stack([f.kp.octave for f in frames] + [f0.kp.octave] * pad),
+            jnp.stack([f.kp.desc for f in frames] + [f0.kp.desc] * pad),
+            jnp.stack([f.kp.valid for f in frames] + [f0.kp.valid] * pad),
+            ur_stack(),
+            np.stack(
+                [m.kf_pose[nb] for nb in targets]
+                + [m.kf_pose[targets[0]]] * pad
+            ).astype(f32s),
+        )
+        tail = (
+            np.asarray(sf, f32s),
+            np.asarray(np.log(sf[1] / sf[0])
+                       if len(sf) > 1 else 1.0, f32s),
+            np.asarray(cam.fx, f32s), np.asarray(cam.fy, f32s),
+            np.asarray(cam.cx, f32s), np.asarray(cam.cy, f32s),
+            np.asarray(cam.width, f32s), np.asarray(cam.height, f32s),
+            np.asarray(cam.bf, f32s),
+            np.asarray(3.0, f32s),
+        )
+        dmap = self.dmap
+        if dmap is not None and pid_arr.size and pid_arr.max() < dmap.capacity:
+            # indexed path: candidate tables gathered on device from the
+            # (just-synced) map mirror — upload is a (p_cap,) int32 index
+            # vector + the target masks instead of ~0.5-1 MB of tables
+            pid_idx = np.full(p_cap, dmap.capacity, np.int32)
+            pid_idx[: len(pts)] = pid_arr
+            kf_ok = np.zeros(nb_cap, bool)
+            kf_ok[: len(targets)] = True
+            args = (
+                *kf_args, kf_ok, *dmap.full_views(), pid_idx, *tail,
+            )
+            return (match_ops.fuse_into_keyframes_compact_indexed, args,
+                    targets, pid_arr)
+
+        # legacy path (no device mirror — classic/CPU configurations):
+        # upload the candidate point tables directly
         mask = np.zeros((nb_cap, p_cap), bool)
         mask[: len(targets), : len(pts)] = True
-
         pos = np.zeros((p_cap, 3), np.float32)
         desc = np.zeros((p_cap, 32), np.uint8)
         normal = np.zeros((p_cap, 3), np.float32)
@@ -535,36 +614,11 @@ class LocalMapping:
         normal[: len(pts)] = m.pt_normal[pid_arr]
         mind[: len(pts)] = m.pt_min_dist[pid_arr]
         maxd[: len(pts)] = m.pt_max_dist[pid_arr]
-
-        frames = [m.kf_frames[nb] for nb in targets]
-        f0 = frames[0]
-        pad = nb_cap - len(targets)
-        sf = m.scale_factors
-        # host arrays + scalars ship as ONE packed upload (7 arrays + 8
-        # scalars were separate RPCs through the tunnel)
-        f32s = np.float32
         args = (
-            jnp.stack([f.kp.xy for f in frames] + [f0.kp.xy] * pad),
-            jnp.stack([f.kp.octave for f in frames] + [f0.kp.octave] * pad),
-            jnp.stack([f.kp.desc for f in frames] + [f0.kp.desc] * pad),
-            jnp.stack([f.kp.valid for f in frames] + [f0.kp.valid] * pad),
-            np.stack([np.asarray(f.u_right) for f in frames]
-                     + [np.asarray(f0.u_right)] * pad).astype(f32s),
-            np.stack(
-                [m.kf_pose[nb] for nb in targets]
-                + [m.kf_pose[targets[0]]] * pad
-            ).astype(f32s),
-            pos, desc, normal, mind, maxd, mask,
-            np.asarray(sf, f32s),
-            np.asarray(np.log(sf[1] / sf[0])
-                       if len(sf) > 1 else 1.0, f32s),
-            np.asarray(cam.fx, f32s), np.asarray(cam.fy, f32s),
-            np.asarray(cam.cx, f32s), np.asarray(cam.cy, f32s),
-            np.asarray(cam.width, f32s), np.asarray(cam.height, f32s),
-            np.asarray(cam.bf, f32s),
-            np.asarray(3.0, f32s),
+            *kf_args, pos, desc, normal, mind, maxd, mask, *tail,
         )
-        return args, targets, pid_arr
+        return (match_ops.fuse_into_keyframes_compact, args, targets,
+                pid_arr)
 
     def _apply_fuse_triples(self, kf_id, all_targets, pid_arr, triples):
         """Apply the compacted (target, point, feature) fuse matches —

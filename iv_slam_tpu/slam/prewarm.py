@@ -102,14 +102,16 @@ def _warm_splice(dmap_cls, live_rungs):
     valid.block_until_ready()
 
 
-def _warm_fuse(cfg, N: int, shapes):
+def _warm_fuse(cfg, N: int, shapes, dmap):
     """Host/device residency here must MATCH the runtime call in
     local_mapping._search_in_neighbors exactly — the packed wrapper
     (utils/argpack.py) is cached per (fn, residency, spec). The stacked
     device inputs are built with the SAME jnp.stack-of-per-frame-arrays
     expressions as _assemble_fuse: those stack/concat programs are remote
     compiles too (profiled as a multi-second stall inside the first
-    keyframe event when only the big program was prewarmed)."""
+    keyframe event when only the big program was prewarmed). Warms the
+    INDEXED variant (candidate tables gathered from the device mirror)
+    — the path every fused-mode event takes."""
     import jax.numpy as jnp
 
     from ..ops import match as match_ops
@@ -125,21 +127,21 @@ def _warm_fuse(cfg, N: int, shapes):
     oct_1 = jnp.asarray(rng.integers(0, L, N).astype(np.int32))
     desc_1 = jnp.asarray(rng.integers(0, 256, (N, 32)).astype(np.uint8))
     valid_1 = jnp.asarray(np.ones(N, bool))
+    ur_1 = jnp.asarray(rng.uniform(0, 300, N).astype(f32))
     for nb, p in shapes:
+        pid_idx = np.arange(p, dtype=np.int32) % dmap.capacity
+        kf_ok = np.ones(nb, bool)
         assign = argpack.call_packed(
-            match_ops.fuse_into_keyframes_compact,
+            match_ops.fuse_into_keyframes_compact_indexed,
             jnp.stack([xy_1] * nb),
             jnp.stack([oct_1] * nb),
             jnp.stack([desc_1] * nb),
             jnp.stack([valid_1] * nb),
-            rng.uniform(0, 300, (nb, N)).astype(f32),
+            jnp.stack([ur_1] * nb),
             np.tile(np.eye(4, dtype=f32), (nb, 1, 1)),
-            rng.uniform(-5, 5, (p, 3)).astype(f32),
-            rng.integers(0, 256, (p, 32)).astype(np.uint8),
-            rng.uniform(-1, 1, (p, 3)).astype(f32),
-            np.ones(p, f32),
-            np.full(p, 50.0, f32),
-            np.ones((nb, p), bool),
+            kf_ok,
+            *dmap.full_views(),
+            pid_idx,
             np.asarray(sf, f32),
             np.asarray(np.log(sf[1] / sf[0]) if L > 1 else 1.0, f32),
             np.asarray(cam.fx, f32), np.asarray(cam.fy, f32),
@@ -152,40 +154,47 @@ def _warm_fuse(cfg, N: int, shapes):
 
 
 def _warm_triangulate(cfg, N: int, nb: int = 16):
-    """Residency must match local_mapping._create_new_map_points: only the
-    two descriptor stacks live on device; everything else rides the pack."""
+    """Residency must match local_mapping._create_new_map_points: the
+    keypoint tables (xy/desc/octave/u_right/depth, both sides) are
+    device-resident frontend outputs stacked on device; the free-masks,
+    epipolar geometry, poses, and the scale ladder ride the pack."""
     import jax.numpy as jnp
 
     from ..ops import triangulate as tri
     from ..utils import argpack
 
     cam = cfg.camera
+    L = cfg.orb.n_levels
+    sf = cfg.orb.scale_factors()
     f32 = np.float32
     rng = np.random.default_rng(2)
-    # the neighbor descriptor stack is built from per-frame device arrays
-    # at runtime — warm the same stack program, not just the big event
+    # per-frame device arrays, stacked the way the runtime stacks them —
+    # warm the same stack programs, not just the big event
+    xy_1 = jnp.asarray(rng.uniform(0, 300, (N, 2)).astype(f32))
     desc_1 = jnp.asarray(rng.integers(0, 256, (N, 32)).astype(np.uint8))
+    oct_1 = jnp.asarray(rng.integers(0, L, N).astype(np.int32))
+    ur_1 = jnp.asarray(rng.uniform(0, 300, N).astype(f32))
+    dep_1 = jnp.asarray(rng.uniform(1, 30, N).astype(f32))
     pack = argpack.call_packed(
         tri.triangulate_event_compact,
-        rng.uniform(0, 300, (N, 2)).astype(f32),
+        xy_1,
         desc_1,
         np.ones(N, bool),
-        rng.uniform(0, 300, N).astype(f32),
-        rng.uniform(1, 30, N).astype(f32),
-        np.ones(N, f32),
-        np.ones(N, f32),
-        rng.uniform(0, 300, (nb, N, 2)).astype(f32),
+        ur_1,
+        dep_1,
+        oct_1,
+        jnp.stack([xy_1] * nb),
         jnp.stack([desc_1] * nb),
         np.ones((nb, N), bool),
-        rng.uniform(0, 300, (nb, N)).astype(f32),
-        rng.uniform(1, 30, (nb, N)).astype(f32),
-        np.ones((nb, N), f32),
-        np.ones((nb, N), f32),
+        jnp.stack([ur_1] * nb),
+        jnp.stack([dep_1] * nb),
+        jnp.stack([oct_1] * nb),
         rng.normal(0, 1, (nb, 3, 3)).astype(f32),
         rng.uniform(0, 300, (nb, 2)).astype(f32),
         np.zeros(nb, bool),
         np.eye(4, dtype=f32),
         np.tile(np.eye(4, dtype=f32), (nb, 1, 1)),
+        np.asarray(sf, f32),
         np.asarray(cam.fx, f32), np.asarray(cam.fy, f32),
         np.asarray(cam.cx, f32), np.asarray(cam.cy, f32),
         np.asarray(cam.bf, f32),
@@ -295,6 +304,7 @@ def prewarm_async(tracking, live_rungs=None, fuse_shapes=None,
     if not hasattr(tracking, "_fused"):
         tracking._fused = FusedTracker(cfg, tracking.height, tracking.width)
         tracking._dmap = DeviceMap()
+        tracking.local_mapping.dmap = tracking._dmap
     tracker = tracking._fused
     if live_rungs is None:
         cap = tracking._dmap.capacity
@@ -323,7 +333,7 @@ def prewarm_async(tracking, live_rungs=None, fuse_shapes=None,
             _warm_splice(DeviceMap, live_rungs)
             _warm_fused_step(tracker, DeviceMap, cfg, N, live_rungs)
             _warm_triangulate(cfg, N)
-            _warm_fuse(cfg, N, fuse_shapes)
+            _warm_fuse(cfg, N, fuse_shapes, tracking._dmap)
             _warm_local_ba(cfg, ba_rungs)
             _warm_classic_fallbacks(tracking, cfg, N)
         except Exception as e:  # best-effort: a failed warm just means a

@@ -326,6 +326,7 @@ class Tracking:
 
                 self._fused = FusedTracker(self.cfg, self.height, self.width)
                 self._dmap = DeviceMap()
+                self.local_mapping.dmap = self._dmap
             if self._dmap_dirty:
                 self._dmap_dirty = False
                 with self._stage("dmap_sync"), self.map.lock:
@@ -357,8 +358,12 @@ class Tracking:
         if not hasattr(self, "_puller"):
             from concurrent.futures import ThreadPoolExecutor
 
+            # 3 workers: each pull pays a full link round-trip (~25 ms)
+            # before bytes move, so consecutive frames' pulls must overlap
+            # their RTTs or the pull chain itself caps throughput at
+            # 1/RTT. Each np.asarray releases the GIL while blocked.
             self._puller = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="iv-result-pull"
+                max_workers=3, thread_name_prefix="iv-result-pull"
             )
         return self._puller.submit(np.asarray, flat)
 
@@ -383,6 +388,15 @@ class Tracking:
         # device->host copy now so it overlaps tracking of the current
         # frame (fused tracking defers the pack and drains views in its
         # own batched readback instead — don't push bytes it won't read)
+        if not self.cfg.system.fused_tracking:
+            self.frontend.prefetch_host(handle)
+        return handle
+
+    def submit_frontend_device(self, pair, cost_map=None):
+        """submit_frontend for a pre-staged device-resident (2, H, W)
+        pair (batched/staged replay: the image upload happened earlier,
+        off the tracking critical path)."""
+        handle = self.frontend.submit_device(pair, cost_map)
         if not self.cfg.system.fused_tracking:
             self.frontend.prefetch_host(handle)
         return handle
@@ -706,6 +720,7 @@ class Tracking:
             if not hasattr(self, "_fused"):
                 self._fused = FusedTracker(self.cfg, self.height, self.width)
                 self._dmap = DeviceMap()
+                self.local_mapping.dmap = self._dmap
             if self._dmap_dirty:
                 # clear BEFORE syncing: a worker event landing mid-sync
                 # sets the flag again and the next frame resyncs
@@ -742,6 +757,15 @@ class Tracking:
         chi2 = np.ascontiguousarray(pack[:, 9])
         T = small[:16].reshape(4, 4).astype(np.float32)
         n_motion = int(small[16])
+        # local-search compaction overflow check (never silent): the
+        # fused step caps frustum-gated candidates at LOCAL_CAP=4096
+        if small.shape[0] > 18 and small[18] > 4096:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "fused local search: %d frustum-gated points > cap 4096; "
+                "extras not searched this frame", int(small[18]),
+            )
         if n_motion < 20:
             return False
         frame.set_pose(T)
@@ -1099,12 +1123,13 @@ class Tracking:
         map points, then run local mapping — inline (single-threaded
         LoopOnce semantics) or handed to the worker thread."""
         frame = self.current
-        # pull the keyframe's descriptors to the host BEFORE taking the
-        # map lock (lazy property = one device RPC; the distinctive-
-        # descriptor pass below needs it)
-        _ = frame.desc
+        # pull the keyframe's descriptors CONCURRENTLY with the host map
+        # work below (lazy property = one blocking ~25 ms link RTT; only
+        # the distinctive-descriptor pass at the end needs the bytes)
+        desc_fut = (self._pull_async(frame.kp.desc)
+                    if frame._desc is None else None)
         with self.map.lock:
-            self._create_new_keyframe_locked(frame)
+            self._create_new_keyframe_locked(frame, desc_fut)
         if self.local_mapping._worker is not None:
             self.local_mapping.kick_async(
                 run_ba=frame.frame_id
@@ -1136,40 +1161,57 @@ class Tracking:
             ):
                 self._dmap_dirty = True
 
-    def _create_new_keyframe_locked(self, frame):
+    def _create_new_keyframe_locked(self, frame, desc_fut=None):
         kf_id = self.map.add_keyframe(frame)
         self.ref_kf = kf_id
         frame.ref_kf = kf_id
         cam = self.cfg.camera
         depth_order = np.argsort(np.where(frame.depth > 0, frame.depth, np.inf))
-        n_points = 0
+        # reference loop semantics (Tracking.cc:1795-1850): walk close-to-
+        # far, create points for unassociated features, stop at the first
+        # entry past ThDepth once >100 points are registered. Sorted order
+        # makes the cutoff computable up front, so the per-point 4x4
+        # inverse becomes ONE vectorized unprojection.
+        z_sorted = frame.depth[depth_order]
+        n_pos = int(np.count_nonzero(z_sorted > 0))
+        n_close = int(np.count_nonzero(
+            (z_sorted > 0) & (z_sorted <= cam.depth_threshold)))
+        # the reference processes the first past-ThDepth entry too before
+        # its (z > th && n > 100) break fires — hence the +1
+        k = min(n_close + 1, n_pos) if n_close > 100 else min(101, n_pos)
+        idx = depth_order[:k]
+        pids = frame.map_pt[idx]
+        create = (pids < 0) | (self.map.pt_n_obs[np.maximum(pids, 0)] == 0)
+        ci = idx[create]
+        if len(ci):
+            Twc = np.linalg.inv(frame.pose)
+            z = frame.depth[ci]
+            pc = np.stack([
+                (frame.xy[ci, 0] - cam.cx) * z / cam.fx,
+                (frame.xy[ci, 1] - cam.cy) * z / cam.fy,
+                z,
+            ], axis=1)
+            pw = pc @ Twc[:3, :3].T + Twc[:3, 3]
         touched = []
-        for i in depth_order:
-            z = frame.depth[i]
-            if z <= 0:
-                break
-            pid = frame.map_pt[i]
-            create = pid < 0 or not self.map.pt_obs[pid]
-            if create:
-                pos = frame.unproject_stereo(i, cam.fx, cam.fy, cam.cx, cam.cy)
-                qual = (
-                    frame.qual_score[i]
-                    if self.cfg.iv.propagate_keyptqual
-                    else 1.0
-                )
-                new_pid = self.map.add_point(pos, kf_id, qual)
-                self.map.add_observation(new_pid, kf_id, int(i))
-                frame.map_pt[i] = new_pid
-                touched.append(new_pid)
-            n_points += 1
-            if z > cam.depth_threshold and n_points > 100:
-                break
+        for row, i in enumerate(ci):
+            qual = (
+                frame.qual_score[i]
+                if self.cfg.iv.propagate_keyptqual
+                else 1.0
+            )
+            new_pid = self.map.add_point(
+                pw[row].astype(np.float32), kf_id, qual)
+            self.map.add_observation(new_pid, kf_id, int(i))
+            frame.map_pt[i] = new_pid
+            touched.append(new_pid)
         # register observations of existing tracked points
         for i in np.nonzero(frame.map_pt >= 0)[0]:
             pid = int(frame.map_pt[i])
             if self.map.pt_alive[pid] and kf_id not in self.map.pt_obs[pid]:
                 self.map.add_observation(pid, kf_id, int(i))
                 touched.append(pid)
+        if desc_fut is not None and frame._desc is None:
+            frame._desc = desc_fut.result()
         self.map.compute_distinctive_descriptor_batch(touched)
         self.map.update_normal_and_depth_batch(touched)
         self.last_kf_frame_id = frame.frame_id

@@ -26,6 +26,9 @@ def main():
     p.add_argument("--frames", type=int, default=80)
     p.add_argument("--ramp", type=int, default=15)
     p.add_argument("--no-threaded", action="store_true")
+    p.add_argument("--staged", action="store_true",
+                   help="pre-stage all images on device (chip-capability "
+                        "variant of bench.py full_loop_staged_fps)")
     p.add_argument("--no-chained", action="store_true")
     p.add_argument("--log_compiles", action="store_true")
     args = p.parse_args()
@@ -82,13 +85,25 @@ def main():
         sys_._prewarm_thread.join()
     print(f"init+prewarm {time.perf_counter() - t0:.1f}s", flush=True)
 
-    handle = tr.submit_frontend(*frames[0])
+    if args.staged:
+        import jax.numpy as jnp
+
+        dev_pairs = [jnp.asarray(np.stack(f)) for f in frames]
+        jax.block_until_ready(dev_pairs)
+
+        def submit(i):
+            return tr.submit_frontend_device(dev_pairs[i])
+    else:
+        def submit(i):
+            return tr.submit_frontend(*frames[i])
+
+    handle = submit(0)
     per_frame = []
     for i, (left, right) in enumerate(frames):
         tf = time.perf_counter()
         cur = handle
         if i + 1 < len(frames):
-            handle = tr.submit_frontend(*frames[i + 1])
+            handle = submit(i + 1)
         sys_.track_stereo(left, right, timestamp=i * 0.1, frontend_handle=cur)
         dt = time.perf_counter() - tf
         per_frame.append(dt)
