@@ -256,7 +256,8 @@ def bench_full_loop(n_frames: int = 120, ramp: int = 15,
     cfg.system.prewarm = True  # background-compile the program ladder
     cfg.system.async_local_ba = True
     cfg.system.threaded_local_mapping = True  # KF events off the loop
-    cfg.system.chained_tracking = True  # one-frame device pipelining
+    cfg.system.chained_tracking = True  # speculative device pipelining
+    cfg.system.chain_depth = 2          # hide the result-pull link RTT
 
     t_ramp0 = time.perf_counter()
     sys_ = System(cfg, H, W)

@@ -228,6 +228,15 @@ class SystemConfig:
     # fused path except that a no-op pose re-anchor is skipped when
     # nothing moved. Needs fused_tracking; stereo only.
     chained_tracking: bool = False
+    # speculation depth for chained tracking: how many frames of fused
+    # device work may be in flight ahead of host consumption. 1 = the
+    # round-3 one-frame pipeline. 2 hides the result-pull link RTT
+    # (~25 ms on the dev tunnel) behind a second in-flight frame — host
+    # state then lags two frames, and an invalidating event (keyframe,
+    # merge) re-speculates the whole queue from host state (depth extra
+    # dispatches instead of one). Semantics stay exactly equal to the
+    # unchained fused path (validated in tests/test_chained_tracking.py).
+    chain_depth: int = 1
 
 
 @dataclass

@@ -85,8 +85,12 @@ class Tracking:
         self._finalized_twc: List[np.ndarray] = []  # frames of closed sub-sessions
         self._session_start = 0
         self.datagen = None  # introspection DataGenerator (training mode)
-        # chained-tracking pipeline state (cfg.system.chained_tracking)
-        self._pending = None   # dispatched-but-unprocessed frame record
+        # chained-tracking pipeline state (cfg.system.chained_tracking):
+        # deque of dispatched-but-unprocessed frame records, oldest first
+        # (maxlen governed by cfg.system.chain_depth)
+        from collections import deque
+
+        self._pendq = deque()
         self._spec = None      # speculation record consumed by _track_fused
         self._chain_ok = False
         # optional per-stage wall-clock tracing (utils/profiling.StageTimer;
@@ -248,8 +252,6 @@ class Tracking:
         Speculation is validated at consumption (_track_fused): a keyframe-
         pose rewrite (MapStore.poses_ver) or a rejected predecessor forces
         a fresh dispatch with exact unchained semantics."""
-        import jax.numpy as jnp
-
         self._poll_async_merges()
         with self._stage("frontend"):
             if frontend_handle is not None:
@@ -262,92 +264,134 @@ class Tracking:
                     img_left, img_right, timestamp, cost_map, gt_pose,
                     gt_cov, img_name, defer=True,
                 )
-        pending = self._pending
+        depth = max(1, int(getattr(self.cfg.system, "chain_depth", 1)))
+        q = self._pendq
         spec = None
-        if pending is not None and self.state == State.OK:
-            # speculative dispatch for THIS frame from the pending
-            # frame's device results (no host upload, no sync)
+        if q and self.state == State.OK and q[-1].get("res") is not None:
+            # speculative dispatch for THIS frame chained off the chain
+            # tail's device results (no host upload, no sync)
+            tail = q[-1]
             if self._dmap_dirty:
                 self._dmap_dirty = False
                 with self._stage("dmap_sync"), self.map.lock:
                     self._dmap.sync(self.map)
             with self._stage("spec_dispatch"):
                 res, flat = self._fused.track_chained(
-                    frame, pending["frame"], pending["res"].assign_map,
-                    pending["res"].T, pending["T_prev"], self._dmap,
+                    frame, tail["frame"], tail["res"].assign_map,
+                    tail["res"].T, tail["T_prev"], self._dmap,
                 )
             spec = dict(frame=frame, res=res, flat=flat,
                         ver=self.map.poses_ver,
-                        T_prev=pending["res"].T,
+                        T_prev=tail["res"].T,
                         fut=self._pull_async(flat))
-        # ---- process the pending (previous) frame completely
+        elif not q:
+            spec = self._host_dispatch_spec(frame)
+            if spec is None:
+                # no pipeline possible (init / lost / fallback): process
+                # this frame immediately
+                self.current = frame
+                with self._stage("track"):
+                    self._track()
+                return frame.pose
+        q.append(spec if spec is not None else dict(
+            frame=frame, res=None, flat=None, ver=-1, T_prev=None,
+            fut=None))
+        # ---- process the head frame(s) once the pipeline is full
         prev_pose = None
-        if pending is not None:
-            self._pending = None
-            self.current = pending["frame"]
-            self._spec = pending
-            self._chain_ok = False
-            self._used_spec = False
-            with self._stage("track"):
-                self._track()
-            self._spec = None
-            prev_pose = pending["frame"].pose
-            if spec is not None and (
-                not self._chain_ok or not self._used_spec or self._dmap_dirty
-            ):
-                # Drop the successor speculation when (a) the
-                # predecessor's fused result was rejected, (b) the
-                # predecessor was re-dispatched fresh — this spec chained
-                # off the DISCARDED speculative device result, not the
-                # accepted one — or (c) processing changed the map
-                # (keyframe created / merge landed) after we dispatched,
-                # so the speculation saw a mirror without the event's new
-                # points (fewer inliers -> runaway keyframe cadence).
-                # Falling through re-seeds the chain from CURRENT host
-                # state below — one host-dispatched frame, no cascade (a
-                # ver=-1 re-dispatch-at-consumption scheme left every
-                # later frame chained to stale results: profiled 65/78
-                # fresh dispatches).
-                spec = None
-        if spec is not None:
-            self._pending = spec
-            return prev_pose
-        # ---- no live chain: start one when the fused gate holds, else
-        # process this frame immediately (init / lost / fallback paths)
-        if (
+        while len(q) > depth:
+            prev_pose = self._process_chain_head()
+        return prev_pose
+
+    def _host_dispatch_spec(self, frame):
+        """Fresh (unchained) speculative dispatch for `frame` from host
+        state — valid only when `frame` is last_frame's direct successor
+        (the pending queue is empty, or every earlier frame is
+        processed). Returns a spec record or None when the fused gate
+        does not hold."""
+        import jax.numpy as jnp
+
+        if not (
             self.state == State.OK
             and self.velocity is not None
             and self.last_frame is not None
             and self.last_frame.pose is not None
         ):
-            if not hasattr(self, "_fused"):
-                from .device_map import DeviceMap
-                from .fused_track import FusedTracker
+            return None
+        if not hasattr(self, "_fused"):
+            from .device_map import DeviceMap
+            from .fused_track import FusedTracker
 
-                self._fused = FusedTracker(self.cfg, self.height, self.width)
-                self._dmap = DeviceMap()
-                self.local_mapping.dmap = self._dmap
-            if self._dmap_dirty:
-                self._dmap_dirty = False
-                with self._stage("dmap_sync"), self.map.lock:
-                    self._dmap.sync(self.map)
-            self._update_last_frame()
-            T_pred = self.velocity @ self.last_frame.pose
-            with self._stage("spec_dispatch"):
-                res, flat = self._fused.track(
-                    frame, self.last_frame, self.last_frame.map_pt, T_pred,
-                    self._dmap,
-                )
-            self._pending = dict(
-                frame=frame, res=res, flat=flat, ver=self.map.poses_ver,
-                T_prev=jnp.asarray(self.last_frame.pose),
-                fut=self._pull_async(flat),
+            self._fused = FusedTracker(self.cfg, self.height, self.width)
+            self._dmap = DeviceMap()
+            self.local_mapping.dmap = self._dmap
+        if self._dmap_dirty:
+            self._dmap_dirty = False
+            with self._stage("dmap_sync"), self.map.lock:
+                self._dmap.sync(self.map)
+        self._update_last_frame()
+        T_pred = self.velocity @ self.last_frame.pose
+        with self._stage("spec_dispatch"):
+            res, flat = self._fused.track(
+                frame, self.last_frame, self.last_frame.map_pt, T_pred,
+                self._dmap,
             )
-            return prev_pose
-        self.current = frame
+        return dict(
+            frame=frame, res=res, flat=flat, ver=self.map.poses_ver,
+            T_prev=jnp.asarray(self.last_frame.pose),
+            fut=self._pull_async(flat),
+        )
+
+    def _process_chain_head(self):
+        """Pop and fully process the oldest pending frame; on an
+        invalidating outcome, re-speculate every remaining queued frame
+        from CURRENT host state (the depth-general form of the round-3
+        drop-and-re-seed rule: an invalidation must not leave later
+        frames chained to discarded or stale device results)."""
+        q = self._pendq
+        head = q.popleft()
+        self.current = head["frame"]
+        self._spec = head
+        self._chain_ok = False
+        self._used_spec = False
         with self._stage("track"):
             self._track()
-        return frame.pose
+        self._spec = None
+        if q and (
+            not self._chain_ok or not self._used_spec or self._dmap_dirty
+        ):
+            # The queued speculations chained off (a) a rejected fused
+            # result, (b) a discarded speculative result (head was
+            # re-dispatched fresh), or (c) a mirror missing a map event's
+            # new/culled points. Re-seed the whole queue from host state
+            # NOW — the head just became last_frame, so the first queued
+            # frame is its direct successor.
+            self._respeculate_queue()
+        return head["frame"].pose
+
+    def _respeculate_queue(self):
+        """Strip stale speculations from the pending queue and rebuild
+        them from current host state: one fresh host dispatch for the
+        first queued frame, chained dispatches for the rest."""
+        q = self._pendq
+        for e in q:
+            e.update(res=None, flat=None, fut=None, ver=-1)
+        prev = None
+        for e in q:
+            if prev is None:
+                spec = self._host_dispatch_spec(e["frame"])
+                if spec is None:
+                    return  # gates do not hold (lost/reset): leave fresh
+                e.update(spec)
+            else:
+                with self._stage("spec_dispatch"):
+                    res, flat = self._fused.track_chained(
+                        e["frame"], prev["frame"], prev["res"].assign_map,
+                        prev["res"].T, prev["T_prev"], self._dmap,
+                    )
+                e.update(res=res, flat=flat, ver=self.map.poses_ver,
+                         T_prev=prev["res"].T,
+                         fut=self._pull_async(flat))
+            prev = e
 
     def _pull_async(self, flat):
         """Start the device->host pull of a result pack on a helper thread
@@ -368,19 +412,12 @@ class Tracking:
         return self._puller.submit(np.asarray, flat)
 
     def flush_chain(self):
-        """Drain the one-frame pipeline: process the pending frame (if
-        any) so host state is current. Called by trajectory readers,
-        shutdown, reset, and any non-chained entry point."""
-        pending = getattr(self, "_pending", None)
-        if pending is None:
-            return
-        self._pending = None
-        self.current = pending["frame"]
-        self._spec = pending
-        self._chain_ok = False
-        with self._stage("track"):
-            self._track()
-        self._spec = None
+        """Drain the speculation pipeline: process every pending frame
+        (oldest first) so host state is current. Called by trajectory
+        readers, shutdown, reset, and any non-chained entry point."""
+        q = getattr(self, "_pendq", None)
+        while q:
+            self._process_chain_head()
 
     def submit_frontend(self, img_left, img_right, cost_map=None):
         handle = self.frontend.submit(img_left, img_right, cost_map)
@@ -1375,7 +1412,11 @@ class Tracking:
         self._reset()
 
     def _reset(self):
-        self._pending = None  # a dispatched frame mirrors a dead map now
+        # dispatched speculations mirror a dead map now — strip them but
+        # KEEP the queued frames: each still gets processed (fresh) so
+        # the per-frame trajectory bookkeeping stays gap-free
+        for e in self._pendq:
+            e.update(res=None, flat=None, fut=None, ver=-1)
         # drain the worker before discarding the map it is mutating
         try:
             self.local_mapping.join()
@@ -1392,6 +1433,10 @@ class Tracking:
             scale_factor=self.cfg.orb.scale_factor,
         )
         self.local_mapping = LocalMapping(self.cfg, self.map)
+        if hasattr(self, "_dmap"):
+            # carry the device mirror over so post-reset keyframe events
+            # keep the indexed (prewarmed) fuse path
+            self.local_mapping.dmap = self._dmap
         if self.cfg.system.threaded_local_mapping:
             self._setup_threaded_mapping()
         self.state = State.NOT_INITIALIZED

@@ -124,6 +124,13 @@ def ba_solve(
         rob = _huber_rho0(c2, delta_sq, kernel_on)
         return jnp.sum(jnp.where(mask, rob, 0.0))
 
+    n_e = prob.e_obs.shape[0]
+    # camera-axis reductions as one-hot MXU matmuls: K <= 64, so the
+    # (K, E) one-hot is small and the matmul beats a scatter-based
+    # segment reduction on TPU
+    oh_kf = (prob.e_kf[None, :] == jnp.arange(n_kf)[:, None]).astype(
+        jnp.float32)
+
     def build_and_solve(kf_pose, pt_pos, mask, lam, kernel_on):
         e, pc, T, _ = _edge_terms(kf_pose, pt_pos, prob, K)
         c2 = _chi2(e, prob.e_inv_s2)
@@ -143,13 +150,11 @@ def ba_solve(
         # point block: d e / d X = -Jproj @ Rcw
         Jx = -jnp.einsum("eij,ejk->eik", Jp, T[:, :3, :3])  # (E, 3, 3)
 
-        # per-camera and per-point normal blocks
-        Hcc = jax.ops.segment_sum(
-            jnp.einsum("eri,e,erj->eij", Jc, w, Jc), prob.e_kf, n_kf
-        )  # (K, 6, 6)
-        gc = jax.ops.segment_sum(
-            -jnp.einsum("eri,e,er->ei", Jc, w, e), prob.e_kf, n_kf
-        )  # (K, 6)
+        # per-camera normal blocks: one-hot matmuls (see oh_kf above)
+        Hcc = (oh_kf @ jnp.einsum("eri,e,erj->eij", Jc, w, Jc)
+               .reshape(n_e, 36)).reshape(n_kf, 6, 6)
+        gc = oh_kf @ (-jnp.einsum("eri,e,er->ei", Jc, w, e))  # (K, 6)
+        # per-point normal blocks: P is too large for one-hot — segment
         Hpp = jax.ops.segment_sum(
             jnp.einsum("eri,e,erj->eij", Jx, w, Jx), prob.e_pt, n_pt
         )  # (P, 3, 3)
@@ -178,15 +183,27 @@ def ba_solve(
             Hpp_d = jnp.where(dead[:, None, None], eye3, Hpp_d)
             Hpp_inv = _inv3x3(Hpp_d)
 
-            TU = jnp.einsum("pia,pab->pib", U2, Hpp_inv)      # (P, 6K, 3)
-            S_red = jnp.einsum("pia,pja->ij", TU, U2)         # (6K, 6K)
+            # TU[p, n, b] = sum_a U2[p, n, a] Hinv[p, a, b] — unrolled
+            # over the tiny (3, 3) contraction so it lowers to broadcast
+            # multiplies on well-tiled (P, 6K) slabs instead of a batched
+            # matmul with 3-wide inner dims
+            TU = jnp.stack(
+                [sum(U2[:, :, a] * Hpp_inv[:, a, b][:, None]
+                     for a in range(3)) for b in range(3)],
+                axis=-1,
+            )                                                  # (P, 6K, 3)
+            # S_red = sum_p TU[p] @ U2[p]^T as ONE (6K, 3P)x(3P, 6K)
+            # MXU matmul (row index = flattened (p, a))
+            TUf = TU.transpose(0, 2, 1).reshape(n_pt * 3, n_kf * 6)
+            U2f = U2.transpose(0, 2, 1).reshape(n_pt * 3, n_kf * 6)
+            S_red = TUf.T @ U2f                                # (6K, 6K)
             Hcc_d = Hcc + lam_c * jnp.eye(6)
             # block-diagonal Hcc into dense (6K, 6K) — einsum with eye,
             # not a scatter (TPU lowers index scatters to serial loops)
             S = jnp.einsum("kl,kij->kilj", eye_k, Hcc_d).reshape(
                 n_kf * 6, n_kf * 6)
             S = S - S_red
-            rhs = gc.reshape(-1) - jnp.einsum("pia,pa->i", TU, gp)
+            rhs = gc.reshape(-1) - TUf.T @ gp.reshape(-1)
 
             # fixed cameras: identity rows/cols, zero rhs
             fixed6 = jnp.repeat(prob.kf_fixed, 6)
@@ -196,7 +213,7 @@ def ba_solve(
 
             dc = jnp.linalg.solve(S, rhs).reshape(n_kf, 6)
             # back-substitute points: dp = Hpp^-1 (gp - U^T dc)
-            Ut_dc = jnp.einsum("pia,i->pa", U2, dc.reshape(-1))
+            Ut_dc = (U2f @ dc.reshape(-1)).reshape(n_pt, 3)
             dp = jnp.einsum("pab,pb->pa", Hpp_inv, gp - Ut_dc)
             dp = jnp.where(prob.pt_valid[:, None], dp, 0.0)
             # Powell's predicted decrease uses the ORIGINAL gradient of

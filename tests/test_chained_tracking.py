@@ -22,7 +22,7 @@ H, W = 240, 320
 N_FRAMES = 14
 
 
-def _cfg(chained: bool) -> Config:
+def _cfg(chained: bool, depth: int = 1) -> Config:
     cfg = Config()
     cfg.camera = CameraConfig(
         fx=400.0, fy=400.0, cx=160.0, cy=120.0, bf=200.0,
@@ -31,6 +31,7 @@ def _cfg(chained: bool) -> Config:
     cfg.orb = ORBConfig(n_features=600, n_levels=4)
     cfg.system.fused_tracking = True
     cfg.system.chained_tracking = chained
+    cfg.system.chain_depth = depth
     return cfg
 
 
@@ -59,6 +60,21 @@ def test_chained_matches_unchained(rng):
     assert abs(ate_c - ate_u) < 0.02, (ate_c, ate_u)
     assert ate_c < 0.2
     assert abs(kfs_c - kfs_u) <= 1
+
+
+def test_chain_depth2_matches_unchained(rng):
+    """Depth-2 speculation (two frames of fused device work in flight;
+    host lags two frames) must stay trajectory-equivalent: consumption
+    validation + whole-queue re-speculation preserve exact unchained
+    semantics across keyframe events."""
+    world, frames, gt = synth_world.make_sequence(rng, n_frames=N_FRAMES,
+                                                  step=0.08)
+    est_u, ate_u, kfs_u = _run(_cfg(False), frames, gt)
+    est_d2, ate_d2, kfs_d2 = _run(_cfg(True, depth=2), frames, gt)
+    assert len(est_d2) == len(est_u) == N_FRAMES
+    assert abs(ate_d2 - ate_u) < 0.02, (ate_d2, ate_u)
+    assert ate_d2 < 0.2
+    assert abs(kfs_d2 - kfs_u) <= 1
 
 
 def test_chained_mid_sequence_flush(rng):

@@ -26,6 +26,7 @@ def main():
     p.add_argument("--frames", type=int, default=80)
     p.add_argument("--ramp", type=int, default=15)
     p.add_argument("--no-threaded", action="store_true")
+    p.add_argument("--chain_depth", type=int, default=2)
     p.add_argument("--staged", action="store_true",
                    help="pre-stage all images on device (chip-capability "
                         "variant of bench.py full_loop_staged_fps)")
@@ -75,6 +76,7 @@ def main():
     cfg.system.async_local_ba = True
     cfg.system.threaded_local_mapping = not args.no_threaded
     cfg.system.chained_tracking = not args.no_chained
+    cfg.system.chain_depth = args.chain_depth
 
     t0 = time.perf_counter()
     sys_ = System(cfg, H, W)
