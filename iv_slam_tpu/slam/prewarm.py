@@ -151,6 +151,15 @@ def _warm_fuse(cfg, N: int, shapes, dmap):
             np.asarray(3.0, f32),
         )
         assign.block_until_ready()
+    # the keyframe event concatenates the two fuse flats into ONE pull
+    # (local_mapping._concat2) — first fires when both sides are live
+    # (~3rd event), and even a trivial remote compile costs seconds
+    from . import local_mapping as lm_mod
+    from ..ops import match as match_ops2
+
+    n_flat = match_ops2.F_CAP * 3 + 1
+    z = jnp.zeros(n_flat, jnp.float32)
+    lm_mod._concat2(z, z).block_until_ready()
 
 
 def _warm_triangulate(cfg, N: int, nb: int = 16):

@@ -153,6 +153,17 @@ def call_packed(fn, *args, **static_kw):
         # setdefault: prewarm daemon + tracking threads can race the first
         # call; converging on one wrapper preserves the prewarmed compile
         w = _WRAPPED.setdefault(key, jax.jit(run))
+        import os
+
+        if os.environ.get("IVT_LOG_NEW_WRAPPERS"):
+            import sys as _sys
+            import time as _time
+
+            print(
+                f"[argpack {_time.monotonic():.1f}] new wrapper: "
+                f"{getattr(fn, '__name__', fn)} host_idx={host_idx} "
+                f"spec={spec}", file=_sys.stderr, flush=True,
+            )
     passthrough = tuple(
         a for i, a in enumerate(leaves) if i not in set(host_idx)
     )

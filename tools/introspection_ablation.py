@@ -151,8 +151,23 @@ def main():
         run_slam(cfg, train_frames, train_gt, datagen_dir=out, gt_poses=True)
     finally:
         fe.MIN_BAD_PERCENT = old_min
-    n_heat = len(os.listdir(os.path.join(out, "bad_region_heatmap")))
-    print(f"datagen: {n_heat} heatmaps", flush=True)
+    heat_dir = os.path.join(out, "bad_region_heatmap")
+    heat_files = sorted(os.listdir(heat_dir))
+    n_heat = len(heat_files)
+    # ---- intermediate gate 1: do the TRAINING TARGETS localize the
+    # degradation? (band-vs-background heat; VERDICT r3: a 0.1/255 band
+    # response cannot move weighted extraction)
+    band = world.bad_region_mask()
+    bh, bg = [], []
+    for f in heat_files:
+        hm = iio.imread(os.path.join(heat_dir, f)).astype(np.float32)
+        b = band[: hm.shape[0], : hm.shape[1]]
+        bh.append(float(hm[b].mean()))
+        bg.append(float(hm[~b].mean()))
+    heat_band = float(np.mean(bh)) if bh else float("nan")
+    heat_bg = float(np.mean(bg)) if bg else float("nan")
+    print(f"datagen: {n_heat} heatmaps, target band={heat_band:.1f}/255 "
+          f"vs bg={heat_bg:.1f}/255", flush=True)
 
     # ---- 3: FCN training -------------------------------------------
     ds = ImageQualityDataset(
@@ -166,6 +181,28 @@ def main():
     trainer = Trainer(tcfg)
     trainer.train(ds, val_ds=None, log_fn=lambda *_: None)
     print("train: done", flush=True)
+
+    # ---- intermediate gate 2: does the TRAINED FCN flag the band?
+    # (mean predicted cost inside the degraded band vs outside on eval
+    # frames the model never saw; the extraction weighting at
+    # ORBextractor.cc:946-1080 strength only moves budgets when this
+    # response is substantial — VERDICT r4 gate: >= 50/255 over bg)
+    import jax.numpy as jnp
+
+    from iv_slam_tpu.models.introspection import inference_cost_map
+
+    resp_band, resp_bg = [], []
+    for left, _r in eval_frames[:: max(len(eval_frames) // 8, 1)]:
+        rgb = jnp.stack([jnp.asarray(left)] * 3, axis=-1)
+        cost = np.asarray(inference_cost_map(
+            trainer.net, trainer.variables(), rgb, (H, W), (256, 256)
+        )).astype(np.float32)
+        resp_band.append(float(cost[band].mean()))
+        resp_bg.append(float(cost[~band].mean()))
+    fcn_band = float(np.mean(resp_band))
+    fcn_bg = float(np.mean(resp_bg))
+    print(f"fcn probe: band={fcn_band:.1f}/255 vs bg={fcn_bg:.1f}/255",
+          flush=True)
 
     # ---- 4: introspective run (IV_SLAM mode) -----------------------
     cfg2 = _config()
@@ -181,6 +218,8 @@ def main():
         "failures_off": fails_off, "failures_on": fails_on,
         "improvement": round(1.0 - ate_on / ate_off, 3)
         if ate_off > 0 else None,
+        "heat_band": round(heat_band, 1), "heat_bg": round(heat_bg, 1),
+        "fcn_band": round(fcn_band, 1), "fcn_bg": round(fcn_bg, 1),
         "work": work,
     }))
 
