@@ -71,6 +71,10 @@ def parse_args():
     p.add_argument("--inference_mode", action="store_true")
     p.add_argument("--introspection_func_enabled", action="store_true")
     p.add_argument("--enable_viewer", action="store_true")
+    p.add_argument("--live_viewer_port", type=int, default=0,
+                   help="serve the frame/map renders live over HTTP "
+                        "(MJPEG; the Pangolin-window analogue, "
+                        "src/Viewer.cc:56-70). Implies --enable_viewer.")
     p.add_argument("--gt_pose_available", action="store_true")
     p.add_argument("--timestamps_file", default="",
                    help="EuRoC timestamp list")
@@ -242,14 +246,22 @@ def main():
 
     # headless viewer (Viewer.HeadlessMode + SaveFramesToFile /
     # SaveMapDrawingsToFile; src/{Viewer,FrameDrawer,MapDrawer}.cc)
-    frame_drawer = map_drawer = None
-    if args.enable_viewer:
+    frame_drawer = map_drawer = live_viewer = None
+    if args.enable_viewer or args.live_viewer_port:
         from iv_slam_tpu.slam.viewer import FrameDrawer, MapDrawer
 
+        save = args.enable_viewer  # live-only mode skips the PNG writes
         frame_drawer = FrameDrawer(
-            os.path.join(args.out_visualization_path, "frames"))
+            os.path.join(args.out_visualization_path, "frames")
+            if save else None)
         map_drawer = MapDrawer(
-            os.path.join(args.out_visualization_path, "map"))
+            os.path.join(args.out_visualization_path, "map")
+            if save else None)
+    if args.live_viewer_port:
+        from iv_slam_tpu.slam.live_viewer import LiveViewer
+
+        live_viewer = LiveViewer(port=args.live_viewer_port).start()
+        print(f"live viewer: http://localhost:{live_viewer.port}/")
 
     if args.profile_stages:
         from iv_slam_tpu.utils.profiling import StageTimer
@@ -321,14 +333,24 @@ def main():
         if frame_drawer is not None and sys_.tracking.current is not None:
             frame = sys_.tracking.current
             frame.materialize()
-            frame_drawer.draw(this_left, frame, sys_.state.name)
+            fvis = frame_drawer.draw(this_left, frame, sys_.state.name)
+            mvis = None
             if i % 10 == 0:
-                map_drawer.draw(
+                mvis = map_drawer.draw(
                     sys_.tracking.map, sys_.trajectory_twc(),
                     gt_twc=list(seq.gt_poses[: i + 1])
                     if seq.gt_poses is not None else None,
                     frame_id=i,
                 )
+            if live_viewer is not None:
+                m = sys_.tracking.map
+                live_viewer.publish(fvis, mvis, stats=dict(
+                    frame_id=int(frame.frame_id),
+                    state=sys_.state.name,
+                    n_keyframes=int(m.kf_alive[: m.n_keyframes].sum()),
+                    n_points=int(m.pt_alive[: m.n_points].sum()),
+                    failures=sys_.failure_count,
+                ))
         if i % 50 == 0:
             print(f"frame {i}/{len(seq)} state={sys_.state.name} "
                   f"median_track={np.median(t_track):.3f}s")
@@ -337,6 +359,8 @@ def main():
     if args.create_ivslam_dataset and sys_.tracking.datagen is not None:
         sys_.tracking.datagen.finalize()
 
+    if live_viewer is not None:
+        live_viewer.stop()
     out = args.out_visualization_path
     sys_.save_trajectory_kitti(os.path.join(out, "Trajectory_KITTI_000.txt"))
     sys_.save_keyframe_trajectory_tum(

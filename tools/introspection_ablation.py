@@ -49,7 +49,13 @@ def _config():
     return cfg
 
 
-def make_frames(world, n, step, seed_phase=0.0):
+def make_frames(world, n, step, seed_phase=0.0, yaw_amp=0.02):
+    """Serpentine trajectory. yaw_amp matters for the physics: a STATIC
+    image-space feature (the reflection band) under pure translation has
+    IDENTICALLY ZERO epipolar error — x^T [Kt]x x = 0 — so the scoring
+    only sees the band when the camera ROTATES between frames (the
+    paper's Jackal turns constantly). yaw_amp ~0.25 rad gives the
+    per-frame yaw deltas a ground robot's turning produces."""
     import synth_world
 
     gt, frames = [], []
@@ -58,7 +64,7 @@ def make_frames(world, n, step, seed_phase=0.0):
             [i * step, 0.03 * np.sin(i * 0.4 + seed_phase), 0.0], np.float32
         )
         Twc = synth_world.camera_pose(
-            t, height=10.0, yaw=0.02 * np.sin(i * 0.3 + seed_phase)
+            t, height=10.0, yaw=yaw_amp * np.sin(i * 0.3 + seed_phase)
         )
         frames.append(world.render_stereo(Twc))
         gt.append(Twc)
@@ -99,6 +105,7 @@ def main():
     p.add_argument("--train_frames", type=int, default=30)
     p.add_argument("--step", type=float, default=0.10)
     p.add_argument("--strength", type=float, default=0.65)
+    p.add_argument("--yaw_amp", type=float, default=0.02)
     p.add_argument("--world", default="ReflectionWorld",
                    choices=("ReflectionWorld", "ShimmerWorld"))
     p.add_argument("--seed", type=int, default=5)
@@ -124,10 +131,12 @@ def main():
     )
 
     # eval sequence (both modes see identical pixels: pre-rendered)
-    eval_frames, eval_gt = make_frames(world, args.frames, args.step)
+    eval_frames, eval_gt = make_frames(world, args.frames, args.step,
+                                       yaw_amp=args.yaw_amp)
     # training sequence: different trajectory phase over the same world
     train_frames, train_gt = make_frames(
-        world, args.train_frames, args.step, seed_phase=1.7
+        world, args.train_frames, args.step, seed_phase=1.7,
+        yaw_amp=args.yaw_amp,
     )
 
     # ---- 1: vanilla (ORB_SLAM mode) --------------------------------
