@@ -56,15 +56,29 @@ def transform_words(
     return node
 
 
+_transform_jit = jax.jit(transform_words, static_argnums=3)
+
+
+def _dev_tree(vocabulary):
+    """Device-resident (children, node_desc) buffers, uploaded once per
+    vocabulary (a 1M-leaf tree is ~80 MB — re-uploading per transform
+    would dominate the descent)."""
+    cached = getattr(vocabulary, "_dev_tree", None)
+    if cached is None:
+        cached = (jnp.asarray(vocabulary.children),
+                  jnp.asarray(vocabulary.node_desc))
+        vocabulary._dev_tree = cached
+    return cached
+
+
 def transform_batch(vocabulary, desc, valid=None):
     """Host convenience: device tree descent for (N, 32) or (B, N, 32)
     descriptor arrays -> leaf node ids as np.ndarray; invalid rows -> -1."""
-    children = jnp.asarray(vocabulary.children)
-    node_desc = jnp.asarray(vocabulary.node_desc)
+    children, node_desc = _dev_tree(vocabulary)
     d = jnp.asarray(desc)
     batched = d.ndim == 3
     flat = d.reshape(-1, d.shape[-1])
-    words = transform_words(children, node_desc, flat, int(vocabulary.L))
+    words = _transform_jit(children, node_desc, flat, int(vocabulary.L))
     words = np.asarray(words)
     if valid is not None:
         words = np.where(np.asarray(valid).reshape(-1), words, -1)

@@ -23,23 +23,6 @@ from ..config import Config
 from ..utils import argpack
 
 
-def _concat2(a, b):
-    """Jitted 2-array concat so a keyframe event's two fuse results ship
-    in ONE device->host pull (each separate pull pays the ~25 ms link
-    round-trip)."""
-    import jax
-
-    global _CONCAT2
-    if _CONCAT2 is None:
-        import jax.numpy as jnp
-
-        _CONCAT2 = jax.jit(lambda x, y: jnp.concatenate([x, y]))
-    return _CONCAT2(a, b)
-
-
-_CONCAT2 = None
-
-
 class LocalMapping:
     def __init__(self, cfg: Config, map_store):
         self.cfg = cfg
@@ -119,6 +102,13 @@ class LocalMapping:
             with self._stage("lm_local_ba"):
                 with self.map.lock:
                     self._run_local_ba(kf_id)
+                # segmented async BA: step the remaining LM segments OFF
+                # the map lock (tracking's host bookkeeping must not wait)
+                # — each segment syncs before the next dispatches, so the
+                # solve never monopolizes the device queue
+                h = self._pending_ba
+                if h is not None:
+                    h.drive()
         with self._stage("lm_cull_keyframes"):
             with self.map.lock:
                 self._cull_keyframes(kf_id)
@@ -292,90 +282,107 @@ class LocalMapping:
             if not cand:
                 return
 
-            # ---- ONE launch: epipolar search + all-pair triangulation
-            # fused (fixed NB slot count: exactly one compiled shape per
-            # session — n_neighbors <= 16 always, padded slots masked out)
-            nb_cap = 16
-            cand = cand[:nb_cap]
-            pad_nb = nb_cap - len(cand)
-            c0 = cand[0]
-
-            def stack(get, pad_value=None):
-                rows = [get(c) for c in cand]
-                if pad_nb:
-                    rows += [get(c0) if pad_value is None
-                             else pad_value] * pad_nb
-                return np.stack(rows)
-
-            # device-resident event: keypoint tables (xy/desc/octave/
-            # u_right/depth) stack straight from the frames' frontend
-            # outputs on device; only the free-masks, the 3x3 epipolar
-            # geometry, and poses ride the (single, packed) host upload —
-            # ~35 KB/event instead of ~2.5 MB of re-uploaded float tables
+            # ---- CHUNKED launches: epipolar search + all-pair
+            # triangulation fused per <=TRI_CHUNK-neighbor chunk (one
+            # compiled shape per session; padded slots masked out). The
+            # r3 16-neighbor monolith held the chip ~75 ms per event
+            # while tracking's chained steps queued behind it; two ~40 ms
+            # chunks with a pull between open a device-queue gap for the
+            # tracking thread (same rationale as the chunked fuse).
+            nb_cap = self.TRI_CHUNK
+            cand = cand[:16]
             f32s = np.float32
 
-            def dstack(get, fallback):
-                rows = []
-                for c in cand + [c0] * pad_nb:
-                    v = get(c)
-                    rows.append(v if v is not None else
-                                jnp.asarray(fallback(c)))
-                return jnp.stack(rows)
+            def build_args(chunk):
+                pad_nb = nb_cap - len(chunk)
+                c0 = chunk[0]
 
-            args = (
-                cur.kp.xy, cur.kp.desc, np.asarray(free1),
-                cur.ur_dev if cur.ur_dev is not None
-                else np.asarray(cur.u_right, f32s),
-                cur.depth_dev if cur.depth_dev is not None
-                else np.asarray(cur.depth, f32s),
-                cur.kp.octave,
-                dstack(lambda c: c["nf"].kp.xy, None),
-                dstack(lambda c: c["nf"].kp.desc, None),
-                # padded neighbor slots are all-False masks: zero matches
-                np.asarray(stack(
-                    lambda c: c["free2"], np.zeros_like(c0["free2"]))),
-                dstack(lambda c: c["nf"].ur_dev,
-                       lambda c: np.asarray(c["nf"].u_right, f32s)),
-                dstack(lambda c: c["nf"].depth_dev,
-                       lambda c: np.asarray(c["nf"].depth, f32s)),
-                dstack(lambda c: c["nf"].kp.octave, None),
-                np.asarray(stack(lambda c: c["F12"]), f32s),
-                np.asarray(stack(lambda c: c["epipole2"]), f32s),
-                np.full(nb_cap, is_mono),
-                np.asarray(T1, f32s),
-                np.asarray(stack(lambda c: c["T2"]), f32s),
-                np.asarray(sf, f32s),
-                np.asarray(cam.fx, f32s), np.asarray(cam.fy, f32s),
-                np.asarray(cam.cx, f32s), np.asarray(cam.cy, f32s),
-                np.asarray(cam.bf, f32s),
-            )
+                def stack(get, pad_value=None):
+                    rows = [get(c) for c in chunk]
+                    if pad_nb:
+                        rows += [get(c0) if pad_value is None
+                                 else pad_value] * pad_nb
+                    return np.stack(rows)
+
+                # device-resident event: keypoint tables (xy/desc/octave/
+                # u_right/depth) stack straight from the frames' frontend
+                # outputs on device; only the free-masks, the 3x3
+                # epipolar geometry, and poses ride the (single, packed)
+                # host upload — ~35 KB/event instead of ~2.5 MB of
+                # re-uploaded float tables
+                def dstack(get, fallback):
+                    rows = []
+                    for c in chunk + [c0] * pad_nb:
+                        v = get(c)
+                        rows.append(v if v is not None else
+                                    jnp.asarray(fallback(c)))
+                    return jnp.stack(rows)
+
+                return (
+                    cur.kp.xy, cur.kp.desc, np.asarray(free1),
+                    cur.ur_dev if cur.ur_dev is not None
+                    else np.asarray(cur.u_right, f32s),
+                    cur.depth_dev if cur.depth_dev is not None
+                    else np.asarray(cur.depth, f32s),
+                    cur.kp.octave,
+                    dstack(lambda c: c["nf"].kp.xy, None),
+                    dstack(lambda c: c["nf"].kp.desc, None),
+                    # padded slots are all-False masks: zero matches
+                    np.asarray(stack(
+                        lambda c: c["free2"],
+                        np.zeros_like(c0["free2"]))),
+                    dstack(lambda c: c["nf"].ur_dev,
+                           lambda c: np.asarray(c["nf"].u_right, f32s)),
+                    dstack(lambda c: c["nf"].depth_dev,
+                           lambda c: np.asarray(c["nf"].depth, f32s)),
+                    dstack(lambda c: c["nf"].kp.octave, None),
+                    np.asarray(stack(lambda c: c["F12"]), f32s),
+                    np.asarray(stack(lambda c: c["epipole2"]), f32s),
+                    np.full(nb_cap, is_mono),
+                    np.asarray(T1, f32s),
+                    np.asarray(stack(lambda c: c["T2"]), f32s),
+                    np.asarray(sf, f32s),
+                    np.asarray(cam.fx, f32s), np.asarray(cam.fy, f32s),
+                    np.asarray(cam.cx, f32s), np.asarray(cam.cy, f32s),
+                    np.asarray(cam.bf, f32s),
+                )
+
+            chunks = [cand[i:i + nb_cap]
+                      for i in range(0, len(cand), nb_cap)]
+            chunk_args = [build_args(c) for c in chunks]
         finally:
             m.lock.release()
             _stack.close()
 
+        all_rows = []
         with self._stage("lm_tri.device"):
-            # compact download: (T_CAP, 6) accepted-pair table + count
-            # (~25 KB) instead of the dense (NB, N1, 5) pack (~650 KB)
-            flat = np.asarray(
-                argpack.call_packed(tri.triangulate_event_compact, *args)
-            )
-        rows = flat[:-2].reshape(tri.T_CAP, 6)
-        n_good, n_matched = int(flat[-2]), int(flat[-1])
-        if n_matched > tri.T_CAP:  # never silent (VERDICT r2: no silent caps)
-            import logging
+            # compact download per chunk: (T_CAP, 6) accepted-pair table
+            # + count (~25 KB) instead of a dense (NB, N1, 5) pack; each
+            # chunk is pulled before the next dispatches (queue gaps for
+            # the tracking thread)
+            for ci, args in enumerate(chunk_args):
+                flat = np.asarray(argpack.call_packed(
+                    tri.triangulate_event_compact, *args))
+                rows = flat[:-2].reshape(tri.T_CAP, 6)
+                n_good, n_matched = int(flat[-2]), int(flat[-1])
+                if n_matched > tri.T_CAP:  # never silent (VERDICT r2)
+                    import logging
 
-            logging.getLogger(__name__).warning(
-                "triangulate_event: %d epipolar matches > cap %d; extras "
-                "dropped this event", n_matched, tri.T_CAP,
-            )
-        rows = rows[: min(n_good, tri.T_CAP)]
+                    logging.getLogger(__name__).warning(
+                        "triangulate_event: %d epipolar matches > cap %d;"
+                        " extras dropped this event", n_matched, tri.T_CAP,
+                    )
+                rows = rows[: min(n_good, tri.T_CAP)].copy()
+                # explicit range guard: padded slots carry all-False
+                # masks upstream, but a device-side masking regression
+                # must not turn into an IndexError in the apply loop
+                rows = rows[rows[:, 0] < len(chunks[ci])]
+                rows[:, 0] += ci * nb_cap   # chunk-local -> global index
+                all_rows.append(rows)
+        rows = (np.concatenate(all_rows) if all_rows
+                else np.zeros((0, 6), f32s))
 
         with self._stage("lm_tri.apply"), m.lock:
-            # explicit range guard (mirrors the fuse apply's
-            # `triples[:,0] < len(targets)`): padded neighbor slots carry
-            # all-False masks upstream, but a device-side masking
-            # regression must not turn into an IndexError here
-            rows = rows[rows[:, 0] < len(cand)]
             new_pids = []
             for nb_i, f1, f2, x, y, z in rows:
                 c = cand[int(nb_i)]
@@ -434,37 +441,25 @@ class LocalMapping:
         # round-trip; re-lock for the apply loop (which revalidates)
         with self._stage("lm_fuse.assemble"):
             with m.lock:
-                fwd, rev = self._assemble_fuse(kf_id)
+                calls = self._assemble_fuse(kf_id)
         results = []
         with self._stage("lm_fuse.device"):
-            # two compact calls: forward (targets x current KF's own
-            # points, point axis <= the 2048 frame capacity) and reverse
-            # (ONE target x the neighbors' point union). The old single
-            # call padded EVERY target to the union's point axis —
-            # 64 x 8192 pairs where 64 x 2048 + 1 x 16384 suffices
-            # (~3.7x less device work per event). Both dispatch before
-            # either downloads, so the pulls overlap the compute and the
-            # event pays ONE extra link sync, not two.
-            handles = []
-            for fn, args, targets, pid_arr in (fwd, rev):
+            # CHUNKED dispatch: the forward side ships as <=16-target
+            # chunks and the reverse side as its own call, each pulled
+            # before the next dispatches. A single monolithic program
+            # (r3: 64 x 2048 forward) held the chip for ~90 ms while the
+            # tracking thread's 15-35 ms chained steps queued behind it —
+            # the keyframe-event stall the staged profile attributes most
+            # of its slow frames to. Serial chunk pulls cost the worker a
+            # few link RTTs (~4 ms each) but open device-queue gaps the
+            # tracking dispatches slide into (the worker is off the
+            # critical path; tracking latency is what the fps pays for).
+            for fn, args, targets, pid_arr in calls:
                 if args is None:
-                    handles.append((targets, pid_arr, None))
+                    results.append((targets, pid_arr, None))
                     continue
-                handles.append((targets, pid_arr,
-                                argpack.call_packed(fn, *args)))
-            live = [h for _t, _p, h in handles if h is not None]
-            if len(live) == 2:
-                # one link round-trip for both sides
-                both = np.asarray(_concat2(live[0], live[1]))
-                flats = iter((both[: live[0].shape[0]],
-                              both[live[0].shape[0]:]))
-            else:
-                flats = iter(np.asarray(h) for h in live)
-            for targets, pid_arr, h in handles:
-                results.append(
-                    (targets, pid_arr,
-                     next(flats) if h is not None else None)
-                )
+                flat = np.asarray(argpack.call_packed(fn, *args))
+                results.append((targets, pid_arr, flat))
         with self._stage("lm_fuse.apply"):
             with m.lock:
                 for targets, pid_arr, flat in results:
@@ -485,13 +480,20 @@ class LocalMapping:
                     self._apply_fuse_triples(kf_id, targets, pid_arr,
                                              triples)
 
+    # forward-fuse chunk size: one device program per <=16 covisible
+    # targets (the prewarmed 16-rung) so the worker never holds the chip
+    # longer than ~25 ms per dispatch
+    FUSE_CHUNK = 16
+    # triangulation chunk size: neighbors per triangulate_event program
+    TRI_CHUNK = 8
+
     def _assemble_fuse(self, kf_id: int):
-        """Build the two fuse call sets: FORWARD (covisible targets x the
-        current keyframe's own points — point axis bounded by the 2048
-        frame capacity) and REVERSE (the current keyframe as the single
-        target x the union of the targets' points). Returns
-        ((args, targets, pid_arr), (args, targets, pid_arr)); args is None
-        for an empty side."""
+        """Build the fuse call list: FORWARD chunks (<=FUSE_CHUNK
+        covisible targets x the current keyframe's own points — point
+        axis bounded by the 2048 frame capacity) then the REVERSE call
+        (the current keyframe as the single target x the union of the
+        targets' points). Returns [(fn, args, targets, pid_arr), ...];
+        args is None for an empty entry."""
         m = self.map
         targets = []
         for nb, _w in m.covisible_keyframes(kf_id)[:10]:
@@ -514,18 +516,17 @@ class LocalMapping:
             fuse_pts = np.zeros(0, np.int64)
         NB_CAP = 64
         targets = targets[:NB_CAP]
-        empty = (None, None, [], None)
         if not targets:
-            return empty, empty
-        fwd_set = (
-            self._fuse_args(targets, cur_pts, fwd_p_cap=2048)
-            if len(cur_pts) else empty
-        )
-        rev_set = (
-            self._fuse_args([kf_id], fuse_pts)
-            if len(fuse_pts) else empty
-        )
-        return fwd_set, rev_set
+            return []
+        calls = []
+        if len(cur_pts):
+            for i in range(0, len(targets), self.FUSE_CHUNK):
+                chunk = targets[i:i + self.FUSE_CHUNK]
+                calls.append(self._fuse_args(chunk, cur_pts,
+                                             fwd_p_cap=2048))
+        if len(fuse_pts):
+            calls.append(self._fuse_args([kf_id], fuse_pts))
+        return calls
 
     # reverse-fuse point-axis cap: the union of up to 64 covisible
     # keyframes' points; beyond it the candidate set is truncated (warned

@@ -58,16 +58,22 @@ class LoopClosing:
 
     # ------------------------------------------------------------- helpers
 
+    # vocabularies at ORBvoc scale (~1M leaves) pay ~50-70 ms of cache-
+    # hostile host tree descent per transform; route those through the
+    # device descent (ops/bow.py, tree resident in HBM) instead
+    DEVICE_TRANSFORM_MIN_NODES = 200_000
+
     def _ensure_bow(self, kf_id: int):
         if kf_id in self.kf_bow:
             return
         frame = self.map.kf_frames[kf_id]
-        self.kf_bow[kf_id] = self.voc.bow_vector(frame.desc, frame.valid)
-        fv = self.voc.feature_vector(frame.desc, frame.valid)
-        nodes = np.full(frame.desc.shape[0], -1, np.int64)
-        for node, feats in fv.items():
-            nodes[feats] = node
-        self.kf_nodes[kf_id] = nodes
+        # ONE tree descent per keyframe feeds both the BowVector and the
+        # FeatureVector (DBoW2 transform() computes both in one walk)
+        device = len(self.voc.node_desc) >= self.DEVICE_TRANSFORM_MIN_NODES
+        leaf = self.voc.transform_nodes(frame.desc, frame.valid,
+                                        device=device)
+        self.kf_bow[kf_id] = self.voc.bow_vector(frame.desc, nodes=leaf)
+        self.kf_nodes[kf_id] = self.voc.feature_nodes(frame.desc, nodes=leaf)
 
     # ----------------------------------------------------------- main loop
 

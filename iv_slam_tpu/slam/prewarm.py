@@ -151,18 +151,9 @@ def _warm_fuse(cfg, N: int, shapes, dmap):
             np.asarray(3.0, f32),
         )
         assign.block_until_ready()
-    # the keyframe event concatenates the two fuse flats into ONE pull
-    # (local_mapping._concat2) — first fires when both sides are live
-    # (~3rd event), and even a trivial remote compile costs seconds
-    from . import local_mapping as lm_mod
-    from ..ops import match as match_ops2
-
-    n_flat = match_ops2.F_CAP * 3 + 1
-    z = jnp.zeros(n_flat, jnp.float32)
-    lm_mod._concat2(z, z).block_until_ready()
 
 
-def _warm_triangulate(cfg, N: int, nb: int = 16):
+def _warm_triangulate(cfg, N: int, nb: int = None):
     """Residency must match local_mapping._create_new_map_points: the
     keypoint tables (xy/desc/octave/u_right/depth, both sides) are
     device-resident frontend outputs stacked on device; the free-masks,
@@ -171,7 +162,10 @@ def _warm_triangulate(cfg, N: int, nb: int = 16):
 
     from ..ops import triangulate as tri
     from ..utils import argpack
+    from .local_mapping import LocalMapping
 
+    if nb is None:
+        nb = LocalMapping.TRI_CHUNK
     cam = cfg.camera
     L = cfg.orb.n_levels
     sf = cfg.orb.scale_factors()
@@ -216,7 +210,6 @@ def _warm_local_ba(cfg, rungs):
 
     from ..geometry import camera
     from ..solvers.ba_core import BAProblem
-    from ..solvers.local_ba import _ba_solve_packed
 
     cam = cfg.camera
     K = camera.Intrinsics(*(np.asarray(v, np.float32) for v in
@@ -245,9 +238,13 @@ def _warm_local_ba(cfg, rungs):
             e_qual=np.ones(ne, np.float32),
             e_valid=np.ones(ne, bool),
         )
-        res = _ba_solve_packed(prob, K, n_iters1=5, n_iters2=10)
-        from ..solvers.local_ba import _flatten_ba_result
+        # the async worker path runs the SEGMENTED solve (five smaller
+        # programs + gate + finalize); walking the driver warms exactly
+        # the shapes the keyframe events will hit
+        from ..solvers.local_ba import (_ba_solve_segmented_driver,
+                                        _flatten_ba_result)
 
+        res = _ba_solve_segmented_driver(prob, K)()
         _flatten_ba_result(res).block_until_ready()
 
 
@@ -324,11 +321,13 @@ def prewarm_async(tracking, live_rungs=None, fuse_shapes=None,
             r *= 4
         live_rungs.append(cap)
     if fuse_shapes is None:
-        # forward fuse (targets x current-KF points, frame-capacity axis)
-        # at both target rungs, plus the single-target reverse side's
-        # point-axis ladder (local_mapping._fuse_args). An unwarmed shape
-        # puts a multi-second remote compile INSIDE the tracking loop.
-        fuse_shapes = [(1, 2048), (16, 2048), (64, 2048),
+        # forward fuse (<=16-target CHUNKS x current-KF points, frame-
+        # capacity axis) plus the single-target reverse side's point-axis
+        # ladder (local_mapping._fuse_args). The 64-target monolith is
+        # gone: forward fuse now ships chunked so the worker never holds
+        # the chip ~90 ms while tracking dispatches queue. An unwarmed
+        # shape puts a multi-second remote compile INSIDE the loop.
+        fuse_shapes = [(1, 2048), (16, 2048),
                        (1, 4096), (1, 8192), (1, 16384)]
     if ba_rungs is None:
         ba_rungs = LBA_RUNGS

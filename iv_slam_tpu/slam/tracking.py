@@ -958,11 +958,7 @@ class Tracking:
 
     def _feature_nodes(self, desc: np.ndarray, valid: np.ndarray) -> np.ndarray:
         """DBoW2 FeatureVector node id per keypoint (-1 = invalid)."""
-        fv = self.voc.feature_vector(desc, valid)
-        nodes = np.full(desc.shape[0], -1, np.int64)
-        for node, feats in fv.items():
-            nodes[feats] = node
-        return nodes
+        return self.voc.feature_nodes(desc, valid)
 
     def _track_reference_keyframe_bow(self) -> bool:
         """SearchByBoW(ref KF, current) -> pose optimization
@@ -1280,14 +1276,12 @@ class Tracking:
         if not hasattr(self, "voc") or self.map.n_keyframes == 0:
             return False
         frame = self.current
-        bow = self.voc.bow_vector(frame.desc, frame.valid)
+        leaf = self.voc.transform_nodes(frame.desc, frame.valid)
+        bow = self.voc.bow_vector(frame.desc, nodes=leaf)
         cands = self.kfdb.detect_relocalization_candidates(bow, self.map)
         if not cands:
             return False
-        fv = self.voc.feature_vector(frame.desc, frame.valid)
-        nodes_cur = np.full(frame.desc.shape[0], -1, np.int64)
-        for node, feats in fv.items():
-            nodes_cur[feats] = node
+        nodes_cur = self.voc.feature_nodes(frame.desc, nodes=leaf)
         cam = self.cfg.camera
         sf2 = self.map.scale_factors ** 2
         for cand in cands[:5]:

@@ -237,72 +237,124 @@ class Vocabulary:
 
         return bow.transform_batch(self, descriptors, valid)
 
+    def transform_nodes(
+        self, descriptors: np.ndarray, valid: np.ndarray = None,
+        device: bool = False,
+    ) -> np.ndarray:
+        """(N, 32) u8 -> (N,) int64 leaf node ids, -1 where invalid.
+
+        The shared single descent behind bow_vector/feature_vector: one
+        transform per keyframe instead of the reference's two (DBoW2
+        transform() computes BowVector and FeatureVector in one walk,
+        TemplatedVocabulary.h transform(feats, bow, fv, levels_up); the
+        earlier rounds here walked the tree once per product)."""
+        n = len(descriptors)
+        nodes = np.full(n, -1, np.int64)
+        idx = np.nonzero(valid)[0] if valid is not None else np.arange(n)
+        if len(idx) == 0:
+            return nodes
+        if device:
+            nodes[idx] = self.transform_words_device(descriptors[idx])
+        else:
+            nodes[idx] = self.transform_words(descriptors[idx])
+        return nodes
+
     def bow_vector(
-        self, descriptors: np.ndarray, valid: np.ndarray = None
+        self, descriptors: np.ndarray, valid: np.ndarray = None,
+        nodes: np.ndarray = None,
     ) -> Dict[int, float]:
         """L1-normalized TF-IDF bag of words {word_id: weight}
-        (TemplatedVocabulary::transform with TF_IDF + L1 norm)."""
-        if valid is not None:
-            descriptors = descriptors[valid]
-        if len(descriptors) == 0:
+        (TemplatedVocabulary::transform with TF_IDF + L1 norm).
+        Pass `nodes` from transform_nodes to skip the tree descent."""
+        if nodes is None:
+            nodes = self.transform_nodes(descriptors, valid)
+        nd = nodes[nodes >= 0]
+        if len(nd) == 0:
             return {}
-        nodes = self.transform_words(descriptors)
-        words = self.word_of_node[nodes]
-        bow: Dict[int, float] = {}
-        for w, node in zip(words, nodes):
-            if w >= 0:
-                wgt = float(self.weights[node])
-                if wgt > 0:
-                    bow[int(w)] = bow.get(int(w), 0.0) + wgt
-        norm = sum(abs(v) for v in bow.values())
+        words = self.word_of_node[nd]
+        wgts = self.weights[nd]
+        keep = (words >= 0) & (wgts > 0)
+        if not keep.any():
+            return {}
+        uw, inv = np.unique(words[keep], return_inverse=True)
+        sums = np.bincount(inv, weights=wgts[keep].astype(np.float64))
+        norm = sums.sum()
         if norm > 0:
-            bow = {w: v / norm for w, v in bow.items()}
-        return bow
+            sums = sums / norm
+        return {int(w): float(s) for w, s in zip(uw, sums)}
+
+    def feature_nodes(
+        self, descriptors: np.ndarray, valid: np.ndarray = None,
+        levels_up: int = 4, nodes: np.ndarray = None,
+    ) -> np.ndarray:
+        """(N,) int64 FeatureVector node id per keypoint (-1 invalid):
+        the leaf's ancestor at depth L - levels_up. Array form of DBoW2's
+        FeatureVector — what SearchByBoW actually consumes here."""
+        if nodes is None:
+            nodes = self.transform_nodes(descriptors, valid)
+        anc = self._ancestor_at(max(self.L - levels_up, 0))
+        out = np.full(len(nodes), -1, np.int64)
+        ok = nodes >= 0
+        out[ok] = anc[nodes[ok]]
+        return out
 
     def feature_vector(
         self, descriptors: np.ndarray, valid: np.ndarray = None,
-        levels_up: int = 4,
+        levels_up: int = 4, nodes: np.ndarray = None,
     ) -> Dict[int, List[int]]:
         """Node-at-level -> feature indices (DBoW2 FeatureVector, used by
         SearchByBoW to restrict candidate pairs)."""
-        idx = (
-            np.nonzero(valid)[0] if valid is not None
-            else np.arange(len(descriptors))
-        )
-        if len(idx) == 0:
-            return {}
-        nodes = self.transform_words(descriptors[idx])
-        # walk ancestors up to depth L - levels_up
-        target_depth = max(self.L - levels_up, 0)
-        parent = self._parents()
-        depth = self._depths()
+        fn = self.feature_nodes(descriptors, valid, levels_up, nodes)
+        idx = np.nonzero(fn >= 0)[0]
         fv: Dict[int, List[int]] = {}
-        for i, node in zip(idx, nodes):
-            nd = int(node)
-            while depth[nd] > target_depth:
-                nd = parent[nd]
-            fv.setdefault(nd, []).append(int(i))
+        for i in idx:
+            fv.setdefault(int(fn[i]), []).append(int(i))
         return fv
 
     def _parents(self):
         if not hasattr(self, "_parent_arr"):
             n = len(self.node_desc)
             p = np.full(n, -1, np.int32)
-            for node in range(n):
-                for c in self.children[node]:
-                    if c >= 0:
-                        p[c] = node
+            src = np.repeat(
+                np.arange(len(self.children), dtype=np.int32),
+                self.children.shape[1],
+            )
+            dst = self.children.reshape(-1)
+            ok = dst >= 0
+            p[dst[ok]] = src[ok]
             self._parent_arr = p
         return self._parent_arr
 
     def _depths(self):
         if not hasattr(self, "_depth_arr"):
-            p = self._parents()
-            d = np.zeros(len(p), np.int32)
-            for node in range(1, len(p)):
-                d[node] = d[p[node]] + 1
+            n = len(self.node_desc)
+            d = np.zeros(n, np.int32)
+            frontier = np.array([0], np.int32)
+            depth = 0
+            while len(frontier) and depth <= self.L + 1:
+                kids = self.children[frontier].reshape(-1)
+                frontier = kids[kids >= 0].astype(np.int32)
+                depth += 1
+                d[frontier] = depth
             self._depth_arr = d
         return self._depth_arr
+
+    def _ancestor_at(self, target_depth: int) -> np.ndarray:
+        """(nodes,) int32: each node's ancestor at `target_depth` (the
+        node itself if already at or above). Cached per depth."""
+        cache = getattr(self, "_anc_cache", None)
+        if cache is None:
+            cache = self._anc_cache = {}
+        if target_depth not in cache:
+            p, d = self._parents(), self._depths()
+            anc = np.arange(len(p), dtype=np.int32)
+            for _ in range(int(d.max(initial=0)) - target_depth):
+                deep = d[anc] > target_depth
+                if not deep.any():
+                    break
+                anc[deep] = p[anc[deep]]
+            cache[target_depth] = anc
+        return cache[target_depth]
 
 
 def l1_score(bow1: Dict[int, float], bow2: Dict[int, float]) -> float:

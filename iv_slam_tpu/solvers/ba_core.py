@@ -92,25 +92,13 @@ def _inv3x3(M):
     return adj * inv_det[..., None, None]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_iters1", "n_iters2", "n_kf_slots", "kernel2",
-                     "midpoint_gate"),
-)
-def ba_solve(
-    prob: BAProblem,
-    K: camera.Intrinsics,
-    n_iters1: int = 5,
-    n_iters2: int = 10,
-    n_kf_slots: int = 0,
-    kernel2: bool = False,
-    midpoint_gate: bool = True,
-) -> BAResult:
-    """kernel2/midpoint_gate mirror the reference's two BA flavors:
-    LocalBundleAdjustment gates outliers between optimize(5)/optimize(10)
-    and REMOVES the robust kernel for the second run (Optimizer.cc:774,
-    790); plain BundleAdjustment (global BA) is one robust run with no
-    midpoint reclassification (Optimizer.cc:51-249)."""
+def _ba_ctx(prob: BAProblem, K: camera.Intrinsics, n_kf_slots: int = 0):
+    """Shared tracing context for the LM machinery: returns
+    (total_cost, build_and_solve, chi2_th) closures over the problem.
+    Factored out of ba_solve so the SEGMENTED solver (ba_segment /
+    ba_midpoint / ba_finalize — the async local-BA path drives the same
+    iterations as several smaller device programs) traces identical
+    math."""
     n_kf = prob.kf_pose.shape[0] if n_kf_slots == 0 else n_kf_slots
     n_pt = prob.pt_pos.shape[0]
     is_stereo = prob.e_obs[:, 2] >= 0
@@ -231,61 +219,97 @@ def ba_solve(
 
         return solve, max_diag
 
-    def lm_phase(kf_pose0, pt_pos0, mask, kernel_on, n_iters):
-        chi0 = total_cost(kf_pose0, pt_pos0, mask, kernel_on)
+    return total_cost, build_and_solve, chi2_th
 
-        def iteration(it, carry):
-            kf_pose, pt_pos, lam, ni, chi = carry
-            solve, max_diag = build_and_solve(kf_pose, pt_pos, mask, lam,
-                                              kernel_on)
-            lam0 = jnp.where(it == 0, 1e-5 * max_diag, lam)
-            ni0 = jnp.where(it == 0, 2.0, ni)
 
-            def trial_cond(tc):
-                *_, rho, trials, done = tc
-                return (~done) & (rho < 0) & (trials < MAX_TRIALS)
+def _lm_iterations(total_cost, build_and_solve, prob, kf_pose0, pt_pos0,
+                   lam0, ni0, chi0, mask, kernel_on, n_iters, init):
+    """n_iters LM iterations from carried state (kf_pose, pt_pos, lam,
+    ni, chi). init=True applies the first-iteration lambda seeding
+    (1e-5 * max diag, g2o's tau); init=False continues a phase split
+    across multiple device programs — fori(0, a) then fori(0, b) with
+    the carry threaded through equals fori(0, a + b) exactly."""
 
-            def trial(tc):
-                kp_c, pp_c, lam_c, ni_c, chi_c, _, trials, _ = tc
-                dc, dp, scale = solve(lam_c)
-                kp_new = jnp.einsum(
-                    "kij,kjl->kil", se3.se3_exp(dc), kp_c
-                )
-                kp_new = jnp.where(
-                    prob.kf_fixed[:, None, None], kp_c, kp_new
-                )
-                pp_new = pp_c + dp
-                chi_new = total_cost(kp_new, pp_new, mask, kernel_on)
-                rho = (chi_c - chi_new) / (scale + 1e-3)
-                good = (rho > 0) & jnp.isfinite(chi_new)
-                alpha = 1.0 - (2.0 * rho - 1.0) ** 3
-                lam_good = lam_c * jnp.clip(alpha, 1.0 / 3.0, 2.0 / 3.0)
-                return (
-                    jnp.where(good, kp_new, kp_c),
-                    jnp.where(good, pp_new, pp_c),
-                    jnp.where(good, lam_good, lam_c * ni_c),
-                    jnp.where(good, 2.0, ni_c * 2.0),
-                    jnp.where(good, chi_new, chi_c),
-                    rho,
-                    trials + 1,
-                    good,
-                )
+    def iteration(it, carry):
+        kf_pose, pt_pos, lam, ni, chi = carry
+        solve, max_diag = build_and_solve(kf_pose, pt_pos, mask, lam,
+                                          kernel_on)
+        if init:
+            lam_i = jnp.where(it == 0, 1e-5 * max_diag, lam)
+            ni_i = jnp.where(it == 0, 2.0, ni)
+        else:
+            lam_i, ni_i = lam, ni
 
-            kp2, pp2, lam2, ni2, chi2_, *_ = jax.lax.while_loop(
-                trial_cond, trial,
-                (kf_pose, pt_pos, lam0, ni0, chi, -1.0, 0, False),
+        def trial_cond(tc):
+            *_, rho, trials, done = tc
+            return (~done) & (rho < 0) & (trials < MAX_TRIALS)
+
+        def trial(tc):
+            kp_c, pp_c, lam_c, ni_c, chi_c, _, trials, _ = tc
+            dc, dp, scale = solve(lam_c)
+            kp_new = jnp.einsum(
+                "kij,kjl->kil", se3.se3_exp(dc), kp_c
             )
-            return (kp2, pp2, lam2, ni2, chi2_)
+            kp_new = jnp.where(
+                prob.kf_fixed[:, None, None], kp_c, kp_new
+            )
+            pp_new = pp_c + dp
+            chi_new = total_cost(kp_new, pp_new, mask, kernel_on)
+            rho = (chi_c - chi_new) / (scale + 1e-3)
+            good = (rho > 0) & jnp.isfinite(chi_new)
+            alpha = 1.0 - (2.0 * rho - 1.0) ** 3
+            lam_good = lam_c * jnp.clip(alpha, 1.0 / 3.0, 2.0 / 3.0)
+            return (
+                jnp.where(good, kp_new, kp_c),
+                jnp.where(good, pp_new, pp_c),
+                jnp.where(good, lam_good, lam_c * ni_c),
+                jnp.where(good, 2.0, ni_c * 2.0),
+                jnp.where(good, chi_new, chi_c),
+                rho,
+                trials + 1,
+                good,
+            )
 
-        kf_pose, pt_pos, *_ = jax.lax.fori_loop(
-            0, n_iters, iteration, (kf_pose0, pt_pos0, 0.0, 2.0, chi0)
+        kp2, pp2, lam2, ni2, chi2_, *_ = jax.lax.while_loop(
+            trial_cond, trial,
+            (kf_pose, pt_pos, lam_i, ni_i, chi, -1.0, 0, False),
         )
-        return kf_pose, pt_pos
+        return (kp2, pp2, lam2, ni2, chi2_)
+
+    return jax.lax.fori_loop(
+        0, n_iters, iteration,
+        (kf_pose0, pt_pos0, lam0, ni0, chi0),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_iters1", "n_iters2", "n_kf_slots", "kernel2",
+                     "midpoint_gate"),
+)
+def ba_solve(
+    prob: BAProblem,
+    K: camera.Intrinsics,
+    n_iters1: int = 5,
+    n_iters2: int = 10,
+    n_kf_slots: int = 0,
+    kernel2: bool = False,
+    midpoint_gate: bool = True,
+) -> BAResult:
+    """kernel2/midpoint_gate mirror the reference's two BA flavors:
+    LocalBundleAdjustment gates outliers between optimize(5)/optimize(10)
+    and REMOVES the robust kernel for the second run (Optimizer.cc:774,
+    790); plain BundleAdjustment (global BA) is one robust run with no
+    midpoint reclassification (Optimizer.cc:51-249)."""
+    total_cost, build_and_solve, chi2_th = _ba_ctx(prob, K, n_kf_slots)
+    zero, two = jnp.float32(0.0), jnp.float32(2.0)
 
     # phase 1: 5 iterations on all valid edges, robust kernel on
     mask1 = prob.e_valid
-    kf_pose, pt_pos = lm_phase(
-        prob.kf_pose, prob.pt_pos, mask1, True, n_iters1
+    chi0 = total_cost(prob.kf_pose, prob.pt_pos, mask1, True)
+    kf_pose, pt_pos, *_ = _lm_iterations(
+        total_cost, build_and_solve, prob, prob.kf_pose, prob.pt_pos,
+        zero, two, chi0, mask1, True, n_iters1, init=True,
     )
 
     # outlier gate between phases (Optimizer.cc:786-817)
@@ -298,9 +322,75 @@ def ba_solve(
 
     # phase 2: 10 more iterations on the inlier set; the reference strips
     # the robust kernel here (setRobustKernel(0), Optimizer.cc:774,790)
-    kf_pose, pt_pos = lm_phase(kf_pose, pt_pos, inlier, kernel2, n_iters2)
+    chi0b = total_cost(kf_pose, pt_pos, inlier, kernel2)
+    kf_pose, pt_pos, *_ = _lm_iterations(
+        total_cost, build_and_solve, prob, kf_pose, pt_pos,
+        zero, two, chi0b, inlier, kernel2, n_iters2, init=True,
+    )
 
     # final classification (Optimizer.cc:820-850)
+    e, pc, _, _ = _edge_terms(kf_pose, pt_pos, prob, K)
+    c2 = _chi2(e, prob.e_inv_s2)
+    depth_pos = pc[:, 2] > 0
+    final_inlier = prob.e_valid & (c2 <= chi2_th) & depth_pos
+    return BAResult(
+        kf_pose=kf_pose,
+        pt_pos=pt_pos,
+        e_chi2=c2,
+        e_depth_pos=depth_pos,
+        e_inlier=final_inlier,
+    )
+
+
+# --------------------------------------------------------------------------
+# Segmented solver: the SAME LM iterations as ba_solve, split into several
+# smaller device programs with the (kf_pose, pt_pos, lam, ni, chi) carry
+# threaded through on device. The async local-BA path (slam/local_mapping
+# worker) drives these with a host sync between segments so the ~150 ms
+# rung-2 monolith stops holding the chip while the tracking thread's
+# 15-35 ms chained steps queue behind it (same chunking rationale as the
+# worker's fuse/triangulation programs). Exact equivalence with ba_solve is
+# pinned by tests/test_ba_variants.py::test_segmented_matches_monolith.
+# --------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_iters", "n_kf_slots", "kernel_on", "init"),
+)
+def ba_segment(
+    prob: BAProblem, K: camera.Intrinsics,
+    kf_pose, pt_pos, lam, ni, chi, mask,
+    n_iters: int, n_kf_slots: int = 0,
+    kernel_on: bool = True, init: bool = False,
+):
+    """One LM phase segment. init=True seeds chi/lambda (start of a
+    phase); init=False continues from the carried state."""
+    total_cost, build_and_solve, _ = _ba_ctx(prob, K, n_kf_slots)
+    if init:
+        chi = total_cost(kf_pose, pt_pos, mask, kernel_on)
+        lam = jnp.float32(0.0)
+        ni = jnp.float32(2.0)
+    return _lm_iterations(
+        total_cost, build_and_solve, prob, kf_pose, pt_pos,
+        lam, ni, chi, mask, kernel_on, n_iters, init=init,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_kf_slots",))
+def ba_midpoint(prob: BAProblem, K: camera.Intrinsics, kf_pose, pt_pos,
+                n_kf_slots: int = 0):
+    """The between-phase outlier gate (Optimizer.cc:786-817)."""
+    _, _, chi2_th = _ba_ctx(prob, K, n_kf_slots)
+    e, pc, _, _ = _edge_terms(kf_pose, pt_pos, prob, K)
+    c2 = _chi2(e, prob.e_inv_s2)
+    return prob.e_valid & (c2 <= chi2_th) & (pc[:, 2] > 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_kf_slots",))
+def ba_finalize(prob: BAProblem, K: camera.Intrinsics, kf_pose, pt_pos,
+                n_kf_slots: int = 0) -> BAResult:
+    """Final classification (Optimizer.cc:820-850)."""
+    _, _, chi2_th = _ba_ctx(prob, K, n_kf_slots)
     e, pc, _, _ = _edge_terms(kf_pose, pt_pos, prob, K)
     c2 = _chi2(e, prob.e_inv_s2)
     depth_pos = pc[:, 2] > 0

@@ -181,6 +181,62 @@ def _ba_solve_packed(prob, K, n_iters1=5, n_iters2=10, kernel2=False,
     )
 
 
+# Segment plan for the async (worker) local BA: phase 1 = 3 + 2 robust
+# iterations, phase 2 = 4 + 3 + 3 kernel-off iterations — identical math
+# to ba_solve(n_iters1=5, n_iters2=10, kernel2=False) but as five ~30 ms
+# device programs with a host sync between them, so the worker never
+# holds the chip for the full ~150 ms rung-2 solve while tracking's
+# chained steps wait in the device queue.
+BA_SEGMENTS = ((3, 2), (4, 3, 3))
+
+
+def _ba_solve_segmented_driver(prob, K, segs=BA_SEGMENTS, kernel2=False,
+                               midpoint_gate=True):
+    """Returns (first_handle, drive): dispatches the FIRST segment
+    immediately (non-blocking, so the caller can return while it runs)
+    and a drive() callable that steps the remaining segments — syncing
+    the tiny lam scalar between dispatches to open device-queue gaps —
+    and returns the final BAResult. drive() must run off the tracking
+    critical path (the LocalMapping worker thread)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .ba_core import ba_segment, ba_midpoint, ba_finalize
+
+    prob_d = jax.device_put(prob)
+    K_d = jax.device_put(K)
+    segs1, segs2 = segs
+    zero, two = jnp.float32(0.0), jnp.float32(2.0)
+    mask1 = prob_d.e_valid
+    state = ba_segment(
+        prob_d, K_d, prob_d.kf_pose, prob_d.pt_pos, zero, two, zero,
+        mask1, n_iters=segs1[0], kernel_on=True, init=True,
+    )
+
+    def drive():
+        kf, pt, lam, ni, chi = state
+        np.asarray(lam)  # fence segment 1
+        for n in segs1[1:]:
+            kf, pt, lam, ni, chi = ba_segment(
+                prob_d, K_d, kf, pt, lam, ni, chi, mask1,
+                n_iters=n, kernel_on=True, init=False,
+            )
+            np.asarray(lam)
+        mask2 = ba_midpoint(prob_d, K_d, kf, pt) if midpoint_gate \
+            else mask1
+        first = True
+        for n in segs2:
+            kf, pt, lam, ni, chi = ba_segment(
+                prob_d, K_d, kf, pt, lam, ni, chi, mask2,
+                n_iters=n, kernel_on=kernel2, init=first,
+            )
+            np.asarray(lam)
+            first = False
+        return ba_finalize(prob_d, K_d, kf, pt)
+
+    return drive
+
+
 def _flat_ba_jit():
     import jax
     import jax.numpy as jnp
@@ -338,14 +394,25 @@ class LBAHandle:
     never blocks on Optimizer::LocalBundleAdjustment). The solve is
     dispatched asynchronously here and merged when the device result is
     ready (is_ready probe) or at the next forced point (next keyframe
-    event / loop closure / trajectory save)."""
+    event / loop closure / trajectory save).
 
-    def __init__(self, res, all_kfs, kf_fixed, n_local, pts, e_feat, E):
-        self.res = res
-        # flattened on device at dispatch: the merge pulls ONE array
-        self.flat = _flatten_ba_result(res)
-        self.shapes = (res.kf_pose.shape[0], res.pt_pos.shape[0],
-                       res.e_chi2.shape[0])
+    Segmented mode (driver != None): only the first LM segment is in
+    flight at construction; drive() — called by the LocalMapping worker
+    outside the map lock, or lazily by the merge — steps the remaining
+    segments with a host sync between dispatches so the solve never
+    holds the device queue for its full duration."""
+
+    def __init__(self, res, all_kfs, kf_fixed, n_local, pts, e_feat, E,
+                 driver=None):
+        import threading
+
+        self._driver = driver
+        self._drive_lock = threading.Lock()
+        if res is not None:
+            self._set_res(res)
+        else:
+            self.res = None
+            self.flat = None
         self.all_kfs = all_kfs
         self.kf_fixed = kf_fixed
         self.n_local = n_local
@@ -353,7 +420,26 @@ class LBAHandle:
         self.e_feat = e_feat
         self.E = E
 
+    def _set_res(self, res):
+        self.res = res
+        # flattened on device: the merge pulls ONE array
+        self.flat = _flatten_ba_result(res)
+        self.shapes = (res.kf_pose.shape[0], res.pt_pos.shape[0],
+                       res.e_chi2.shape[0])
+
+    def drive(self):
+        """Finish a segmented solve (idempotent, thread-safe: the worker
+        and a forced join may race here)."""
+        if self._driver is None:
+            return
+        with self._drive_lock:
+            if self._driver is not None:
+                self._set_res(self._driver())
+                self._driver = None
+
     def is_ready(self) -> bool:
+        if self._driver is not None:
+            return False
         try:
             return self.flat.is_ready()
         except AttributeError:  # CPU backend arrays may lack is_ready
@@ -362,7 +448,9 @@ class LBAHandle:
 
 def local_bundle_adjustment_async(cfg, m, kf_id: int):
     """Dispatch the covisibility-window BA WITHOUT blocking; returns an
-    LBAHandle (or None when degenerate). apply_local_ba merges it."""
+    LBAHandle (or None when degenerate). The solve runs SEGMENTED (see
+    _ba_solve_segmented_driver); the caller's worker thread must call
+    handle.drive() off the map lock. apply_local_ba merges it."""
     win = _local_window(m, kf_id)
     if win is None:
         return None
@@ -371,9 +459,9 @@ def local_bundle_adjustment_async(cfg, m, kf_id: int):
     if packed is None:
         return None
     prob, K, all_kfs, e_feat, E = packed
-    res = _ba_solve_packed(prob, K, n_iters1=5, n_iters2=10)  # async
-    return LBAHandle(res, all_kfs, np.asarray(prob.kf_fixed),
-                     len(local_kfs), pts, e_feat, E)
+    drive = _ba_solve_segmented_driver(prob, K)  # segment 1 in flight
+    return LBAHandle(None, all_kfs, np.asarray(prob.kf_fixed),
+                     len(local_kfs), pts, e_feat, E, driver=drive)
 
 
 def apply_local_ba(handle: LBAHandle, m):
@@ -383,6 +471,7 @@ def apply_local_ba(handle: LBAHandle, m):
     keep their newer state (MapPoint::Replace-safe). The device readback
     happens OUTSIDE the map lock (threaded-LocalMapping mode holds it
     only for the host mutations)."""
+    handle.drive()  # lazily finish a segmented solve (no-op when done)
     new_poses, new_pts, inlier_all, chi2_all = _unflatten_ba_result(
         np.asarray(handle.flat), *handle.shapes
     )

@@ -65,6 +65,48 @@ class PlaneWorld:
         return (lam * rays_cam[..., 2]).astype(np.float32)
 
 
+class DistinctPlaneWorld(PlaneWorld):
+    """Plane world whose texture varies by REGION: a macro-grid of cells,
+    each stamped with a cell-specific pattern family (bar angle, stamp
+    size, intensity palette). A uniform random texture is self-similar —
+    every viewpoint produces nearly the same BoW word histogram, so
+    DetectLoop's minimum-score + 3-consistency gates never fire
+    (LoopClosing.cc:108-234 expects real scenes, where places LOOK
+    different). Region-distinct texture gives place recognition an actual
+    signal, letting a revisit trajectory exercise DetectLoop ->
+    ComputeSim3 -> CorrectLoop end to end."""
+
+    def __init__(self, rng, cells=8, **kw):
+        super().__init__(rng, **kw)
+        tex = self.tex.astype(np.float32)
+        ts = tex.shape[0]
+        cell = ts // cells
+        for cy in range(cells):
+            for cx in range(cells):
+                y0, x0 = cy * cell, cx * cell
+                # cell-specific pattern family
+                ang = float(rng.uniform(0, np.pi))
+                size = int(rng.integers(8, 28))
+                lo, hi = sorted(rng.uniform(0, 255, 2))
+                ca, sa = np.cos(ang), np.sin(ang)
+                for _ in range(140):
+                    yy = int(rng.integers(0, cell - size - 1))
+                    xx = int(rng.integers(0, cell - size - 1))
+                    val = float(rng.uniform(lo, hi))
+                    # rotated bar stamp: length `size`, width size//3
+                    ll = size
+                    wwd = max(size // 3, 2)
+                    ys, xs = np.mgrid[0:size, 0:size]
+                    u = (xs - size / 2) * ca + (ys - size / 2) * sa
+                    v = -(xs - size / 2) * sa + (ys - size / 2) * ca
+                    m = (np.abs(u) < ll / 2) & (np.abs(v) < wwd / 2)
+                    patch = tex[y0 + yy:y0 + yy + size,
+                                x0 + xx:x0 + xx + size]
+                    patch[m] = val
+        tex = cv2.GaussianBlur(tex, (5, 5), 1.2)
+        self.tex = np.clip(tex, 0, 255).astype(np.uint8)
+
+
 class TwoPlaneWorld(PlaneWorld):
     """Ground plane (z = 0) plus an elevated square platform (z = height2)
     — non-planar structure so monocular H/F model selection has parallax."""

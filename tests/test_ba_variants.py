@@ -98,6 +98,7 @@ def test_ba_converges_at_reference_iteration_budget(rng):
     the reference's own iteration budget optimize(5)+optimize(10), not by
     50 iterations. With the reduced-gradient denominator rho saturates
     ~2/3, lambda never decays, and the same problem stalls ~0.9 m out."""
+    import jax
     import jax.numpy as jnp
 
     from iv_slam_tpu.geometry import camera
@@ -145,6 +146,27 @@ def test_ba_converges_at_reference_iteration_budget(rng):
     T1_opt = np.asarray(res.kf_pose[1])
     err = np.linalg.norm(T1_opt[:3, 3] - T1_true[:3, 3])
     assert err < 0.01, err
+
+    # ---- segmented solver equivalence: the async worker path drives
+    # the SAME iterations as five smaller device programs (ba_segment /
+    # ba_midpoint / ba_finalize); fori(0,a)+fori(0,b) with the carry
+    # threaded through must equal fori(0,a+b) exactly
+    res_seg = local_ba._ba_solve_segmented_driver(
+        jax.tree.map(np.asarray, prob), K
+    )()
+    # same math, different program boundaries: XLA fusion may differ in
+    # the last ulp, so tight-but-nonzero tolerances
+    np.testing.assert_allclose(
+        np.asarray(res_seg.kf_pose), np.asarray(res.kf_pose), atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_seg.pt_pos), np.asarray(res.pt_pos), atol=1e-4,
+    )
+    agree = (np.asarray(res_seg.e_inlier)
+             == np.asarray(res.e_inlier)).mean()
+    assert agree > 0.99, agree
+    T1_seg = np.asarray(res_seg.kf_pose[1])
+    assert np.linalg.norm(T1_seg[:3, 3] - T1_true[:3, 3]) < 0.01
 
 
 @pytest.mark.slow
