@@ -223,10 +223,13 @@ class SystemConfig:
     # (pose chain + assignments stay on device) before frame n's host
     # bookkeeping runs, so the device compute + host-link round-trip
     # leave the critical path. Consumption validates the speculation
-    # (MapStore.poses_ver unchanged, previous frame accepted) and falls
-    # back to a fresh dispatch otherwise — semantics match the unchained
-    # fused path except that a no-op pose re-anchor is skipped when
-    # nothing moved. Needs fused_tracking; stereo only.
+    # (MapStore.poses_ver unchanged, previous frame accepted, and the
+    # mirror-content version stamped at dispatch unchanged — so a worker
+    # keyframe event or point cull between dispatch and consumption
+    # always forces a fresh dispatch, including in
+    # threaded_local_mapping mode) — semantics match the unchained fused
+    # path except that a no-op pose re-anchor is skipped when nothing
+    # moved. Needs fused_tracking; stereo only.
     chained_tracking: bool = False
     # speculation depth for chained tracking: how many frames of fused
     # device work may be in flight ahead of host consumption. 1 = the

@@ -482,10 +482,13 @@ class LocalMapping:
 
     # forward-fuse chunk size: one device program per <=16 covisible
     # targets (the prewarmed 16-rung) so the worker never holds the chip
-    # longer than ~25 ms per dispatch
-    FUSE_CHUNK = 16
+    # longer than ~25 ms per dispatch. Env overrides are a bisection aid
+    # (IVT_FUSE_CHUNK=64 / IVT_TRI_CHUNK=16 restore the r3 monoliths).
+    import os as _os
+    FUSE_CHUNK = int(_os.environ.get("IVT_FUSE_CHUNK", "16"))
     # triangulation chunk size: neighbors per triangulate_event program
-    TRI_CHUNK = 8
+    TRI_CHUNK = int(_os.environ.get("IVT_TRI_CHUNK", "8"))
+    del _os
 
     def _assemble_fuse(self, kf_id: int):
         """Build the fuse call list: FORWARD chunks (<=FUSE_CHUNK

@@ -69,6 +69,17 @@ class Tracking:
         self.only_tracking = False
         self._temporal_points: List[int] = []
         self._dmap_dirty = True  # device map mirror needs (re)sync
+        # monotonic mirror-content version: bumped on every map event
+        # that invalidates in-flight speculative results (worker
+        # keyframe events, BA/GBA merges, loop corrections, resets).
+        # Speculations stamp it at dispatch; consumption requires it
+        # unchanged. The boolean _dmap_dirty alone is NOT enough: a
+        # later frame's dispatch clears the flag when it resyncs, and
+        # an OLDER in-flight speculation (dispatched before the event,
+        # computed against since-recycled arena rows) would then pass
+        # the check and write wrong point associations (the ~1-in-2
+        # late-run tracking loss this fixes was exactly that race).
+        self._mirror_ver = 0
 
         sf = cfg.orb.scale_factors()
         self.inv_level_sigma2 = (1.0 / (sf * sf)).astype(np.float32)
@@ -124,7 +135,7 @@ class Tracking:
             # correction (device wait outside the lock; apply_global_ba
             # takes it for the host mutations)
             if self.loop_closing.collect_gba():
-                self._dmap_dirty = True
+                self._mark_mirror_stale()
             # a stale local-BA merge after CorrectLoop would overwrite the
             # corrected poses — force the join first (reference sets
             # mbAbortBA + mbStopGBA, LoopClosing.cc:437-449)
@@ -133,7 +144,7 @@ class Tracking:
                 if self.loop_closing.process_keyframe(
                     kf_id, fix_scale=self.cfg.system.sensor != "mono"
                 ):
-                    self._dmap_dirty = True
+                    self._mark_mirror_stale()
 
         self.local_mapping.post_kf_hook = post_kf
 
@@ -223,18 +234,18 @@ class Tracking:
         if (lc is not None and lc.pending_gba is not None
                 and lc.pending_gba.res.kf_pose.is_ready()):
             lc.collect_gba()
-            self._dmap_dirty = True
+            self._mark_mirror_stale()
         # worker-thread mode: a finished keyframe event means the device
         # map mirror is stale — resync before the next fused step
         if self.local_mapping.poll_map_changed():
-            self._dmap_dirty = True
+            self._mark_mirror_stale()
         # likewise join a finished async LOCAL BA (threaded-LocalMapping
         # semantics): non-blocking readiness probe, merge costs one RPC.
         # In worker mode the worker owns the merge (its next event force-
         # joins); the per-frame poll would contend the same handle.
         if (self.local_mapping._worker is None
                 and self.local_mapping.apply_pending_ba(only_if_ready=True)):
-            self._dmap_dirty = True
+            self._mark_mirror_stale()
 
     # ------------------------------------------------- chained (pipelined)
 
@@ -271,6 +282,11 @@ class Tracking:
             # speculative dispatch for THIS frame chained off the chain
             # tail's device results (no host upload, no sync)
             tail = q[-1]
+            # mirror version read BEFORE the sync: an event landing any
+            # time after this point makes the stamp mismatch at
+            # consumption (conservative — a spurious mismatch costs one
+            # fresh dispatch; a missed one costs wrong associations)
+            mver = self._mirror_ver
             if self._dmap_dirty:
                 self._dmap_dirty = False
                 with self._stage("dmap_sync"), self.map.lock:
@@ -281,7 +297,7 @@ class Tracking:
                     tail["res"].T, tail["T_prev"], self._dmap,
                 )
             spec = dict(frame=frame, res=res, flat=flat,
-                        ver=self.map.poses_ver,
+                        ver=self.map.poses_ver, mver=mver,
                         T_prev=tail["res"].T,
                         fut=self._pull_async(flat))
         elif not q:
@@ -294,8 +310,8 @@ class Tracking:
                     self._track()
                 return frame.pose
         q.append(spec if spec is not None else dict(
-            frame=frame, res=None, flat=None, ver=-1, T_prev=None,
-            fut=None))
+            frame=frame, res=None, flat=None, ver=-1, mver=-1,
+            T_prev=None, fut=None))
         # ---- process the head frame(s) once the pipeline is full
         prev_pose = None
         while len(q) > depth:
@@ -324,6 +340,7 @@ class Tracking:
             self._fused = FusedTracker(self.cfg, self.height, self.width)
             self._dmap = DeviceMap()
             self.local_mapping.dmap = self._dmap
+        mver = self._mirror_ver  # before the sync — see chained dispatch
         if self._dmap_dirty:
             self._dmap_dirty = False
             with self._stage("dmap_sync"), self.map.lock:
@@ -337,6 +354,7 @@ class Tracking:
             )
         return dict(
             frame=frame, res=res, flat=flat, ver=self.map.poses_ver,
+            mver=mver,
             T_prev=jnp.asarray(self.last_frame.pose),
             fut=self._pull_async(flat),
         )
@@ -356,15 +374,19 @@ class Tracking:
         with self._stage("track"):
             self._track()
         self._spec = None
-        if q and (
-            not self._chain_ok or not self._used_spec or self._dmap_dirty
-        ):
+        stale = any(
+            e.get("res") is not None
+            and e.get("mver") != self._mirror_ver
+            for e in q
+        )
+        if q and (not self._chain_ok or not self._used_spec or stale):
             # The queued speculations chained off (a) a rejected fused
             # result, (b) a discarded speculative result (head was
             # re-dispatched fresh), or (c) a mirror missing a map event's
-            # new/culled points. Re-seed the whole queue from host state
-            # NOW — the head just became last_frame, so the first queued
-            # frame is its direct successor.
+            # new/culled points (version-stamp mismatch). Re-seed the
+            # whole queue from host state NOW — the head just became
+            # last_frame, so the first queued frame is its direct
+            # successor.
             self._respeculate_queue()
         return head["frame"].pose
 
@@ -374,7 +396,8 @@ class Tracking:
         first queued frame, chained dispatches for the rest."""
         q = self._pendq
         for e in q:
-            e.update(res=None, flat=None, fut=None, ver=-1)
+            e.update(res=None, flat=None, fut=None, ver=-1, mver=-1)
+        mver_q = self._mirror_ver  # before any dispatch (see _host_dispatch_spec)
         prev = None
         for e in q:
             if prev is None:
@@ -389,6 +412,7 @@ class Tracking:
                         prev["res"].T, prev["T_prev"], self._dmap,
                     )
                 e.update(res=res, flat=flat, ver=self.map.poses_ver,
+                         mver=mver_q,
                          T_prev=prev["res"].T,
                          fut=self._pull_async(flat))
             prev = e
@@ -734,13 +758,15 @@ class Tracking:
             spec is not None
             and spec.get("ver") == self.map.poses_ver
             and spec["frame"] is frame
-            # a worker event landing between dispatch and consumption sets
-            # _dmap_dirty without necessarily moving poses: the speculative
-            # result was computed against a mirror missing that event's
-            # new/culled points, so fall through to a fresh dispatch (one
-            # extra dispatch per worker event; keeps chained semantics
-            # exactly equal to the unchained fused path)
-            and not self._dmap_dirty
+            # a worker event landing between dispatch and consumption
+            # invalidates the result even when no pose moved: the program
+            # read a mirror missing the event's new/culled/recycled
+            # points. The check is a VERSION stamp, not the _dmap_dirty
+            # boolean — a later frame's dispatch clears that flag after
+            # resyncing, which would let an older in-flight speculation
+            # slip through and write associations against recycled arena
+            # rows (observed as a stochastic late-run tracking loss).
+            and spec.get("mver") == self._mirror_ver
         )
         self._used_spec = used_spec
         if used_spec:
@@ -804,6 +830,8 @@ class Tracking:
                 "extras not searched this frame", int(small[18]),
             )
         if n_motion < 20:
+            self._last_fail = (frame.frame_id, "n_motion", n_motion,
+                               self.map.n_points)
             return False
         frame.set_pose(T)
         frame.map_pt[:] = assign
@@ -820,6 +848,8 @@ class Tracking:
             )
             if self.n_inliers < 30:
                 # roll back associations; the classic path will retry
+                self._last_fail = (frame.frame_id, "n_inliers",
+                                   self.n_inliers, self.map.n_points)
                 frame.map_pt[:] = -1
                 return False
             # reference keyframe: the most-voted observer of our matches
@@ -834,7 +864,15 @@ class Tracking:
         return True
 
     def mark_map_dirty(self):
+        self._mark_mirror_stale()
+
+    def _mark_mirror_stale(self):
+        """A map event landed: the device mirror needs a resync before
+        the next dispatch, and every in-flight speculative result is
+        void (its program read arena rows the event may have recycled).
+        The version bump is what consumption checks — see __init__."""
         self._dmap_dirty = True
+        self._mirror_ver += 1
 
     def _update_last_frame(self):
         """Tracking::UpdateLastFrame: refresh the last frame's pose from its
@@ -1183,7 +1221,7 @@ class Tracking:
             # reference's RunGlobalBundleAdjustment merge-back runs
             # concurrently; here the next keyframe event is the join point)
             if self.loop_closing.collect_gba():
-                self._dmap_dirty = True
+                self._mark_mirror_stale()
             # force-join any async local BA before a potential loop
             # correction: a stale merge after CorrectLoop would overwrite
             # the corrected poses (the reference sets mbAbortBA +
@@ -1192,7 +1230,7 @@ class Tracking:
             if self.loop_closing.process_keyframe(
                 self.ref_kf, fix_scale=self.cfg.system.sensor != "mono"
             ):
-                self._dmap_dirty = True
+                self._mark_mirror_stale()
 
     def _create_new_keyframe_locked(self, frame, desc_fut=None):
         kf_id = self.map.add_keyframe(frame)
@@ -1248,7 +1286,7 @@ class Tracking:
         self.map.compute_distinctive_descriptor_batch(touched)
         self.map.update_normal_and_depth_batch(touched)
         self.last_kf_frame_id = frame.frame_id
-        self._dmap_dirty = True
+        self._mark_mirror_stale()
         self.local_mapping.insert_keyframe(kf_id)
 
     # -------------------------------------------------------- relocalization
@@ -1403,6 +1441,13 @@ class Tracking:
         if self.map.n_keyframes > 3:
             self.failure_count += 1
             self.failure_timestamps.append(timestamp)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "tracking LOST at t=%.2f (kfs=%d pts=%d last_fail=%s)",
+                timestamp, self.map.n_keyframes, self.map.n_points,
+                getattr(self, "_last_fail", None),
+            )
         self._reset()
 
     def _reset(self):
@@ -1438,7 +1483,7 @@ class Tracking:
         self.ref_kf = -1
         self.local_kfs = []
         self.local_pts = np.zeros(0, np.int64)
-        self._dmap_dirty = True  # the device map mirrors a dead map now
+        self._mark_mirror_stale()  # the device map mirrors a dead map now
         if hasattr(self, "voc"):
             self.attach_vocabulary(self.voc)  # fresh KF database for the new map
 

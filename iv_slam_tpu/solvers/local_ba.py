@@ -190,38 +190,42 @@ def _ba_solve_packed(prob, K, n_iters1=5, n_iters2=10, kernel2=False,
 BA_SEGMENTS = ((3, 2), (4, 3, 3))
 
 
+def _ba_tree_identity(prob, K):
+    """Traced pass-through: materializes a host BAProblem + intrinsics
+    as DEVICE arrays via one packed upload + one dispatch (plain
+    jax.device_put would pay one upload RPC per field — ~10 x 10-45 ms
+    on the tunneled runtime)."""
+    return prob, K
+
+
 def _ba_solve_segmented_driver(prob, K, segs=BA_SEGMENTS, kernel2=False,
                                midpoint_gate=True):
-    """Returns (first_handle, drive): dispatches the FIRST segment
-    immediately (non-blocking, so the caller can return while it runs)
-    and a drive() callable that steps the remaining segments — syncing
-    the tiny lam scalar between dispatches to open device-queue gaps —
-    and returns the final BAResult. drive() must run off the tracking
-    critical path (the LocalMapping worker thread)."""
-    import jax
+    """Returns a drive() callable that uploads the problem (ONE packed
+    upload), steps the LM segments — syncing the tiny lam scalar between
+    dispatches to open device-queue gaps for the tracking thread — and
+    returns the final BAResult. Everything, including the upload, is
+    deferred to drive(): the caller (local_bundle_adjustment_async)
+    assembles under the map lock, and the worker drives OFF the lock so
+    tracking's host bookkeeping never waits on device round-trips."""
     import jax.numpy as jnp
 
     from .ba_core import ba_segment, ba_midpoint, ba_finalize
 
-    prob_d = jax.device_put(prob)
-    K_d = jax.device_put(K)
-    segs1, segs2 = segs
-    zero, two = jnp.float32(0.0), jnp.float32(2.0)
-    mask1 = prob_d.e_valid
-    state = ba_segment(
-        prob_d, K_d, prob_d.kf_pose, prob_d.pt_pos, zero, two, zero,
-        mask1, n_iters=segs1[0], kernel_on=True, init=True,
-    )
-
     def drive():
-        kf, pt, lam, ni, chi = state
-        np.asarray(lam)  # fence segment 1
-        for n in segs1[1:]:
+        prob_d, K_d = argpack.call_packed(_ba_tree_identity, prob, K)
+        segs1, segs2 = segs
+        zero, two = jnp.float32(0.0), jnp.float32(2.0)
+        mask1 = prob_d.e_valid
+        kf, pt = prob_d.kf_pose, prob_d.pt_pos
+        lam, ni, chi = zero, two, zero
+        first = True
+        for n in segs1:
             kf, pt, lam, ni, chi = ba_segment(
                 prob_d, K_d, kf, pt, lam, ni, chi, mask1,
-                n_iters=n, kernel_on=True, init=False,
+                n_iters=n, kernel_on=True, init=first,
             )
-            np.asarray(lam)
+            np.asarray(lam)  # fence: device-queue gap between segments
+            first = False
         mask2 = ba_midpoint(prob_d, K_d, kf, pt) if midpoint_gate \
             else mask1
         first = True
@@ -459,7 +463,9 @@ def local_bundle_adjustment_async(cfg, m, kf_id: int):
     if packed is None:
         return None
     prob, K, all_kfs, e_feat, E = packed
-    drive = _ba_solve_segmented_driver(prob, K)  # segment 1 in flight
+    # nothing dispatched yet: the worker calls handle.drive() OFF the
+    # map lock (upload + segments + finalize all happen there)
+    drive = _ba_solve_segmented_driver(prob, K)
     return LBAHandle(None, all_kfs, np.asarray(prob.kf_fixed),
                      len(local_kfs), pts, e_feat, E, driver=drive)
 

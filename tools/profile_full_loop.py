@@ -167,7 +167,11 @@ def main():
     print("\n== tracking thread stages ==")
     print(tr.stage_timer.report())
     print("\n== local-mapping worker stages ==")
-    print(tr.local_mapping.stage_timer.report())
+    # a tracking reset replaces local_mapping (and its stage timer)
+    if tr.local_mapping.stage_timer is not None:
+        print(tr.local_mapping.stage_timer.report())
+    else:
+        print("(reset mid-run: worker stage timer lost)")
     print("\n== summary ==")
     print(json.dumps({
         "steady_mean_ms": round(float(a.mean()) * 1e3, 1),
@@ -175,6 +179,7 @@ def main():
         "steady_p90_ms": round(float(np.percentile(a, 90)) * 1e3, 1),
         "steady_fps": round(len(a) / float(a.sum()), 2),
         "ate_m": round(float(ate), 4),
+        "failures": tr.failure_count,
     }))
 
 
