@@ -78,8 +78,14 @@ def run_slam(cfg, frames, gt, attach=None, datagen_dir=None,
 
     sys_ = System(cfg, H, W)
     if attach is not None:
+        # net_hw = the TRAINING resolution: inference through a resize to
+        # a different grid silently zeroes the small FCN's response (BN
+        # statistics + receptive-field shift; measured band response
+        # 160/255 at the training res vs 0/255 through a 256x256 resize
+        # on the same checkpoint). The reference trains and infers at
+        # matching dims too (config TEST.output_img_* == DATASET dims).
         sys_.tracking.frontend.attach_introspection(
-            attach[0], attach[1], net_hw=(256, 256)
+            attach[0], attach[1], net_hw=(H, W)
         )
     if datagen_dir is not None:
         sys_.enable_datagen(datagen_dir)
@@ -110,6 +116,12 @@ def main():
                    choices=("ReflectionWorld", "ShimmerWorld"))
     p.add_argument("--seed", type=int, default=5)
     p.add_argument("--epochs", type=int, default=4)
+    p.add_argument("--datagen_features", type=int, default=0,
+                   help="feature budget for the TRAINING-DATA run only "
+                        "(reference guidance: ~5000 for datagen vs ~2000 "
+                        "for inference, introspective_ORB_SLAM/README.md "
+                        "ORB Parameters — denser scoring makes denser, "
+                        "hotter GP heatmap targets). 0 = same as eval")
     p.add_argument("--work", default="")
     args = p.parse_args()
 
@@ -154,6 +166,11 @@ def main():
     cfg = _config()
     cfg.iv.enabled = True
     cfg.iv.create_dataset = True
+    if args.datagen_features:
+        from iv_slam_tpu.config import ORBConfig as _OC
+
+        cfg.orb = _OC(n_features=args.datagen_features, n_levels=4)
+        cfg.gp.max_train_points = 512
     old_min = fe.MIN_BAD_PERCENT
     fe.MIN_BAD_PERCENT = -1.0
     try:
@@ -204,7 +221,7 @@ def main():
     for left, _r in eval_frames[:: max(len(eval_frames) // 8, 1)]:
         rgb = jnp.stack([jnp.asarray(left)] * 3, axis=-1)
         cost = np.asarray(inference_cost_map(
-            trainer.net, trainer.variables(), rgb, (H, W), (256, 256)
+            trainer.net, trainer.variables(), rgb, (H, W), (H, W)
         )).astype(np.float32)
         resp_band.append(float(cost[band].mean()))
         resp_bg.append(float(cost[~band].mean()))
