@@ -343,7 +343,9 @@ def bench_full_loop_lc(n_frames: int = 180):
     frames, gt = [], []
     for i in range(n_frames):
         s = i / n_frames
-        ang = 2.3 * np.pi * s
+        # 1.45 laps: the second-lap overlap leaves enough revisited
+        # keyframes for DetectLoop's 3-consecutive-consistency gate
+        ang = 2.9 * np.pi * s
         r = 6.0
         t = np.array(
             [r * np.sin(ang), r * (1 - np.cos(ang)), 0.0], np.float32

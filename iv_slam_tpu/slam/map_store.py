@@ -111,6 +111,27 @@ class MapStore:
 
     # --- point lifecycle ----------------------------------------------------
 
+    def add_points_batch(self, pos: np.ndarray, ref_kf: int,
+                         quality=1.0) -> np.ndarray:
+        """Vectorized add_point for n new rows (the stereo keyframe
+        event creates ~1000 close points in one shot; per-point calls
+        cost ~10-20 ms of pure Python on the tracking thread). Rows are
+        append-only, so a batch is a contiguous slice assignment."""
+        n = len(pos)
+        pid0 = self.n_points
+        assert pid0 + n <= self.max_points, "map point capacity exhausted"
+        pids = np.arange(pid0, pid0 + n)
+        self.n_points += n
+        self.pt_pos[pids] = pos
+        self.pt_alive[pids] = True
+        self.pt_quality[pids] = quality
+        self.pt_first_kf[pids] = ref_kf
+        self.pt_ref_kf[pids] = ref_kf
+        self.pt_visible[pids] = 1
+        self.pt_found[pids] = 1
+        self._dirty[pids] = True
+        return pids
+
     def add_point(
         self, pos: np.ndarray, ref_kf: int, quality: float = 1.0
     ) -> int:

@@ -1264,17 +1264,26 @@ class Tracking:
             ], axis=1)
             pw = pc @ Twc[:3, :3].T + Twc[:3, 3]
         touched = []
-        for row, i in enumerate(ci):
-            qual = (
-                frame.qual_score[i]
+        if len(ci):
+            quals = (
+                frame.qual_score[ci].astype(np.float32)
                 if self.cfg.iv.propagate_keyptqual
                 else 1.0
             )
-            new_pid = self.map.add_point(
-                pw[row].astype(np.float32), kf_id, qual)
-            self.map.add_observation(new_pid, kf_id, int(i))
-            frame.map_pt[i] = new_pid
-            touched.append(new_pid)
+            new_pids = self.map.add_points_batch(
+                pw.astype(np.float32), kf_id, quals)
+            # seed the fresh points' observation dicts directly: no prior
+            # observations exist, so add_observation's remove-old handling
+            # is dead weight here (stereo features weigh 2, mono 1 —
+            # MapPoint::AddObservation)
+            w = np.where(frame.u_right[ci] >= 0, 2, 1)
+            obs = self.map.pt_obs
+            n_obs = self.map.pt_n_obs
+            for pid, i, wi in zip(new_pids, ci, w):
+                obs[pid][kf_id] = int(i)
+                n_obs[pid] = wi
+            frame.map_pt[ci] = new_pids
+            touched.extend(new_pids.tolist())
         # register observations of existing tracked points
         for i in np.nonzero(frame.map_pt >= 0)[0]:
             pid = int(frame.map_pt[i])

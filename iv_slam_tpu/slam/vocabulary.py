@@ -254,7 +254,13 @@ class Vocabulary:
         if len(idx) == 0:
             return nodes
         if device:
-            nodes[idx] = self.transform_words_device(descriptors[idx])
+            # FIXED-shape call: descend the full padded table and mask,
+            # instead of gathering the valid rows — a data-dependent
+            # (n_valid, 32) shape would compile a new device program per
+            # keyframe (measured 1.65 s/KF through the remote-compile
+            # link at ORBvoc scale vs ~5 ms warm at the stable shape)
+            w = self.transform_words_device(descriptors, valid=valid)
+            nodes[idx] = w[idx]
         else:
             nodes[idx] = self.transform_words(descriptors[idx])
         return nodes

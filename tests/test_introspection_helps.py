@@ -36,13 +36,17 @@ def _config():
     return cfg
 
 
-def _make_frames(world, n, step, phase=0.0):
+def _make_frames(world, n, step, phase=0.0, yaw_amp=0.3):
+    """Serpentine with REAL rotation: a static image-space band under
+    pure translation has identically zero epipolar error (x^T [Kt]x x
+    = 0) — the scoring only sees the band when the camera rotates
+    between frames (the paper's Jackal turns constantly)."""
     gt, frames = [], []
     for i in range(n):
         t = np.array([i * step, 0.03 * np.sin(i * 0.4 + phase), 0.0],
                      np.float32)
         Twc = synth_world.camera_pose(
-            t, height=10.0, yaw=0.02 * np.sin(i * 0.3 + phase)
+            t, height=10.0, yaw=yaw_amp * np.sin(i * 0.3 + phase)
         )
         frames.append(world.render_stereo(Twc))
         gt.append(Twc)
@@ -55,8 +59,13 @@ def _run(cfg, frames, gt, attach=None, datagen_dir=None, gt_poses=False):
 
     sys_ = System(cfg, H, W)
     if attach is not None:
+        # net_hw == the training resolution: inferring the small FCN
+        # through a resize to a different grid zeroes its response (BN
+        # statistics + receptive-field shift; tools/introspection_ablation
+        # measured 160/255 band response at native res vs 0/255 through a
+        # 256x256 resize on the same checkpoint)
         sys_.tracking.frontend.attach_introspection(
-            attach[0], attach[1], net_hw=(256, 256)
+            attach[0], attach[1], net_hw=(H, W)
         )
     if datagen_dir is not None:
         sys_.enable_datagen(datagen_dir)
@@ -78,37 +87,42 @@ def _run(cfg, frames, gt, attach=None, datagen_dir=None, gt_poses=False):
 
 @pytest.mark.slow
 def test_introspection_cycle_on_degraded_world(tmp_path):
-    """End-to-end IV cycle on a degraded world, with the evidence the
-    protocol CAN deliver on synthetics pinned as assertions:
+    """End-to-end IV cycle on a degraded world — the SUPERIORITY form
+    of the product claim (CoRL 2020: IV_SLAM beats ORB_SLAM on degraded
+    data), pinned from tools/introspection_ablation.py's calibrated
+    round-4 config:
 
     * the reflection band measurably hurts vanilla tracking,
-    * the GT-referenced datagen heatmaps localize the band (hotter
-      inside than outside),
-    * the trained-FCN introspective run does not degrade accuracy or
-      lose tracking.
+    * the GT-referenced datagen heatmaps localize the band,
+    * the trained FCN's cost map flags the band on UNSEEN eval frames
+      (>= 50/255 over background — strong enough to move weighted
+      extraction, ORBextractor.cc:946-1080 semantics),
+    * introspection-ON beats OFF on ATE on identical eval pixels.
 
-    The stronger product claim — introspection-ON *beats* OFF on ATE —
-    reproduces on the paper's real degraded data but has not been
-    demonstrated on these synthetic worlds: the robust pipeline (chi2
-    gating, ratio tests) already absorbs most of the synthetic
-    corruption, and the small training budget underfits the FCN (its
-    cost map flags the band but at ~0.1/255 amplitude; measured in
-    tools/introspection_ablation.py across three degradation designs —
-    see PERF.md). The ablation tool remains the harness for closing
-    that gap."""
+    Measured at this config on the round-4 accelerator runs:
+    OFF 0.792 m -> ON 0.547 m (31% better); the full-scale config
+    (200 train frames / 40 epochs / 1200 datagen features) reaches
+    OFF 1.337 m -> ON 0.128 m (90% better) — PERF.md round 4. The
+    three mechanisms that make the claim reproduce on synthetics:
+    camera ROTATION (static-band epipolar error is zero under pure
+    translation), DENSE datagen features (the reference extracts ~5000
+    in datagen mode vs ~2000 at inference), and FCN inference at the
+    training resolution."""
     import imageio.v3 as iio
 
+    from iv_slam_tpu.config import ORBConfig
     from iv_slam_tpu.introspection import feature_evaluator as fe
+    from iv_slam_tpu.models.introspection import inference_cost_map
     from iv_slam_tpu.train.data import ImageQualityDataset
     from iv_slam_tpu.train.trainer import Trainer, TrainConfig
 
     rng = np.random.default_rng(5)
     world = synth_world.ReflectionWorld(
-        rng, alpha=0.65, fx=400.0, fy=400.0, cx=160.0, cy=120.0,
+        rng, alpha=0.9, fx=400.0, fy=400.0, cx=160.0, cy=120.0,
         w=W, h=H, baseline=0.5,
     )
     eval_frames, eval_gt = _make_frames(world, 40, 0.10)
-    train_frames, train_gt = _make_frames(world, 24, 0.10, phase=1.7)
+    train_frames, train_gt = _make_frames(world, 60, 0.10, phase=1.7)
 
     # --- vanilla (ORB_SLAM mode): the band hurts -------------------
     ate_off, fails_off = _run(_config(), eval_frames, eval_gt)
@@ -124,6 +138,11 @@ def test_introspection_cycle_on_degraded_world(tmp_path):
     cfg = _config()
     cfg.iv.enabled = True
     cfg.iv.create_dataset = True
+    # dense datagen features (reference README: ~5000 datagen vs ~2000
+    # inference) so the GP heatmap targets are dense/hot enough to
+    # survive the export path's sigmoid(20(x-0.5)) sharpening
+    cfg.orb = ORBConfig(n_features=900, n_levels=4)
+    cfg.gp.max_train_points = 512
     old_min = fe.MIN_BAD_PERCENT
     fe.MIN_BAD_PERCENT = -1.0
     try:
@@ -150,12 +169,29 @@ def test_introspection_cycle_on_degraded_world(tmp_path):
     )
     assert len(ds) >= 4
     tcfg = TrainConfig(
-        num_epochs=4, batch_size=2, input_hw=(H, W),
+        num_epochs=12, batch_size=2, input_hw=(H, W),
         ckpt_dir=str(tmp_path / "ckpt"), snapshot_interval=100,
         lr_encoder=0.005, lr_decoder=0.005,
     )
     trainer = Trainer(tcfg)
     trainer.train(ds, val_ds=None, log_fn=lambda *_: None)
+
+    # intermediate gate: the trained FCN's SHARPENED cost map flags the
+    # band on unseen eval frames strongly enough to move extraction
+    # budgets (VERDICT r4 gate: >= 50/255 over background)
+    import jax.numpy as jnp
+
+    band = world.bad_region_mask()
+    resp_b, resp_o = [], []
+    for left, _r in eval_frames[::8]:
+        rgb = jnp.stack([jnp.asarray(left)] * 3, axis=-1)
+        cost = np.asarray(inference_cost_map(
+            trainer.net, trainer.variables(), rgb, (H, W), (H, W)
+        )).astype(np.float32)
+        resp_b.append(cost[band].mean())
+        resp_o.append(cost[~band].mean())
+    fcn_band, fcn_bg = float(np.mean(resp_b)), float(np.mean(resp_o))
+    assert fcn_band - fcn_bg >= 50.0, (fcn_band, fcn_bg)
 
     # --- introspective run (IV_SLAM mode) on identical eval pixels --
     cfg2 = _config()
@@ -164,7 +200,8 @@ def test_introspection_cycle_on_degraded_world(tmp_path):
         cfg2, eval_frames, eval_gt, attach=(trainer.net, trainer.variables())
     )
 
-    # non-inferiority: the introspective configuration must not lose
-    # tracking more often nor measurably degrade accuracy
+    # SUPERIORITY — the paper's claim: introspection-ON beats OFF on
+    # accuracy without losing tracking more often (measured 31% better
+    # at this config; 10% margin absorbs backend numeric drift)
     assert fails_on <= fails_off
-    assert ate_on <= ate_off * 1.10, (ate_on, ate_off)
+    assert ate_on < ate_off * 0.90, (ate_on, ate_off)

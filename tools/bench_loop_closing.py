@@ -133,16 +133,19 @@ def main():
         rng, tex_size=8192, res=60.0, fx=400.0, fy=400.0, cx=160.0,
         cy=120.0, w=W, h=H, baseline=0.5,
     )
-    # loop trajectory: a full circle plus a 15% revisit of its start,
-    # heading following the path tangent (vehicle-like). Round 3 drove
-    # this with a FIXED heading, which makes the motion increasingly
-    # lateral in the camera frame — tracking failed every ~13 keyframes
-    # and each reset emptied the map DetectLoop needed for the revisit.
+    # loop trajectory: a full circle plus a 45% second lap, heading
+    # following the path tangent (vehicle-like). Round 3 drove this
+    # with a FIXED heading, which makes the motion increasingly lateral
+    # in the camera frame — tracking failed every ~13 keyframes and
+    # each reset emptied the map DetectLoop needed for the revisit. The
+    # r4 session-1 15% overshoot left only ~1-2 keyframes on revisited
+    # ground — DetectLoop's 3-consecutive-consistency gate
+    # (LoopClosing.cc:108-234) needs >= 3.
     n = args.frames
     frames, gt = [], []
     for i in range(n):
         s = i / n
-        ang = 2.3 * np.pi * s
+        ang = 2.9 * np.pi * s
         r = 6.0
         t = np.array(
             [r * np.sin(ang), r * (1 - np.cos(ang)), 0.0], np.float32
