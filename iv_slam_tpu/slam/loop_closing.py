@@ -176,11 +176,27 @@ class LoopClosing:
             sig1 = sf2[cf.octave[ai]]
             sig2 = sf2[cur.octave[bi]]
             m = len(ai)
+            # FIXED-shape solver calls: padding the m BoW matches to the
+            # frame capacity keeps one compiled sim3_ransac/optimize_sim3
+            # program per session — the data-dependent (m,) shapes
+            # compiled a fresh remote program per loop event (~10 s each,
+            # most of the measured 11.7 s ComputeSim3)
+            N = cur.desc.shape[0]
+
+            def _pad(a, tail=()):
+                out = np.zeros((N,) + tail, np.float32)
+                out[:m] = a
+                return out
+
+            sig_max = np.ones(N, np.float32)
+            sig_max[:m] = np.maximum(sig1, sig2)
+            validp = np.zeros(N, bool)
+            validp[:m] = True
             res = sim3_solver.sim3_ransac(
-                jnp.asarray(P1), jnp.asarray(P2),
-                jnp.asarray(uv1), jnp.asarray(uv2),
-                jnp.asarray(np.maximum(sig1, sig2)),
-                jnp.ones(m, bool),
+                jnp.asarray(_pad(P1, (3,))), jnp.asarray(_pad(P2, (3,))),
+                jnp.asarray(_pad(uv1, (2,))), jnp.asarray(_pad(uv2, (2,))),
+                jnp.asarray(sig_max),
+                jnp.asarray(validp),
                 cam.fx, cam.fy, cam.cx, cam.cy,
                 jax.random.PRNGKey(kf_id), n_hyp=256, fix_scale=fix_scale,
             )
@@ -226,11 +242,15 @@ class LoopClosing:
                 continue
             # refine (S21: cand(1) -> cur(2)? reference optimizes S12 from
             # current to loop candidate; we refine P1 -> P2)
+            inv2 = np.ones(N, np.float32)
+            inv2[:m] = 1.0 / sig2
+            inv1 = np.ones(N, np.float32)
+            inv1[:m] = 1.0 / sig1
             opt = sim3_opt.optimize_sim3(
                 res.R, res.t, res.s,
-                jnp.asarray(P2), jnp.asarray(P1),
-                jnp.asarray(uv2), jnp.asarray(uv1),
-                jnp.asarray(1.0 / sig2), jnp.asarray(1.0 / sig1),
+                jnp.asarray(_pad(P2, (3,))), jnp.asarray(_pad(P1, (3,))),
+                jnp.asarray(_pad(uv2, (2,))), jnp.asarray(_pad(uv1, (2,))),
+                jnp.asarray(inv2), jnp.asarray(inv1),
                 res.inliers,
                 cam.fx, cam.fy, cam.cx, cam.cy,
                 fix_scale=fix_scale,
