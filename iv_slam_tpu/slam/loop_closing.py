@@ -192,6 +192,9 @@ class LoopClosing:
             sig_max[:m] = np.maximum(sig1, sig2)
             validp = np.zeros(N, bool)
             validp[:m] = True
+            # hypothesis triples drawn from the real-match prefix [0, m)
+            # only (Sim3Solver samples mvAllIndices — actual matches);
+            # m rides as a traced scalar so the compiled shape is fixed
             res = sim3_solver.sim3_ransac(
                 jnp.asarray(_pad(P1, (3,))), jnp.asarray(_pad(P2, (3,))),
                 jnp.asarray(_pad(uv1, (2,))), jnp.asarray(_pad(uv2, (2,))),
@@ -199,6 +202,7 @@ class LoopClosing:
                 jnp.asarray(validp),
                 cam.fx, cam.fy, cam.cx, cam.cy,
                 jax.random.PRNGKey(kf_id), n_hyp=256, fix_scale=fix_scale,
+                n_valid=np.int32(m),
             )
             if int(res.n_inliers) < 20:
                 continue
@@ -240,39 +244,62 @@ class LoopClosing:
             )
             if int(n_ext) + int(res.n_inliers) < 40:
                 continue
-            # refine (S21: cand(1) -> cur(2)? reference optimizes S12 from
-            # current to loop candidate; we refine P1 -> P2)
-            inv2 = np.ones(N, np.float32)
-            inv2[:m] = 1.0 / sig2
-            inv1 = np.ones(N, np.float32)
-            inv1[:m] = 1.0 / sig1
+            # union match set: BoW pairs + the Sim3 window extension
+            # (LoopClosing.cc:345-360: SearchBySim3 fills empty slots of
+            # vpMapPointMatches in place, so OptimizeSim3 runs over the
+            # COMBINED set) — dedup by candidate feature
+            ext = np.asarray(ext_assign)
+            in_bow = np.zeros(N, bool)
+            in_bow[ai] = True
+            ext_ai = np.nonzero((ext >= 0) & ~in_bow)[0]
+            af = np.concatenate([ai, ext_ai])
+            bf = np.concatenate([bi, ext[ext_ai]])
+            mu = len(af)
+            P1u = P1_all[af].astype(np.float32)
+            P2u = P2_all[bf].astype(np.float32)
+            uv1u = cf.xy[af]
+            uv2u = cur.xy[bf]
+            inv1u = np.ones(N, np.float32)
+            inv1u[:mu] = 1.0 / sf2[cf.octave[af]]
+            inv2u = np.ones(N, np.float32)
+            inv2u[:mu] = 1.0 / sf2[cur.octave[bf]]
+            validu = np.zeros(N, bool)
+            validu[:mu] = True
+
+            def _padu(a, tail=()):
+                out = np.zeros((N,) + tail, np.float32)
+                out[:mu] = a
+                return out
+
+            # refine S: cand -> cur over the union set (the reference
+            # optimizes S12 over the combined matches, Optimizer.cc:2018)
             opt = sim3_opt.optimize_sim3(
                 res.R, res.t, res.s,
-                jnp.asarray(_pad(P2, (3,))), jnp.asarray(_pad(P1, (3,))),
-                jnp.asarray(_pad(uv2, (2,))), jnp.asarray(_pad(uv1, (2,))),
-                jnp.asarray(inv2), jnp.asarray(inv1),
-                res.inliers,
+                jnp.asarray(_padu(P2u, (3,))), jnp.asarray(_padu(P1u, (3,))),
+                jnp.asarray(_padu(uv2u, (2,))), jnp.asarray(_padu(uv1u, (2,))),
+                jnp.asarray(inv2u), jnp.asarray(inv1u),
+                jnp.asarray(validu),
                 cam.fx, cam.fy, cam.cx, cam.cy,
                 fix_scale=fix_scale,
             )
-            if int(opt.n_inliers) < 20:
+            # acceptance: the reference requires >= 20 post-refine inliers
+            # (LoopClosing.cc:285-306) and >= 40 total matches around the
+            # refined Sim3; we gate on >= 40 POST-REFINE inliers — the
+            # stricter combination, after r4's accepted-but-harmful
+            # correction showed the looser gates let weak Sim3s through
+            opt_inl = np.asarray(opt.inliers)[:mu]
+            if int(opt_inl.sum()) < 40:
                 continue
             # corrected current pose: S_cur_w = S_cand->cur o T_cand_w
             S_rel = np.eye(4, dtype=np.float32)
             S_rel[:3, :3] = np.asarray(opt.R) * float(opt.s)
             S_rel[:3, 3] = np.asarray(opt.t)
-            # the verified loop matches (mvpCurrentMatchedPoints): BoW
-            # pairs first, the Sim3 window search fills empty slots
-            # (LoopClosing.cc:345-396 SearchByProjection extends in place)
+            # the verified loop matches (mvpCurrentMatchedPoints),
+            # restricted to the refine's surviving inliers
             matched: Dict[int, int] = {}
-            ext = np.asarray(ext_assign)
-            for cand_feat, cur_feat in zip(ai, bi):
-                pid = int(cf.map_pt[cand_feat])
-                if pid >= 0 and self.map.pt_alive[pid]:
-                    matched[int(cur_feat)] = pid
-            for cand_feat in np.nonzero(ext >= 0)[0]:
-                cur_feat = int(ext[cand_feat])
-                pid = int(cf.map_pt[cand_feat])
+            for k_i in np.nonzero(opt_inl)[0]:
+                pid = int(cf.map_pt[af[k_i]])
+                cur_feat = int(bf[k_i])
                 if (cur_feat not in matched and pid >= 0
                         and self.map.pt_alive[pid]):
                     matched[cur_feat] = pid
@@ -320,6 +347,7 @@ class LoopClosing:
         # mnCorrectedByKF/mnCorrectedReference bookkeeping, used by the
         # essential graph's point correction)
         corrected_ref: Dict[int, int] = {}
+        seen = np.zeros(m.n_points, bool)
         for k in corrected:
             T_old = uncorrected[k].astype(np.float64)
             S_new = T_old @ inv_T_cur_old @ S_cur_new
@@ -335,16 +363,19 @@ class LoopClosing:
             m.set_kf_pose(k, T_new)
             # move the KF's points through the scaled Sim3:
             # p_new = Swi_corr.map(Siw_old.map(p)) (LoopClosing.cc:499-505)
+            # — vectorized over the keyframe's unclaimed live points (the
+            # r4 per-point python loop was a visible slice of CorrectLoop)
             frame = m.kf_frames[k]
-            for pid in frame.map_pt[frame.map_pt >= 0]:
-                pid = int(pid)
-                if pid in corrected_ref or not m.pt_alive[pid]:
-                    continue
-                corrected_ref[pid] = k
-                p = m.pt_pos[pid]
-                pc = T_old[:3, :3] @ p + T_old[:3, 3]
-                m.pt_pos[pid] = ((R_k.T @ (pc - t_k)) / s_k).astype(
-                    np.float32)
+            pids = frame.map_pt[frame.map_pt >= 0]
+            pids = np.unique(pids[m.pt_alive[pids] & ~seen[pids]])
+            if len(pids) == 0:
+                continue
+            seen[pids] = True
+            for pid in pids:
+                corrected_ref[int(pid)] = k
+            p = m.pt_pos[pids].astype(np.float64)
+            pc = p @ T_old[:3, :3].T + T_old[:3, 3]
+            m.pt_pos[pids] = (((pc - t_k) @ R_k) / s_k).astype(np.float32)
         return corrected, uncorrected, corrected_sim3, corrected_ref
 
     def _correct_loop(self, kf_id: int, loop_kf: int, S_corr,
@@ -475,84 +506,105 @@ class LoopClosing:
         reprojection gate, level window [pred-1, pred]); host applies
         the Replace bookkeeping."""
         from ..ops import match as match_ops
+        from ..utils import argpack
 
         m = self.map
         cam = self.cfg.camera
 
         loop_side = [loop_kf] + [k for k, _ in m.covisible_keyframes(loop_kf)]
-        loop_pts = set()
-        for k in loop_side:
-            if not m.kf_alive[k]:
-                continue
-            lf = m.kf_frames[k]
-            for p in lf.map_pt[lf.map_pt >= 0]:
-                if m.pt_alive[p]:
-                    loop_pts.add(int(p))
+        chunks_pts = [m.kf_frames[k].map_pt for k in loop_side
+                      if m.kf_alive[k]]
+        if chunks_pts:
+            allp = np.concatenate(chunks_pts)
+            allp = allp[allp >= 0]
+            loop_pts = np.unique(allp[m.pt_alive[allp]])
+        else:
+            loop_pts = np.zeros(0, np.int64)
         targets = [k for k in corrected_kfs if m.kf_alive[k]]
-        loop_pts = sorted(loop_pts)
-        if not loop_pts or not targets:
+        if len(loop_pts) == 0 or not targets:
             return
         pid_arr = np.asarray(loop_pts, np.int64)
-        p_cap = 1024
-        while p_cap < len(loop_pts):
-            p_cap *= 2
-        nb_cap = 1
-        while nb_cap < len(targets):
-            nb_cap *= 2
-
-        mask = np.zeros((nb_cap, p_cap), bool)
-        mask[: len(targets), : len(loop_pts)] = True
-        pos = np.zeros((p_cap, 3), np.float32)
-        desc = np.zeros((p_cap, 32), np.uint8)
-        normal = np.zeros((p_cap, 3), np.float32)
-        mind = np.ones(p_cap, np.float32)
-        maxd = np.ones(p_cap, np.float32)
-        pos[: len(loop_pts)] = m.pt_pos[pid_arr]
-        desc[: len(loop_pts)] = m.pt_desc[pid_arr]
-        normal[: len(loop_pts)] = m.pt_normal[pid_arr]
-        mind[: len(loop_pts)] = m.pt_min_dist[pid_arr]
-        maxd[: len(loop_pts)] = m.pt_max_dist[pid_arr]
-
-        frames = [m.kf_frames[k] for k in targets]
-        f0 = frames[0]
-        pad = nb_cap - len(targets)
+        # FIXED-shape chunked dispatches: (16-target x 4096-point) tiles
+        # of the (targets x loop points) fuse with the compact (F_CAP, 3)
+        # download — one compiled program for every loop event of the
+        # session (the r4 pow2-grown (nb_cap, p_cap) dense call compiled
+        # a fresh shape + downloaded a dense assignment per event)
+        T_CH, P_CH = 16, 4096
         sf = m.scale_factors
-        assign = match_ops.fuse_into_keyframes(
-            jnp.stack([f.kp.xy for f in frames] + [f0.kp.xy] * pad),
-            jnp.stack([f.kp.octave for f in frames] + [f0.kp.octave] * pad),
-            jnp.stack([f.kp.desc for f in frames] + [f0.kp.desc] * pad),
-            jnp.stack([f.kp.valid for f in frames] + [f0.kp.valid] * pad),
-            jnp.asarray(np.stack(
-                [np.asarray(f.u_right) for f in frames]
-                + [np.asarray(f0.u_right)] * pad
-            ).astype(np.float32)),
-            jnp.asarray(np.stack(
-                [m.kf_pose[k] for k in targets]
-                + [m.kf_pose[targets[0]]] * pad
-            ).astype(np.float32)),
-            jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(normal),
-            jnp.asarray(mind), jnp.asarray(maxd), jnp.asarray(mask),
-            jnp.asarray(sf), jnp.float32(np.log(sf[1] / sf[0])
-                                         if len(sf) > 1 else 1.0),
-            jnp.float32(cam.fx), jnp.float32(cam.fy),
-            jnp.float32(cam.cx), jnp.float32(cam.cy),
-            jnp.float32(cam.width), jnp.float32(cam.height),
-            jnp.float32(cam.bf),
-            jnp.float32(4.0),
-            scw=True,
+        f32 = np.float32
+        tail = (
+            np.asarray(sf, f32),
+            np.asarray(np.log(sf[1] / sf[0]) if len(sf) > 1 else 1.0, f32),
+            np.asarray(cam.fx, f32), np.asarray(cam.fy, f32),
+            np.asarray(cam.cx, f32), np.asarray(cam.cy, f32),
+            np.asarray(cam.width, f32), np.asarray(cam.height, f32),
+            np.asarray(cam.bf, f32),
+            np.asarray(4.0, f32),
         )
-        assign = np.asarray(assign)[: len(targets)]  # one download
+        t_chunks = [targets[i:i + T_CH] for i in range(0, len(targets),
+                                                       T_CH)]
+        kf_stacks = []
+        for tch in t_chunks:
+            frames = [m.kf_frames[k] for k in tch]
+            f0 = frames[0]
+            pad = T_CH - len(frames)
+
+            def ur_of(f):
+                return (f.ur_dev if getattr(f, "ur_dev", None) is not None
+                        else jnp.asarray(np.asarray(f.u_right, f32)))
+
+            kf_stacks.append((
+                jnp.stack([f.kp.xy for f in frames] + [f0.kp.xy] * pad),
+                jnp.stack([f.kp.octave for f in frames]
+                          + [f0.kp.octave] * pad),
+                jnp.stack([f.kp.desc for f in frames] + [f0.kp.desc] * pad),
+                jnp.stack([f.kp.valid for f in frames]
+                          + [f0.kp.valid] * pad),
+                jnp.stack([ur_of(f) for f in frames] + [ur_of(f0)] * pad),
+                np.stack([m.kf_pose[k] for k in tch]
+                         + [m.kf_pose[tch[0]]] * pad).astype(f32),
+            ))
+        flats = []
+        for p0 in range(0, len(pid_arr), P_CH):
+            pch = pid_arr[p0:p0 + P_CH]
+            npch = len(pch)
+            pos = np.zeros((P_CH, 3), f32)
+            desc = np.zeros((P_CH, 32), np.uint8)
+            normal = np.zeros((P_CH, 3), f32)
+            mind = np.ones(P_CH, f32)
+            maxd = np.ones(P_CH, f32)
+            pos[:npch] = m.pt_pos[pch]
+            desc[:npch] = m.pt_desc[pch]
+            normal[:npch] = m.pt_normal[pch]
+            mind[:npch] = m.pt_min_dist[pch]
+            maxd[:npch] = m.pt_max_dist[pch]
+            for ti, tch in enumerate(t_chunks):
+                mask = np.zeros((T_CH, P_CH), bool)
+                mask[: len(tch), :npch] = True
+                flat = argpack.call_packed(
+                    match_ops.fuse_into_keyframes_compact,
+                    *kf_stacks[ti],
+                    pos, desc, normal, mind, maxd, mask,
+                    *tail, scw=True,
+                )
+                flats.append((tch, pch, flat))
 
         touched = set()
         n_replaced = n_added = 0
         merge_dists = []
-        for t, nb in enumerate(targets):
-            frame = m.kf_frames[nb]
-            for i in np.nonzero(assign[t] >= 0)[0]:
-                pid = int(pid_arr[i])
+        for tch, pch, flat in flats:
+            flat = np.asarray(flat)
+            triples = flat[:-1].reshape(match_ops.F_CAP, 3)
+            count = int(flat[-1])
+            triples = triples[: min(count, match_ops.F_CAP)].astype(np.int64)
+            triples = triples[triples[:, 0] < len(tch)]
+            for t, i, feat in triples:
+                nb = tch[int(t)]
+                frame = m.kf_frames[nb]
+                pid = int(pch[i])
                 if not m.pt_alive[pid] or nb in m.pt_obs[pid]:
                     continue
-                feat = int(assign[t, i])
+                feat = int(feat)
                 existing = int(frame.map_pt[feat])
                 if existing >= 0 and m.pt_alive[existing]:
                     if existing == pid:
@@ -567,10 +619,9 @@ class LoopClosing:
                     frame.map_pt[feat] = pid
                     touched.add(pid)
                     n_added += 1
-        for pid in touched:
-            if m.pt_alive[pid]:
-                m.compute_distinctive_descriptor(pid)
-                m.update_normal_and_depth(pid)
+        alive_touched = [p for p in touched if m.pt_alive[p]]
+        m.compute_distinctive_descriptor_batch(alive_touched)
+        m.update_normal_and_depth_batch(alive_touched)
         self.last_fuse_stats = {
             "targets": len(targets), "loop_pts": len(loop_pts),
             "replaced": n_replaced, "added": n_added,
@@ -681,49 +732,86 @@ class LoopClosing:
                 i = slot[k]
                 R0[i], t0[i], s0[i] = Rk, tk, sk
 
+        # FIXED padded shapes: pow2 vertex/edge buckets so the session
+        # compiles at most a couple of essential-graph programs instead
+        # of one per loop event (r4: data-dependent (K, E) shapes put a
+        # fresh remote compile inside every CorrectLoop). Padding
+        # vertices are fixed identity Sim3s with no edges; padding edges
+        # carry e_valid=False (zero weight in H/g and in the cost).
+        E = len(e_i)
+        K_cap = 64
+        while K_cap < K:
+            K_cap *= 2
+        E_cap = 512
+        while E_cap < max(E, 1):
+            E_cap *= 2
+        R_pad = np.tile(np.eye(3, dtype=np.float32), (K_cap, 1, 1))
+        t_pad = np.zeros((K_cap, 3), np.float32)
+        s_pad = np.ones(K_cap, np.float32)
+        R_pad[:K], t_pad[:K], s_pad[:K] = R0, t0, s0
+        fixed_pad = np.ones(K_cap, bool)
+        fixed_pad[:K] = np.array([k == loop_kf for k in alive])
+        ei_pad = np.zeros(E_cap, np.int32)
+        ej_pad = np.zeros(E_cap, np.int32)
+        eR_pad = np.tile(np.eye(3, dtype=np.float32), (E_cap, 1, 1))
+        et_pad = np.zeros((E_cap, 3), np.float32)
+        es_pad = np.ones(E_cap, np.float32)
+        ev_pad = np.zeros(E_cap, bool)
+        if E:
+            ei_pad[:E] = np.array(e_i, np.int32)
+            ej_pad[:E] = np.array(e_j, np.int32)
+            eR_pad[:E] = np.stack(e_R).astype(np.float32)
+            et_pad[:E] = np.stack(e_t).astype(np.float32)
+            es_pad[:E] = np.array(e_s, np.float32)
+            ev_pad[:E] = True
         prob = eg.EGProblem(
-            R=jnp.asarray(R0),
-            t=jnp.asarray(t0),
-            s=jnp.asarray(s0),
-            fixed=jnp.asarray(np.array([k == loop_kf for k in alive])),
-            e_i=jnp.asarray(np.array(e_i, np.int32)),
-            e_j=jnp.asarray(np.array(e_j, np.int32)),
-            e_R=jnp.asarray(np.stack(e_R).astype(np.float32)),
-            e_t=jnp.asarray(np.stack(e_t).astype(np.float32)),
-            e_s=jnp.asarray(np.array(e_s, np.float32)),
-            e_valid=jnp.ones(len(e_i), bool),
+            R=jnp.asarray(R_pad), t=jnp.asarray(t_pad),
+            s=jnp.asarray(s_pad), fixed=jnp.asarray(fixed_pad),
+            e_i=jnp.asarray(ei_pad), e_j=jnp.asarray(ej_pad),
+            e_R=jnp.asarray(eR_pad), e_t=jnp.asarray(et_pad),
+            e_s=jnp.asarray(es_pad), e_valid=jnp.asarray(ev_pad),
         )
         R_opt, t_opt, s_opt = eg.optimize_essential_graph(
             prob, fix_scale=fix_scale)
-        R_opt = np.asarray(R_opt, np.float64)
-        t_opt = np.asarray(t_opt, np.float64)
-        s_opt = np.asarray(s_opt, np.float64)
+        R_opt = np.asarray(R_opt, np.float64)[:K]
+        t_opt = np.asarray(t_opt, np.float64)[:K]
+        s_opt = np.asarray(s_opt, np.float64)[:K]
         self.loop_edges.add((min(kf_id, loop_kf), max(kf_id, loop_kf)))
 
         # per-KF Sim3 delta (vertex init -> optimized), then move each
         # point by its reference keyframe's delta: p_new =
-        # correctedSwr.map(Srw.map(p)) (Optimizer.cc:1964-2014)
-        deltas = {}
+        # correctedSwr.map(Srw.map(p)) (Optimizer.cc:1964-2014) — all
+        # batched (the r4 per-point python loop + per-point normal/depth
+        # update was the bulk of CorrectLoop's 24 s)
+        M_init = np.tile(np.eye(4), (K, 1, 1))
+        M_init[:, :3, :3] = s0[:, None, None] * R0.astype(np.float64)
+        M_init[:, :3, 3] = t0
+        M_new = np.tile(np.eye(4), (K, 1, 1))
+        M_new[:, :3, :3] = s_opt[:, None, None] * R_opt
+        M_new[:, :3, 3] = t_opt
+        deltas_arr = np.linalg.inv(M_new) @ M_init       # (K, 4, 4)
         for i, k in enumerate(alive):
-            M_init = np.eye(4)
-            M_init[:3, :3] = s0[i] * R0[i].astype(np.float64)
-            M_init[:3, 3] = t0[i]
-            M_new = np.eye(4)
-            M_new[:3, :3] = s_opt[i] * R_opt[i]
-            M_new[:3, 3] = t_opt[i]
-            deltas[k] = np.linalg.inv(M_new) @ M_init
             # stored SE3 pose = [R | t/s] (Optimizer.cc:1950-1961)
             T_new = np.eye(4, dtype=np.float32)
             T_new[:3, :3] = R_opt[i]
             T_new[:3, 3] = t_opt[i] / max(s_opt[i], 1e-9)
             m.set_kf_pose(k, T_new)
-        for pid in range(m.n_points):
-            if not m.pt_alive[pid]:
-                continue
-            ref = corrected_ref.get(pid, int(m.pt_ref_kf[pid]))
-            d = deltas.get(ref)
-            if d is None:
-                continue
-            p = m.pt_pos[pid]
-            m.pt_pos[pid] = (d[:3, :3] @ p + d[:3, 3]).astype(np.float32)
-            m.update_normal_and_depth(pid)
+        n_pts = m.n_points
+        ref = m.pt_ref_kf[:n_pts].copy()
+        for pid, k in corrected_ref.items():
+            if pid < n_pts:
+                ref[pid] = k
+        slot_arr = np.full(m.n_keyframes, -1, np.int64)
+        for i, k in enumerate(alive):
+            slot_arr[k] = i
+        ok_ref = (ref >= 0) & (ref < m.n_keyframes)
+        ref_slot = np.where(ok_ref, slot_arr[np.maximum(ref, 0)], -1)
+        sel = m.pt_alive[:n_pts] & (ref_slot >= 0)
+        pids = np.nonzero(sel)[0]
+        if len(pids):
+            D = deltas_arr[ref_slot[pids]]
+            p = m.pt_pos[pids].astype(np.float64)
+            m.pt_pos[pids] = (
+                np.einsum("nij,nj->ni", D[:, :3, :3], p) + D[:, :3, 3]
+            ).astype(np.float32)
+            m.update_normal_and_depth_batch(pids)

@@ -205,47 +205,174 @@ def _warm_triangulate(cfg, N: int, nb: int = None):
     pack.block_until_ready()
 
 
-def _warm_local_ba(cfg, rungs):
-    import jax
-
+def _rand_ba_problem(cfg, rng, nk, npt, ne):
     from ..geometry import camera
     from ..solvers.ba_core import BAProblem
 
     cam = cfg.camera
     K = camera.Intrinsics(*(np.asarray(v, np.float32) for v in
                             (cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)))
+    kf_pose = np.tile(np.eye(4, dtype=np.float32), (nk, 1, 1))
+    pt = rng.uniform(-10, 10, (npt, 3)).astype(np.float32)
+    pt[:, 2] += 20.0
+    e_kf = rng.integers(0, nk, ne).astype(np.int32)
+    e_pt = rng.integers(0, npt, ne).astype(np.int32)
+    X = pt[e_pt]
+    u = cam.fx * X[:, 0] / X[:, 2] + cam.cx
+    v = cam.fy * X[:, 1] / X[:, 2] + cam.cy
+    obs = np.stack([u, v, u - cam.bf / X[:, 2]], 1).astype(np.float32)
+    fixed = np.zeros(nk, bool)
+    fixed[0] = True
+    prob = BAProblem(
+        kf_pose=kf_pose,
+        kf_fixed=fixed,
+        pt_pos=pt,
+        pt_valid=np.ones(npt, bool),
+        e_kf=e_kf, e_pt=e_pt,
+        e_obs=obs,
+        e_inv_s2=np.ones(ne, np.float32),
+        e_qual=np.ones(ne, np.float32),
+        e_valid=np.ones(ne, bool),
+    )
+    return prob, K
+
+
+def _warm_local_ba(cfg, rungs, segmented: bool = True):
     rng = np.random.default_rng(3)
     for (nk, npt, ne) in rungs:
-        kf_pose = np.tile(np.eye(4, dtype=np.float32), (nk, 1, 1))
-        pt = rng.uniform(-10, 10, (npt, 3)).astype(np.float32)
-        pt[:, 2] += 20.0
-        e_kf = rng.integers(0, nk, ne).astype(np.int32)
-        e_pt = rng.integers(0, npt, ne).astype(np.int32)
-        X = pt[e_pt]
-        u = cam.fx * X[:, 0] / X[:, 2] + cam.cx
-        v = cam.fy * X[:, 1] / X[:, 2] + cam.cy
-        obs = np.stack([u, v, u - cam.bf / X[:, 2]], 1).astype(np.float32)
-        fixed = np.zeros(nk, bool)
-        fixed[0] = True
-        prob = BAProblem(
-            kf_pose=kf_pose,
-            kf_fixed=fixed,
-            pt_pos=pt,
-            pt_valid=np.ones(npt, bool),
-            e_kf=e_kf, e_pt=e_pt,
-            e_obs=obs,
-            e_inv_s2=np.ones(ne, np.float32),
-            e_qual=np.ones(ne, np.float32),
-            e_valid=np.ones(ne, bool),
-        )
-        # the async worker path runs the SEGMENTED solve (five smaller
-        # programs + gate + finalize); walking the driver warms exactly
-        # the shapes the keyframe events will hit
-        from ..solvers.local_ba import (_ba_solve_segmented_driver,
+        prob, K = _rand_ba_problem(cfg, rng, nk, npt, ne)
+        # the WORKER path runs the SEGMENTED solve (five smaller
+        # programs + gate + finalize); non-worker async mode runs the
+        # monolithic single dispatch — walk whichever variant the
+        # session's config will actually hit
+        from ..solvers.local_ba import (_ba_solve_packed,
+                                        _ba_solve_segmented_driver,
                                         _flatten_ba_result)
 
-        res = _ba_solve_segmented_driver(prob, K)()
+        if segmented:
+            res = _ba_solve_segmented_driver(prob, K)()
+        else:
+            res = _ba_solve_packed(prob, K)
         _flatten_ba_result(res).block_until_ready()
+
+
+def _warm_loop_closing(cfg, N: int, dmap):
+    """Walk the LoopClosing program set (slam/loop_closing.py call
+    shapes): SearchByBoW, Sim3 RANSAC + refinement, SearchBySim3, the
+    Scw fuse tiles, the padded essential graph, and the first
+    deferred-GBA rung. Before r5 every one of these compiled INSIDE the
+    first loop event — most of the 8.8 s ComputeSim3 / 24 s CorrectLoop
+    medians the r4 driver bench recorded (BENCH_r04)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import bow_match
+    from ..ops import match as match_ops
+    from ..solvers import sim3_solver, sim3_opt
+    from ..solvers import essential_graph as eg
+    from ..solvers.local_ba import GBA_RUNGS, _ba_solve_packed
+    from ..utils import argpack
+
+    cam = cfg.camera
+    L = cfg.orb.n_levels
+    sf = cfg.orb.scale_factors()
+    rng = np.random.default_rng(7)
+    f32 = np.float32
+    desc = jnp.asarray(rng.integers(0, 256, (N, 32)).astype(np.uint8))
+    nodes = jnp.asarray(rng.integers(0, 64, N).astype(np.int64))
+    angle = jnp.asarray(rng.uniform(0, 360, N).astype(f32))
+    valid = jnp.asarray(np.ones(N, bool))
+    xy = jnp.asarray(rng.uniform(0, 300, (N, 2)).astype(f32))
+    octv = jnp.asarray(rng.integers(0, L, N).astype(np.int32))
+    P = jnp.asarray(rng.uniform(-4, 4, (N, 3)).astype(f32) +
+                    np.array([0, 0, 10], f32))
+    sig = jnp.asarray(np.ones(N, f32))
+    maxd = jnp.asarray(np.ones(N, f32))
+
+    assign, _ = bow_match.search_by_bow(
+        desc, nodes, angle, valid, desc, nodes, angle, valid,
+        jnp.float32(0.75),
+    )
+    assign.block_until_ready()
+
+    res = sim3_solver.sim3_ransac(
+        P, P, xy, xy, sig, valid, cam.fx, cam.fy, cam.cx, cam.cy,
+        jax.random.PRNGKey(0), n_hyp=256, fix_scale=True,
+        n_valid=np.int32(N),
+    )
+    jax.block_until_ready(res.R)
+
+    assign, _ = bow_match.search_by_sim3(
+        P, desc, xy, octv, valid,
+        P, desc, xy, octv, valid,
+        jnp.asarray(np.eye(3, dtype=f32)), jnp.asarray(np.zeros(3, f32)),
+        cam.fx, cam.fy, cam.cx, cam.cy,
+        jnp.asarray(np.asarray(sf, f32)),
+        jnp.float32(np.log(sf[1] / sf[0]) if L > 1 else 1.0),
+        maxd, maxd,
+    )
+    assign.block_until_ready()
+
+    opt = sim3_opt.optimize_sim3(
+        res.R, res.t, res.s, P, P, xy, xy, sig, sig,
+        jnp.asarray(np.ones(N, bool)),
+        cam.fx, cam.fy, cam.cx, cam.cy, fix_scale=True,
+    )
+    jax.block_until_ready(opt.R)
+
+    # Scw fuse tile (loop_closing._search_and_fuse): (16, 4096) compact
+    T_CH, P_CH = 16, 4096
+    kf_stack = (
+        jnp.stack([xy] * T_CH), jnp.stack([octv] * T_CH),
+        jnp.stack([desc] * T_CH), jnp.stack([valid] * T_CH),
+        jnp.stack([jnp.asarray(rng.uniform(0, 300, N).astype(f32))] * T_CH),
+        np.tile(np.eye(4, dtype=f32), (T_CH, 1, 1)),
+    )
+    flat = argpack.call_packed(
+        match_ops.fuse_into_keyframes_compact,
+        *kf_stack,
+        rng.uniform(-5, 5, (P_CH, 3)).astype(f32),
+        rng.integers(0, 256, (P_CH, 32)).astype(np.uint8),
+        rng.normal(0, 1, (P_CH, 3)).astype(f32),
+        np.ones(P_CH, f32), np.ones(P_CH, f32),
+        np.ones((T_CH, P_CH), bool),
+        np.asarray(sf, f32),
+        np.asarray(np.log(sf[1] / sf[0]) if L > 1 else 1.0, f32),
+        np.asarray(cam.fx, f32), np.asarray(cam.fy, f32),
+        np.asarray(cam.cx, f32), np.asarray(cam.cy, f32),
+        np.asarray(cam.width, f32), np.asarray(cam.height, f32),
+        np.asarray(cam.bf, f32),
+        np.asarray(4.0, f32),
+        scw=True,
+    )
+    flat.block_until_ready()
+
+    # padded essential graph: the first (K_cap=64, E_cap=512) bucket
+    K_cap, E_cap = 64, 512
+    fixed = np.zeros(K_cap, bool)
+    fixed[0] = True
+    prob = eg.EGProblem(
+        R=jnp.asarray(np.tile(np.eye(3, dtype=f32), (K_cap, 1, 1))),
+        t=jnp.asarray(rng.normal(0, 1, (K_cap, 3)).astype(f32)),
+        s=jnp.asarray(np.ones(K_cap, f32)),
+        fixed=jnp.asarray(fixed),
+        e_i=jnp.asarray((np.arange(E_cap) % (K_cap - 1)).astype(np.int32)),
+        e_j=jnp.asarray((np.arange(E_cap) % (K_cap - 1) + 1).astype(
+            np.int32)),
+        e_R=jnp.asarray(np.tile(np.eye(3, dtype=f32), (E_cap, 1, 1))),
+        e_t=jnp.asarray(np.zeros((E_cap, 3), f32)),
+        e_s=jnp.asarray(np.ones(E_cap, f32)),
+        e_valid=jnp.asarray(np.ones(E_cap, bool)),
+    )
+    out = eg.optimize_essential_graph(prob, fix_scale=True)
+    jax.block_until_ready(out)
+
+    # deferred GBA, first rung (40 LM iterations as dispatched by
+    # _correct_loop: n_iters1=20, n_iters2=20, kernel2, no midpoint gate)
+    prob, K = _rand_ba_problem(cfg, rng, *GBA_RUNGS[0])
+    res = _ba_solve_packed(prob, K, n_iters1=20, n_iters2=20,
+                           kernel2=True, midpoint_gate=False)
+    jax.block_until_ready(res.kf_pose)  # GBA merge pulls poses directly
 
 
 def _warm_classic_fallbacks(tracking, cfg, N: int):
@@ -321,13 +448,15 @@ def prewarm_async(tracking, live_rungs=None, fuse_shapes=None,
             r *= 4
         live_rungs.append(cap)
     if fuse_shapes is None:
-        # forward fuse (<=16-target CHUNKS x current-KF points, frame-
-        # capacity axis) plus the single-target reverse side's point-axis
-        # ladder (local_mapping._fuse_args). The 64-target monolith is
-        # gone: forward fuse now ships chunked so the worker never holds
-        # the chip ~90 ms while tracking dispatches queue. An unwarmed
-        # shape puts a multi-second remote compile INSIDE the loop.
-        fuse_shapes = [(1, 2048), (16, 2048),
+        # forward fuse (<=FUSE_CHUNK-target CHUNKS x current-KF points,
+        # frame-capacity axis) plus the single-target reverse side's
+        # point-axis ladder (local_mapping._fuse_args). The chunk size is
+        # read from LocalMapping so the IVT_FUSE_CHUNK bisection override
+        # stays warmed (advisor r4: a diverged override put a multi-
+        # second remote compile inside the tracking loop).
+        from .local_mapping import LocalMapping
+
+        fuse_shapes = [(1, 2048), (LocalMapping.FUSE_CHUNK, 2048),
                        (1, 4096), (1, 8192), (1, 16384)]
     if ba_rungs is None:
         ba_rungs = LBA_RUNGS
@@ -342,8 +471,13 @@ def prewarm_async(tracking, live_rungs=None, fuse_shapes=None,
             _warm_fused_step(tracker, DeviceMap, cfg, N, live_rungs)
             _warm_triangulate(cfg, N)
             _warm_fuse(cfg, N, fuse_shapes, tracking._dmap)
-            _warm_local_ba(cfg, ba_rungs)
+            _warm_local_ba(
+                cfg, ba_rungs,
+                segmented=cfg.system.threaded_local_mapping,
+            )
             _warm_classic_fallbacks(tracking, cfg, N)
+            if cfg.system.enable_loop_closing:
+                _warm_loop_closing(cfg, N, tracking._dmap)
         except Exception as e:  # best-effort: a failed warm just means a
             t.exc = e           # compile happens later, on the tracking path
 

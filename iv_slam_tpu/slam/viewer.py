@@ -99,7 +99,14 @@ class MapDrawer:
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
 
-    def draw(self, map_store, trajectory_twc, gt_twc=None, frame_id=0):
+    def draw(self, map_store, trajectory_twc, gt_twc=None, frame_id=0,
+             show_points=True, show_keyframes=True, show_graph=False,
+             follow_camera=False, follow_extent=40.0):
+        """Layer flags mirror the reference Viewer menu booleans
+        (menuShowPoints/menuShowKeyFrames/menuShowGraph/menuFollowCamera,
+        src/Viewer.cc:96-100 -> MapDrawer::DrawMapPoints/DrawKeyFrames).
+        follow_camera centers a fixed `follow_extent`-meter window on the
+        newest trajectory point instead of fitting the whole map."""
         import cv2
 
         vis = np.full((self.size, self.size, 3), 20, np.uint8)
@@ -114,16 +121,43 @@ class MapDrawer:
         ) if len(pts) else traj[:, [0, 2]]
         if len(allxz) == 0:
             return vis
-        lo = allxz.min(axis=0) - 1
-        hi = allxz.max(axis=0) + 1
+        if follow_camera and len(traj):
+            center = traj[-1][[0, 2]]
+            lo = center - follow_extent / 2.0
+            hi = center + follow_extent / 2.0
+        else:
+            lo = allxz.min(axis=0) - 1
+            hi = allxz.max(axis=0) + 1
         scale = (self.size - 40) / max(float((hi - lo).max()), 1e-6)
 
         def to_px(xz):
             p = (xz - lo) * scale + 20
             return int(p[0]), self.size - int(p[1]) - 1
 
-        for p in pts[:, [0, 2]]:
-            cv2.circle(vis, to_px(p), 1, (180, 180, 180), -1)
+        if show_points:
+            for p in pts[:, [0, 2]]:
+                cv2.circle(vis, to_px(p), 1, (180, 180, 180), -1)
+        kf_ids = [k for k in range(map_store.n_keyframes)
+                  if map_store.kf_alive[k]]
+        centers = {k: map_store.kf_camera_center(k) for k in kf_ids} \
+            if (show_keyframes or show_graph) else {}
+        if show_graph:
+            # covisibility graph (weight >= 100), MapDrawer::DrawKeyFrames
+            # bDrawGraph branch
+            for k in kf_ids:
+                for nb, w in map_store.covisible_keyframes(k):
+                    if nb > k and w >= 100 and nb in centers:
+                        cv2.line(vis, to_px(centers[k][[0, 2]]),
+                                 to_px(centers[nb][[0, 2]]),
+                                 (120, 200, 120), 1)
+        if show_keyframes:
+            for k in kf_ids:
+                cv2.rectangle(
+                    vis,
+                    tuple(np.subtract(to_px(centers[k][[0, 2]]), 2)),
+                    tuple(np.add(to_px(centers[k][[0, 2]]), 2)),
+                    (255, 160, 0), 1,
+                )
         for a, b in zip(traj[:-1], traj[1:]):
             cv2.line(vis, to_px(a[[0, 2]]), to_px(b[[0, 2]]), (0, 220, 0), 1)
         if gt_twc is not None:

@@ -42,22 +42,44 @@ LBA_RUNGS = (
     (64, 16384, 32768),
 )
 
+# Global BA (loop closure's deferred GBA) rungs: the whole-map problem
+# grows with the session, and the r4 open-ended 2048-quantum bucket grid
+# meant nearly every loop event compiled a fresh GBA shape inside
+# CorrectLoop (jit compiles block at dispatch). A coarse rung ladder
+# gives at most 4 shapes per session, prewarmable when loop closing is
+# enabled; maps beyond the last rung fall back to the open grid (rare —
+# one compile, flagged by the lc stage timer).
+GBA_RUNGS = (
+    (64, 8192, 16384),
+    (64, 16384, 32768),
+    (128, 32768, 65536),
+    (256, 65536, 131072),
+)
+
+
+def _pick_rung(table, n_kf: int, n_pt: int, n_e: int):
+    """Smallest rung that fits (n_kf, n_pt, n_e); None if none fits."""
+    for rung in table:
+        if n_kf <= rung[0] and n_pt <= rung[1] and n_e <= rung[2]:
+            return rung
+    return None
+
 
 def _lba_rung(n_kf: int, n_pt: int, n_e: int):
     """Smallest rung that fits (n_kf, n_pt, n_e); the last rung if none."""
-    for rung in LBA_RUNGS:
-        if n_kf <= rung[0] and n_pt <= rung[1] and n_e <= rung[2]:
-            return rung
-    return LBA_RUNGS[-1]
+    r = _pick_rung(LBA_RUNGS, n_kf, n_pt, n_e)
+    return r if r is not None else LBA_RUNGS[-1]
 
 
 def _assemble(cfg, m, local_kfs, fixed_kfs, pts, extra_fixed=frozenset(),
-              tied_rungs=False):
+              tied_rungs=False, rung_table=None):
     """Pack a keyframe/point window into a padded BAProblem. Returns
     (prob, K, all_kfs, e_feat, E) or None when the window is degenerate.
 
     tied_rungs: pick the padded sizes from LBA_RUNGS (local BA: bounded
-    compile count) instead of the open-ended _bucket grid (global BA)."""
+    compile count) instead of the open-ended _bucket grid. rung_table:
+    an explicit rung ladder (GBA_RUNGS for the deferred global BA); a
+    window too big for the last rung falls back to the open grid."""
     all_kfs = list(local_kfs) + list(fixed_kfs)
     kf_slot = {k: i for i, k in enumerate(all_kfs)}
     if len(pts) == 0 or len(all_kfs) < 2:
@@ -114,8 +136,13 @@ def _assemble(cfg, m, local_kfs, fixed_kfs, pts, extra_fixed=frozenset(),
     if len(e_kf) < 10:
         return
 
+    rung = None
     if tied_rungs:
-        n_kf, n_pt, n_e = _lba_rung(len(all_kfs), len(pts), len(e_kf))
+        rung = _lba_rung(len(all_kfs), len(pts), len(e_kf))
+    elif rung_table is not None:
+        rung = _pick_rung(rung_table, len(all_kfs), len(pts), len(e_kf))
+    if rung is not None:
+        n_kf, n_pt, n_e = rung
         if len(e_kf) > n_e:
             # strided subsample keeps per-keyframe proportions roughly
             # intact (edges are concatenated per keyframe in order)
@@ -450,11 +477,20 @@ class LBAHandle:
             return True
 
 
-def local_bundle_adjustment_async(cfg, m, kf_id: int):
+def local_bundle_adjustment_async(cfg, m, kf_id: int,
+                                  segmented: bool = True):
     """Dispatch the covisibility-window BA WITHOUT blocking; returns an
-    LBAHandle (or None when degenerate). The solve runs SEGMENTED (see
-    _ba_solve_segmented_driver); the caller's worker thread must call
-    handle.drive() off the map lock. apply_local_ba merges it."""
+    LBAHandle (or None when degenerate).
+
+    segmented=True (worker mode): the solve runs as five smaller
+    programs (_ba_solve_segmented_driver); the caller's worker thread
+    must call handle.drive() off the map lock. apply_local_ba merges it.
+
+    segmented=False (non-worker async mode, where _process_one runs ON
+    the tracking thread): ONE non-blocking monolithic dispatch — an
+    eager segment walk here would put ~6 host syncs on the keyframe
+    event's critical path (advisor r4 medium); the merge lands at the
+    per-frame is_ready poll exactly as before r4."""
     win = _local_window(m, kf_id)
     if win is None:
         return None
@@ -463,6 +499,10 @@ def local_bundle_adjustment_async(cfg, m, kf_id: int):
     if packed is None:
         return None
     prob, K, all_kfs, e_feat, E = packed
+    if not segmented:
+        res = _ba_solve_packed(prob, K)  # async dispatch, no host sync
+        return LBAHandle(res, all_kfs, np.asarray(prob.kf_fixed),
+                         len(local_kfs), pts, e_feat, E)
     # nothing dispatched yet: the worker calls handle.drive() OFF the
     # map lock (upload + segments + finalize all happen there)
     drive = _ba_solve_segmented_driver(prob, K)
@@ -618,7 +658,7 @@ def global_bundle_adjustment_async(cfg, m, n_iters: int = 20,
         return None
     pts = [p for p in range(m.n_points) if m.pt_alive[p] and m.pt_obs[p]]
     packed = _assemble(cfg, m, alive_kfs, [], pts,
-                       extra_fixed=set(fixed_kfs))
+                       extra_fixed=set(fixed_kfs), rung_table=GBA_RUNGS)
     if packed is None:
         return None
     prob, K, all_kfs, _e_feat, _E = packed

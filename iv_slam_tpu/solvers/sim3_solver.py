@@ -78,12 +78,23 @@ def sim3_ransac(
     key: jnp.ndarray,
     n_hyp: int = 300,
     fix_scale: bool = False,
+    n_valid=None,
 ) -> Sim3Result:
     """Batched RANSAC with the reference's acceptance test: reprojection
     error < 9.210 * sigma2 (th2 per Sim3Solver::CheckInliers) in *both*
-    directions."""
+    directions.
+
+    ``n_valid``: traced count of real correspondences when the arrays are
+    a valid prefix padded to a fixed capacity (the loop-closing call
+    shape). Hypothesis triples are drawn from [0, n_valid) only — the
+    reference's Sim3Solver samples mvAllIndices, i.e. actual matches; a
+    uniform draw over the padded capacity would contaminate essentially
+    every 3-sample with padding rows ((m/N)^3 clean-hypothesis odds).
+    The compiled shape stays fixed: n_valid rides as a device scalar."""
     n = P1.shape[0]
-    idx = jax.random.randint(key, (n_hyp, 3), 0, jnp.maximum(n, 1))
+    hi = jnp.maximum(n, 1) if n_valid is None \
+        else jnp.maximum(jnp.asarray(n_valid, jnp.int32), 1)
+    idx = jax.random.randint(key, (n_hyp, 3), 0, hi)
 
     def hyp(sample_idx):
         return horn_sim3(P1[sample_idx], P2[sample_idx], fix_scale)

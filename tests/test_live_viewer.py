@@ -4,6 +4,7 @@ remote host. Exercises the real HTTP server end to end: index page,
 stats endpoint, and one multipart frame from each stream."""
 
 import json
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -56,5 +57,61 @@ def test_live_viewer_streams():
         assert json.loads(
             urllib.request.urlopen(base + "/stats.json", timeout=5).read()
         )["frame_id"] == 8
+    finally:
+        viewer.stop()
+
+
+def _post(url, payload, timeout=5.0):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_live_viewer_control_channel():
+    """The reference Viewer's menu (src/Viewer.cc:96-102, acted on at
+    123-141) as POST /control: view-option toggles land in
+    viewer.options (read by the render loop), action controls dispatch
+    to registered callbacks (run_stereo wires localization_mode/reset
+    to the System API)."""
+    calls = []
+    viewer = (
+        LiveViewer(port=0)
+        .register_control("localization_mode",
+                          lambda v: calls.append(("loc", v)))
+        .register_control("reset", lambda v: calls.append(("reset", v)))
+        .start()
+    )
+    try:
+        base = f"http://127.0.0.1:{viewer.port}"
+        ctl = json.loads(urllib.request.urlopen(
+            base + "/controls.json", timeout=5).read())
+        assert ctl["options"]["show_points"] is True
+        assert set(ctl["actions"]) == {"localization_mode", "reset"}
+        # the index page exposes the controls UI
+        assert b"/control" in urllib.request.urlopen(
+            base + "/", timeout=5).read()
+
+        status, body = _post(base + "/control",
+                             {"action": "show_points", "value": False})
+        assert status == 200 and body["ok"]
+        assert viewer.options["show_points"] is False
+
+        status, _ = _post(base + "/control",
+                          {"action": "localization_mode", "value": True})
+        assert status == 200
+        status, _ = _post(base + "/control", {"action": "reset"})
+        assert status == 200
+        assert calls == [("loc", True), ("reset", True)]
+
+        # unknown action is rejected, options untouched
+        try:
+            _post(base + "/control", {"action": "warp_drive"})
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = e.code == 422
+        assert raised
     finally:
         viewer.stop()

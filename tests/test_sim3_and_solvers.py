@@ -76,6 +76,45 @@ def test_sim3_ransac_with_outliers(rng):
     np.testing.assert_allclose(float(res.s), float(S.s), rtol=0.05)
 
 
+def test_sim3_ransac_valid_prefix_padding(rng):
+    """Loop-closing call shape (advisor r4 high): m real matches padded
+    to a fixed capacity N. Hypothesis sampling must draw from [0, m)
+    only — a uniform draw over N leaves ~(m/N)^3 clean triples and the
+    solver silently fails (n_inliers < 20, loop closure disabled)."""
+    S = s3.sim3_exp(jnp.asarray(
+        np.array([0.05, -0.1, 0.02, 0.3, 0.6, -0.2, 0.0], np.float32)
+    ))
+    m, N = 40, 1024
+    P1 = np.zeros((N, 3), np.float32)
+    P2 = np.zeros((N, 3), np.float32)
+    P1[:m] = np.stack([rng.uniform(-5, 5, m), rng.uniform(-3, 3, m),
+                       rng.uniform(4, 20, m)], axis=1)
+    P2[:m] = np.asarray(S.act(jnp.asarray(P1[:m])))
+    fx = fy = 500.0
+    cx, cy = 320.0, 240.0
+
+    def project(P):
+        z = np.maximum(P[:, 2], 1e-9)
+        return np.stack([fx * P[:, 0] / z + cx, fy * P[:, 1] / z + cy],
+                        axis=1).astype(np.float32)
+
+    uv1 = project(P1)
+    uv2 = project(P2)
+    validp = np.zeros(N, bool)
+    validp[:m] = True
+    res = sim3_solver.sim3_ransac(
+        jnp.asarray(P1), jnp.asarray(P2), jnp.asarray(uv1),
+        jnp.asarray(uv2), jnp.ones(N), jnp.asarray(validp),
+        fx, fy, cx, cy, jax.random.PRNGKey(3), n_hyp=256, fix_scale=True,
+        n_valid=np.int32(m),
+    )
+    # every real match is an inlier of the recovered Sim3
+    assert int(res.n_inliers) == m, int(res.n_inliers)
+    assert not np.asarray(res.inliers)[m:].any()
+    np.testing.assert_allclose(np.asarray(res.R), np.asarray(S.R),
+                               atol=1e-3)
+
+
 def test_pnp_ransac(rng):
     xi = np.array([0.1, 0.2, -0.1, 0.3, -0.2, 0.5], np.float32)
     T = se3.se3_exp(jnp.asarray(xi))
