@@ -452,7 +452,10 @@ def main():
     # (VERDICT r4 #7: judge the lc stage medians at >= 10^6 leaves).
     from iv_slam_tpu.slam.vocabulary import Vocabulary
 
-    lcf, lcg, lcH, lcW = _lc_world(180)
+    # 240 frames: the 1.45-lap revisit needs enough second-lap keyframes
+    # for DetectLoop's 3-consecutive-consistency gate even when a slow
+    # link day stretches worker events (backpressure thins keyframes)
+    lcf, lcg, lcH, lcW = _lc_world(240)
     nolc_fps, nolc_ate, _, _ = bench_full_loop_lc(lcf, lcg, lcH, lcW,
                                                   voc=None)
     voc_tr = _lc_corpus_vocab(lcf, lcH, lcW)

@@ -240,6 +240,22 @@ class SystemConfig:
     # dispatches instead of one). Semantics stay exactly equal to the
     # unchained fused path (validated in tests/test_chained_tracking.py).
     chain_depth: int = 1
+    # measured-link adaptation. The worker's device programs come in two
+    # shape families: CHUNKED (r4 — <=16-target fuse tiles, 8-neighbor
+    # triangulation, 5-segment local BA with a host sync between
+    # dispatches) opens device-queue gaps so tracking's chained steps
+    # never wait behind a worker monolith — the right trade when a host
+    # sync is ~free (locally attached chip, CPU backend, 4 ms tunnel
+    # days); MONOLITHIC (r3 — one dispatch per stage) minimizes host
+    # syncs — the right trade when every sync costs a full RTT (58 ms
+    # measured on a bad tunnel day, where chunking starves keyframe
+    # cadence and with it loop detection; PERF.md r5). When
+    # link_adaptive is on, System probes the RTT once at startup
+    # (utils/linkprobe.py) and picks the family by
+    # link_rtt_threshold_ms; set link_rtt_ms to pin the decision.
+    link_adaptive: bool = True
+    link_rtt_ms: Optional[float] = None
+    link_rtt_threshold_ms: float = 12.0
 
 
 @dataclass

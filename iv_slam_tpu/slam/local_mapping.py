@@ -45,6 +45,26 @@ class LocalMapping:
         self.dmap = None
         # optional per-stage wall-clock tracing (utils/profiling.StageTimer)
         self.stage_timer = None
+        # program-shape family (set_link_profile): chunked by default;
+        # high-RTT links switch to the monolithic shapes
+        self.fuse_chunk = self.FUSE_CHUNK
+        self.tri_chunk = self.TRI_CHUNK
+        self.monolithic_device = False
+
+    def set_link_profile(self, high_rtt: bool):
+        """Select the worker's device-program shape family from the
+        measured link (see SystemConfig.link_adaptive). high_rtt=True:
+        monolithic stages (64-target fuse, 16-neighbor triangulation,
+        single-dispatch local BA) — minimum host syncs, each worth a
+        full RTT. Explicit IVT_FUSE_CHUNK / IVT_TRI_CHUNK env overrides
+        win (they are the bisection aid)."""
+        import os
+
+        if "IVT_FUSE_CHUNK" not in os.environ:
+            self.fuse_chunk = 64 if high_rtt else self.FUSE_CHUNK
+        if "IVT_TRI_CHUNK" not in os.environ:
+            self.tri_chunk = 16 if high_rtt else self.TRI_CHUNK
+        self.monolithic_device = high_rtt
 
     def _stage(self, name: str):
         import contextlib
@@ -295,7 +315,7 @@ class LocalMapping:
             # while tracking's chained steps queued behind it; two ~40 ms
             # chunks with a pull between open a device-queue gap for the
             # tracking thread (same rationale as the chunked fuse).
-            nb_cap = self.TRI_CHUNK
+            nb_cap = self.tri_chunk
             cand = cand[:16]
             f32s = np.float32
 
@@ -529,8 +549,8 @@ class LocalMapping:
             return []
         calls = []
         if len(cur_pts):
-            for i in range(0, len(targets), self.FUSE_CHUNK):
-                chunk = targets[i:i + self.FUSE_CHUNK]
+            for i in range(0, len(targets), self.fuse_chunk):
+                chunk = targets[i:i + self.fuse_chunk]
                 calls.append(self._fuse_args(chunk, cur_pts,
                                              fwd_p_cap=2048))
         if len(fuse_pts):
@@ -752,9 +772,13 @@ class LocalMapping:
             # (tracking polls per frame) or at the next keyframe event.
             # Segmented only under a worker thread — on the tracking
             # thread the monolithic single dispatch is the async shape
+            # segmented only under a worker thread on a LOW-RTT link:
+            # the five inter-segment syncs are queue gaps there and pure
+            # RTT tax on a tunneled link (set_link_profile)
             self._pending_ba = local_ba.local_bundle_adjustment_async(
                 self.cfg, self.map, kf_id,
-                segmented=self._worker is not None,
+                segmented=(self._worker is not None
+                           and not self.monolithic_device),
             )
         else:
             local_ba.local_bundle_adjustment(self.cfg, self.map, kf_id)

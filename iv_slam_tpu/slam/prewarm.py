@@ -447,16 +447,16 @@ def prewarm_async(tracking, live_rungs=None, fuse_shapes=None,
             live_rungs.append(r)
             r *= 4
         live_rungs.append(cap)
+    lm = tracking.local_mapping
     if fuse_shapes is None:
-        # forward fuse (<=FUSE_CHUNK-target CHUNKS x current-KF points,
+        # forward fuse (<=fuse_chunk-target tiles x current-KF points,
         # frame-capacity axis) plus the single-target reverse side's
-        # point-axis ladder (local_mapping._fuse_args). The chunk size is
-        # read from LocalMapping so the IVT_FUSE_CHUNK bisection override
-        # stays warmed (advisor r4: a diverged override put a multi-
-        # second remote compile inside the tracking loop).
-        from .local_mapping import LocalMapping
-
-        fuse_shapes = [(1, 2048), (LocalMapping.FUSE_CHUNK, 2048),
+        # point-axis ladder (local_mapping._fuse_args). The chunk size
+        # is read from the LocalMapping INSTANCE so both the link-
+        # adaptive selection (set_link_profile) and the IVT_FUSE_CHUNK
+        # bisection override stay warmed (advisor r4: a diverged
+        # override put a multi-second remote compile inside the loop).
+        fuse_shapes = [(1, 2048), (lm.fuse_chunk, 2048),
                        (1, 4096), (1, 8192), (1, 16384)]
     if ba_rungs is None:
         ba_rungs = LBA_RUNGS
@@ -469,11 +469,12 @@ def prewarm_async(tracking, live_rungs=None, fuse_shapes=None,
         try:
             _warm_splice(DeviceMap, live_rungs)
             _warm_fused_step(tracker, DeviceMap, cfg, N, live_rungs)
-            _warm_triangulate(cfg, N)
+            _warm_triangulate(cfg, N, nb=lm.tri_chunk)
             _warm_fuse(cfg, N, fuse_shapes, tracking._dmap)
             _warm_local_ba(
                 cfg, ba_rungs,
-                segmented=cfg.system.threaded_local_mapping,
+                segmented=(cfg.system.threaded_local_mapping
+                           and not lm.monolithic_device),
             )
             _warm_classic_fallbacks(tracking, cfg, N)
             if cfg.system.enable_loop_closing:

@@ -26,6 +26,20 @@ class System:
         self.tracking = Tracking(cfg, height, width)
         self._shutdown = False
         self._prewarm_thread = None
+        # measured-link adaptation: probe the host<->device RTT once and
+        # pick the worker's program-shape family (chunked vs monolithic)
+        # BEFORE prewarm walks the ladder — prewarm then compiles only
+        # the selected shapes (SystemConfig.link_adaptive)
+        self.link_rtt_ms = None
+        if cfg.system.link_adaptive:
+            from ..utils import linkprobe
+
+            if cfg.system.link_rtt_ms is not None:
+                linkprobe.set_rtt_ms(cfg.system.link_rtt_ms)
+            self.link_rtt_ms = linkprobe.probe_rtt_ms()
+            self.tracking.local_mapping.set_link_profile(
+                self.link_rtt_ms > cfg.system.link_rtt_threshold_ms
+            )
         if cfg.system.prewarm and cfg.system.fused_tracking:
             from .prewarm import prewarm_async
 
