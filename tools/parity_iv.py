@@ -220,7 +220,90 @@ def compare(ref_ds: str, our_ds: str) -> dict:
             res[f"kp_err_q50_{tag}"] = round(float(np.median(err)), 4)
             res[f"kp_err_q90_{tag}"] = round(
                 float(np.percentile(err, 90)), 4)
+    res.update(compare_pairs(ref_ds, our_ds))
     return res
+
+
+def _per_image_keypoints(ds: str):
+    """{img_name: (x, y, err)} from keypoints.json + img_names.json.
+    Keypoint groups are matched to images by append order; the reference
+    appends img_name twice per frame (SaveKeypoints + SaveDescriptors,
+    dataset_creator.cpp) so the name list is deduped positionally."""
+    with open(os.path.join(ds, "keypoints.json")) as f:
+        kp = json.load(f)
+    with open(os.path.join(ds, "img_names.json")) as f:
+        names = json.load(f)
+    if not isinstance(kp, dict) or not isinstance(names, dict):
+        return {}
+    x = np.asarray(kp.get("x_coord", []), np.float64)
+    y = np.asarray(kp.get("y_coord", []), np.float64)
+    err = np.asarray(kp.get("epipolar_err", []), np.float64)
+    groups = names.get("corresponding_keypt_id", [])
+    imgs = names.get("img_name", [])
+    # positional dedup: n names per group entry (1 or 2)
+    if groups and len(imgs) >= 2 * len(groups):
+        imgs = imgs[:: len(imgs) // len(groups)]
+    out = {}
+    for name, grp in zip(imgs, groups):
+        ids = np.asarray(grp.get("keypt_id", []), np.int64)
+        ids = ids[(ids >= 0) & (ids < len(err))]
+        if len(ids):
+            out[os.path.basename(name)] = (x[ids], y[ids], err[ids])
+    return out
+
+
+def compare_pairs(ref_ds: str, our_ds: str, radius: float = 2.0) -> dict:
+    """Matched-KEYPOINT-PAIR comparison (VERDICT r3 #6 / r4 #2): for
+    every image both systems scored, pair keypoints detected at the same
+    pixel (nearest neighbour within `radius` px, mutual) and correlate
+    the per-pair normalized epipolar errors
+    (feature_evaluator.cpp:1341-1512 vs introspection/feature_evaluator
+    .py). Distribution-level agreement can mask per-point disagreement;
+    this is the per-point check."""
+    try:
+        ref = _per_image_keypoints(ref_ds)
+        ours = _per_image_keypoints(our_ds)
+    except (OSError, json.JSONDecodeError):
+        return {}
+    ra, oa = [], []
+    n_imgs = 0
+    for name in sorted(set(ref) & set(ours)):
+        rx, ry, re = ref[name]
+        ox, oy, oe = ours[name]
+        ok_r = np.isfinite(re)
+        ok_o = np.isfinite(oe)
+        rx, ry, re = rx[ok_r], ry[ok_r], re[ok_r]
+        ox, oy, oe = ox[ok_o], oy[ok_o], oe[ok_o]
+        if not (len(re) and len(oe)):
+            continue
+        d2 = (rx[:, None] - ox[None, :]) ** 2 + \
+             (ry[:, None] - oy[None, :]) ** 2
+        fwd = np.argmin(d2, axis=1)
+        bwd = np.argmin(d2, axis=0)
+        mutual = bwd[fwd] == np.arange(len(rx))
+        close = d2[np.arange(len(rx)), fwd] <= radius * radius
+        sel = mutual & close
+        if sel.any():
+            n_imgs += 1
+            ra.extend(re[sel])
+            oa.extend(oe[fwd[sel]])
+    if len(ra) < 10:
+        return {"pair_count": len(ra)}
+    ra = np.asarray(ra)
+    oa = np.asarray(oa)
+    out = {"pair_count": int(len(ra)), "pair_images": n_imgs}
+    out["pair_pearson"] = round(float(np.corrcoef(ra, oa)[0, 1]), 3)
+    # log-space + rank correlations: epipolar errors span decades, so
+    # plain Pearson is dominated by the tail
+    lr = np.log10(np.maximum(ra, 1e-6))
+    lo = np.log10(np.maximum(oa, 1e-6))
+    out["pair_log_pearson"] = round(float(np.corrcoef(lr, lo)[0, 1]), 3)
+    rr = np.argsort(np.argsort(ra)).astype(np.float64)
+    ro = np.argsort(np.argsort(oa)).astype(np.float64)
+    out["pair_spearman"] = round(float(np.corrcoef(rr, ro)[0, 1]), 3)
+    out["pair_med_abs_rel_diff"] = round(float(np.median(
+        np.abs(ra - oa) / np.maximum(np.maximum(ra, oa), 1e-9))), 3)
+    return out
 
 
 def main():
