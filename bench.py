@@ -323,7 +323,10 @@ def _lc_world(n_frames: int):
 
     H, W = 240, 320
     rng = np.random.default_rng(3)
-    world = synth_world.DistinctPlaneWorld(
+    # 3D region-distinct terrain: the r4 planar world made every
+    # candidate Sim3 coplanar-degenerate (see synth_world.
+    # DistinctTerrainWorld docstring) — a closed loop there ADDED error
+    world = synth_world.DistinctTerrainWorld(
         rng, tex_size=8192, res=60.0, fx=400.0, fy=400.0, cx=160.0,
         cy=120.0, w=W, h=H, baseline=0.5,
     )
@@ -343,7 +346,8 @@ def _lc_world(n_frames: int):
     return frames, gt, H, W
 
 
-def _lc_corpus_vocab(frames, H, W, cache="/root/.cache/ivt_lc_vocab_r5.npz"):
+def _lc_corpus_vocab(frames, H, W,
+                     cache="/root/.cache/ivt_lc_vocab_r5_terrain.npz"):
     """Vocabulary TRAINED from the bench world's own descriptor corpus
     (VERDICT r4 #2: synthesized-vocabulary candidate quality was the
     suspected cause of the harmful r4 correction; the reference's
@@ -473,6 +477,14 @@ def main():
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / 10.0, 2),
                 **probe,
+                # physics context for the live numbers: a stereo pair is
+                # ~0.93 MB; on the tunneled dev link the LIVE paths are
+                # upload-bound at upload_mbps / frame_bits regardless of
+                # chip speed (measured 16.5 Mbps on the r5 bench day =
+                # a 2.2 fps wire ceiling; staged paths bypass it)
+                "live_wire_ceiling_fps": round(
+                    probe["upload_mbps"]
+                    / (2 * 1241 * 376 * 8 / 1e6), 2),
                 "frontend_fps_max": round(fps_runs[-1], 2),
                 "frontend_batch8_fps": round(batch_fps, 2),
                 "frontend_staged_fps": round(staged_fps, 2),

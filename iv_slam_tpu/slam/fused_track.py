@@ -123,23 +123,58 @@ class FusedTracker:
             # keypoint -> map slot from the motion stage
             slot1 = jnp.where(assign1 >= 0, last_pt_ids[jnp.maximum(assign1, 0)], -1)
 
+            # pose-LM edge compaction: the frame carries N (2048) keypoint
+            # slots but only the tracked matches (~500-1200) are edges;
+            # running the 4x10 LM rounds over a compacted POSE_CAP table
+            # halves the per-iteration J/H work (the two LM stages
+            # measured 2 x 25 ms of the fused step's ~112 ms unfused
+            # parts, tools/bench_fused_parts.py). k-th-set-bit gather +
+            # rank scatter-back keeps results bit-aligned to the full
+            # (N,) view; an overflow (> POSE_CAP active edges) ships in
+            # the result pack so the host can warn — never silent.
+            POSE_CAP = 1024
+            N_kp = cur_xy.shape[0]
+            obs_full = jnp.concatenate([cur_xy, cur_ur[:, None]], axis=1)
+            inv_s2_full = self.inv_level_sigma2[cur_oct]
+
             def run_pose_opt(T0, slots):
                 has = slots >= 0
-                sl = jnp.maximum(slots, 0)
-                Xw = map_pos[sl]
-                obs = jnp.concatenate([cur_xy, cur_ur[:, None]], axis=1)
-                inv_s2 = self.inv_level_sigma2[cur_oct]
-                if cfg.iv.propagate_keyptqual:
-                    qual = map_qual[sl]
-                else:
-                    qual = cur_qual
+                if N_kp <= POSE_CAP:
+                    sl = jnp.maximum(slots, 0)
+                    qual = (map_qual[sl] if cfg.iv.propagate_keyptqual
+                            else cur_qual)
+                    res = pose_opt.pose_optimization(
+                        T0, map_pos[sl], obs_full, inv_s2_full, qual,
+                        has & map_valid[sl], K,
+                        n_rounds=cfg.iv.optimizer_pose_opt_iter_count,
+                    )
+                    return res, jnp.int32(0)
+                cum = jnp.cumsum(has.astype(jnp.int32))
+                sel = jnp.searchsorted(
+                    cum, jnp.arange(1, POSE_CAP + 1, dtype=jnp.int32),
+                    side="left",
+                ).astype(jnp.int32)
+                sel = jnp.minimum(sel, N_kp - 1)
+                sel_ok = jnp.arange(POSE_CAP) < cum[-1]
+                sl = jnp.maximum(slots[sel], 0)
+                qual = (map_qual[sl] if cfg.iv.propagate_keyptqual
+                        else cur_qual[sel])
                 res = pose_opt.pose_optimization(
-                    T0, Xw, obs, inv_s2, qual, has & map_valid[sl], K,
+                    T0, map_pos[sl], obs_full[sel], inv_s2_full[sel],
+                    qual, sel_ok & map_valid[sl], K,
                     n_rounds=cfg.iv.optimizer_pose_opt_iter_count,
                 )
-                return res
+                # rank scatter-back to the (N,) keypoint view
+                rank = jnp.clip(cum - 1, 0, POSE_CAP - 1)
+                in_cap = has & ((cum - 1) < POSE_CAP)
+                res = res._replace(
+                    inlier=in_cap & res.inlier[rank],
+                    chi2=jnp.where(in_cap, res.chi2[rank], 0.0),
+                )
+                overflow = jnp.maximum(cum[-1] - POSE_CAP, 0)
+                return res, overflow
 
-            res1 = run_pose_opt(T_pred, slot1)
+            res1, ovf1 = run_pose_opt(T_pred, slot1)
             slot1_in = jnp.where(res1.inlier, slot1, -1)
 
             # local search: at large live rungs, compact the map table to
@@ -198,7 +233,7 @@ class FusedTracker:
                     assign2 >= 0, sel[jnp.maximum(assign2, 0)], -1
                 )
             merged = jnp.where(slot1_in >= 0, slot1_in, assign2)
-            res2 = run_pose_opt(res1.T, merged)
+            res2, ovf2 = run_pose_opt(res1.T, merged)
             final_assign = jnp.where(res2.inlier, merged, -1)
             res = FusedResult(
                 T=res2.T,
@@ -224,8 +259,9 @@ class FusedTracker:
                 [res2.T.reshape(16),
                  jnp.stack([n1.astype(jnp.float32),
                             res2.n_inliers.astype(jnp.float32),
-                            n_gate.astype(jnp.float32)])]
-            )                                            # (19,)
+                            n_gate.astype(jnp.float32),
+                            jnp.maximum(ovf1, ovf2).astype(jnp.float32)])]
+            )                                            # (20,)
             flat = jnp.concatenate([pack.reshape(-1), small])
             return res, flat
 

@@ -829,6 +829,16 @@ class Tracking:
                 "fused local search: %d frustum-gated points > cap 4096; "
                 "extras not searched this frame", int(small[18]),
             )
+        # pose-LM edge-compaction overflow (fused_track POSE_CAP=1024):
+        # extra active edges were dropped from the pose solve this frame
+        if small.shape[0] > 19 and small[19] > 0:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "fused pose LM: %d active edges over the %d-slot compact "
+                "table; extras not optimized this frame", int(small[19])
+                + 1024, 1024,
+            )
         if n_motion < 20:
             self._last_fail = (frame.frame_id, "n_motion", n_motion,
                                self.map.n_points)
