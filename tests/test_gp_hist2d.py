@@ -1,5 +1,8 @@
 import numpy as np
+import pytest
 import jax.numpy as jnp
+
+pytestmark = pytest.mark.smoke
 
 from iv_slam_tpu.ops import gp
 from iv_slam_tpu.introspection import feature_evaluator as fe

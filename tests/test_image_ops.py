@@ -1,6 +1,9 @@
 import cv2
 import numpy as np
+import pytest
 import jax.numpy as jnp
+
+pytestmark = pytest.mark.smoke
 
 from iv_slam_tpu.ops import image
 

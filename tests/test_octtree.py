@@ -4,6 +4,8 @@ ComputeKeyPointsOctTree/DistributeOctTree path (ORBextractor.cc:545-878)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from iv_slam_tpu.config import ORBConfig
 from iv_slam_tpu.ops import fast, octtree
 from iv_slam_tpu.ops.extractor import OrbExtractor

@@ -11,6 +11,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from iv_slam_tpu.config import Config, load_reference_yaml, _parse_opencv_yaml
 
 SETTINGS = os.path.join(

@@ -1,6 +1,9 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
+
+pytestmark = pytest.mark.smoke
 
 from iv_slam_tpu.geometry import se3, sim3 as s3
 from iv_slam_tpu.solvers import sim3_solver, pnp, essential_graph as eg

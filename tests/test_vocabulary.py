@@ -1,6 +1,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from iv_slam_tpu import native
 from iv_slam_tpu.slam.vocabulary import Vocabulary, l1_score
 from iv_slam_tpu.slam.keyframe_db import KeyFrameDatabase
