@@ -829,16 +829,22 @@ class Tracking:
                 "fused local search: %d frustum-gated points > cap 4096; "
                 "extras not searched this frame", int(small[18]),
             )
-        # pose-LM edge-compaction overflow (fused_track POSE_CAP=1024):
-        # extra active edges were dropped from the pose solve this frame
+        # pose-LM edge-compaction overflow (fused_track POSE_CAP):
+        # extra active edges were dropped from the pose solve this frame.
+        # Throttled: a sustained overflow would otherwise log per frame
+        # (r5: the 1024 cap did exactly that at the 2048-capacity config
+        # before the cap learned to step up with frame capacity).
         if small.shape[0] > 19 and small[19] > 0:
-            import logging
+            self._pose_cap_ovf = getattr(self, "_pose_cap_ovf", 0) + 1
+            if self._pose_cap_ovf in (1, 10) or \
+                    self._pose_cap_ovf % 100 == 0:
+                import logging
 
-            logging.getLogger(__name__).warning(
-                "fused pose LM: %d active edges over the %d-slot compact "
-                "table; extras not optimized this frame", int(small[19])
-                + 1024, 1024,
-            )
+                logging.getLogger(__name__).warning(
+                    "fused pose LM: %d active edges dropped from the "
+                    "compact table this frame (occurrence %d)",
+                    int(small[19]), self._pose_cap_ovf,
+                )
         if n_motion < 20:
             self._last_fail = (frame.frame_id, "n_motion", n_motion,
                                self.map.n_points)

@@ -107,6 +107,95 @@ class DistinctPlaneWorld(PlaneWorld):
         self.tex = np.clip(tex, 0, 255).astype(np.uint8)
 
 
+class DistinctTerrainWorld(DistinctPlaneWorld):
+    """Region-distinct ground plane PLUS scattered elevated platforms:
+    the loop-closing bench world. Region-distinct texture gives BoW place
+    recognition a real signal (see DistinctPlaneWorld); the platforms add
+    the 3D structure loop CORRECTION needs — on a single nadir plane every
+    matched landmark is coplanar, the candidate Sim3 estimated from the
+    thin revisit-overlap strip is ill-conditioned, and an accepted
+    correction injects noise (r5 root-cause of "closed loop made ATE
+    worse": geometry, not gating). KITTI streets — the scenes the
+    reference closes loops on (stereo_kitti.cc) — are 3D; so is this.
+
+    Platforms default to a ring matching bench.py's radius-6 revisit
+    circle (centers between the camera's waypoints, heights 1.5-4.5 m
+    below the 10 m flight height), each textured from its own offset into
+    the region-distinct ground texture so elevation never costs
+    distinctiveness."""
+
+    def __init__(self, rng, platforms=None, ring_center=(0.0, 6.0),
+                 ring_radius=6.0, **kw):
+        super().__init__(rng, **kw)
+        if platforms is None:
+            platforms = []
+            cx0, cy0 = ring_center
+            for k in range(8):
+                ang = (k + 0.5) * 2.0 * np.pi / 8
+                r = float(rng.uniform(0.75, 1.25)) * ring_radius
+                px = cx0 + r * np.sin(ang)
+                py = cy0 - r * np.cos(ang)
+                half = float(rng.uniform(1.2, 2.4))
+                z = float(rng.uniform(1.5, 4.5))
+                platforms.append((px - half, px + half,
+                                  py - half, py + half, z))
+        self.platforms = platforms
+        # per-platform texture offset (texture pixels): distinct cells
+        ts = self.tex.shape[0]
+        self.plat_off = [
+            (float(rng.uniform(0, ts)), float(rng.uniform(0, ts)))
+            for _ in platforms
+        ]
+
+    def _platform_hits(self, Twc):
+        """Per-platform (hit mask, lam, world hit points) for the pixel
+        grid; rays in both camera and world frames ride along."""
+        R = Twc[:3, :3]
+        C = Twc[:3, 3]
+        uu, vv = np.meshgrid(np.arange(self.w), np.arange(self.h))
+        rays_cam = np.stack(
+            [uu, vv, np.ones_like(uu)], axis=-1
+        ).astype(np.float32) @ self.Kinv.T
+        rays_w = rays_cam @ R.T
+        out = []
+        for (x0, x1, y0, y1, z) in self.platforms:
+            lam = (z - C[2]) / rays_w[..., 2]
+            X = C[None, None, :] + lam[..., None] * rays_w
+            hit = (
+                (lam > 0)
+                & (X[..., 0] >= x0) & (X[..., 0] <= x1)
+                & (X[..., 1] >= y0) & (X[..., 1] <= y1)
+            )
+            out.append((hit, lam, X))
+        return rays_cam, out
+
+    def render(self, Twc: np.ndarray) -> np.ndarray:
+        img = super().render(Twc).astype(np.float32)
+        _, hits = self._platform_hits(Twc)
+        for (hit, _lam, X), (ox, oy) in zip(hits, self.plat_off):
+            if not hit.any():
+                continue
+            tx = (X[..., 0] * self.res + ox).astype(np.float32) \
+                % self.tex.shape[1]
+            ty = (X[..., 1] * self.res + oy).astype(np.float32) \
+                % self.tex.shape[0]
+            top = cv2.remap(self.tex, tx, ty, cv2.INTER_LINEAR,
+                            borderMode=cv2.BORDER_WRAP)
+            img = np.where(hit, top, img)
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    def render_depth(self, Twc: np.ndarray) -> np.ndarray:
+        R = Twc[:3, :3]
+        C = Twc[:3, 3]
+        rays_cam, hits = self._platform_hits(Twc)
+        rays_w = rays_cam @ R.T
+        lam = -C[2] / rays_w[..., 2]  # ground
+        for (hit, lam_p, _X) in hits:
+            # platforms sit between camera and ground: closer hit wins
+            lam = np.where(hit & (lam_p < lam), lam_p, lam)
+        return (lam * rays_cam[..., 2]).astype(np.float32)
+
+
 class TwoPlaneWorld(PlaneWorld):
     """Ground plane (z = 0) plus an elevated square platform (z = height2)
     — non-planar structure so monocular H/F model selection has parallax."""
