@@ -255,7 +255,16 @@ class SystemConfig:
     # link_rtt_threshold_ms; set link_rtt_ms to pin the decision.
     link_adaptive: bool = True
     link_rtt_ms: Optional[float] = None
-    link_rtt_threshold_ms: float = 12.0
+    # 40 ms, bracketed by measurement on the KITTI-geometry full loop:
+    # at 29-30 ms RTT the CHUNKED family sustains 22.97 fps with healthy
+    # keyframe cadence (BENCH_r04, probe 29.3 ms), while the monolithic
+    # family's fatter worker dispatches keep the queue >= 3 deep, the
+    # busy-mapper gate thins keyframes to ~1/12 frames, and tracking
+    # LOSES at frame ~61 (r5, reproduced twice at ~30 ms); at 58 ms it
+    # is chunking that starves (15 syncs/event ~ 1 s walls, PERF.md r5).
+    # The prior 12 ms threshold picked monolithic on ordinary ~30 ms
+    # days and regressed the headline bench.
+    link_rtt_threshold_ms: float = 40.0
 
 
 @dataclass
