@@ -1178,7 +1178,20 @@ class Tracking:
         insert is refused (LocalMapping.cc mlNewKeyFrames gate)."""
         if (self.local_mapping._worker is not None
                 and self.local_mapping.pending_count() >= 3):
-            return False
+            # Starvation guard (TPU adaptation, r5): on a saturated link
+            # the worker's per-event syncs queue behind the ~1 MB frame
+            # uploads and one event can outlast max_frames of tracking;
+            # the reference's refuse-while-busy gate then thins keyframes
+            # to ~1 per 12 frames at 0.8 m/frame, match support decays,
+            # and tracking is LOST by frame ~50 (live bench, 16 Mbps
+            # day). Keep the reference's backpressure inside the normal
+            # window, but once the keyframe gap exceeds max_frames let a
+            # bounded queue (< 6) accept the insert — a deeper queue is
+            # host memory, a lost tracker is the session.
+            gap = self.current.frame_id - self.last_kf_frame_id
+            if gap < self.max_frames or \
+                    self.local_mapping.pending_count() >= 6:
+                return False
         frame = self.current
         with self.map.lock:
             n_kfs = self.map.n_keyframes
