@@ -526,16 +526,41 @@ def main():
 
     # 240 frames: the 1.45-lap revisit needs enough second-lap keyframes
     # for DetectLoop's 3-consecutive-consistency gate even when a slow
-    # link day stretches worker events (backpressure thins keyframes)
-    lcf, lcg, lcH, lcW = _lc_world(240)
-    nolc_fps, nolc_ate, _, _ = bench_full_loop_lc(lcf, lcg, lcH, lcW,
-                                                  voc=None)
-    voc_tr = _lc_corpus_vocab(lcf, lcH, lcW)
-    lc_fps, lc_ate, lc_loops, lc_meds = bench_full_loop_lc(
-        lcf, lcg, lcH, lcW, voc=voc_tr)
-    voc_1m = Vocabulary.synthesize(k=10, L=6, seed=0)
-    lc1m_fps, lc1m_ate, lc1m_loops, lc1m_meds = bench_full_loop_lc(
-        lcf, lcg, lcH, lcW, voc=voc_1m)
+    # link day stretches worker events (backpressure thins keyframes).
+    # Each LC stage is individually guarded: a late-stage failure must
+    # not lose the already-measured numbers (the JSON line always
+    # prints; a failed stage reports an *_error field instead).
+    lc_fields = {}
+    try:
+        lcf, lcg, lcH, lcW = _lc_world(240)
+        nolc_fps, nolc_ate, _, _ = bench_full_loop_lc(
+            lcf, lcg, lcH, lcW, voc=None)
+        lc_fields.update(full_loop_nolc_fps=round(nolc_fps, 2),
+                         full_loop_nolc_ate_m=round(nolc_ate, 4))
+        voc_tr = _lc_corpus_vocab(lcf, lcH, lcW)
+        lc_fps, lc_ate, lc_loops, lc_meds = bench_full_loop_lc(
+            lcf, lcg, lcH, lcW, voc=voc_tr)
+        lc_fields.update(
+            full_loop_lc_fps=round(lc_fps, 2),
+            full_loop_lc_ate_m=round(lc_ate, 4),
+            lc_loops_closed=lc_loops,
+            lc_voc_words=voc_tr.n_words,
+            **{"lc_" + k.removeprefix("lc_") + "_med_ms": v
+               for k, v in lc_meds.items()})
+    except Exception as e:
+        lc_fields["lc_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        voc_1m = Vocabulary.synthesize(k=10, L=6, seed=0)
+        lc1m_fps, lc1m_ate, lc1m_loops, lc1m_meds = bench_full_loop_lc(
+            lcf, lcg, lcH, lcW, voc=voc_1m)
+        lc_fields.update(
+            full_loop_lc1m_fps=round(lc1m_fps, 2),
+            full_loop_lc1m_ate_m=round(lc1m_ate, 4),
+            lc1m_loops_closed=lc1m_loops,
+            **{"lc1m_" + k.removeprefix("lc_") + "_med_ms": v
+               for k, v in lc1m_meds.items()})
+    except Exception as e:
+        lc_fields["lc1m_error"] = f"{type(e).__name__}: {e}"[:200]
 
     print(
         json.dumps(
@@ -567,19 +592,7 @@ def main():
                 "full_loop_staged_fps": round(sfull_fps, 2),
                 "full_loop_staged_ate_m": round(sfull_ate, 4),
                 **s_extras,
-                "full_loop_nolc_fps": round(nolc_fps, 2),
-                "full_loop_nolc_ate_m": round(nolc_ate, 4),
-                "full_loop_lc_fps": round(lc_fps, 2),
-                "full_loop_lc_ate_m": round(lc_ate, 4),
-                "lc_loops_closed": lc_loops,
-                "lc_voc_words": voc_tr.n_words,
-                **{"lc_" + k.removeprefix("lc_") + "_med_ms": v
-                   for k, v in lc_meds.items()},
-                "full_loop_lc1m_fps": round(lc1m_fps, 2),
-                "full_loop_lc1m_ate_m": round(lc1m_ate, 4),
-                "lc1m_loops_closed": lc1m_loops,
-                **{"lc1m_" + k.removeprefix("lc_") + "_med_ms": v
-                   for k, v in lc1m_meds.items()},
+                **lc_fields,
             }
         )
     )
